@@ -1,0 +1,182 @@
+"""Typed configuration tree, YAML-compatible on disk.
+
+The reference scatters configuration across per-entity YAML files and an
+untyped 17-argument ``TrainingTask`` (reference: backend/workthreads.py:1044-1067,
+backend/cbas.py:722-749,1020-1033). Here every config is a dataclass with
+defaults matching the reference's, and the YAML serializations are kept
+field-compatible so existing project directories load unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import tempfile
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+DEFAULT_ENCODER = "facebook/dinov2-with-registers-base"
+EMBED_DIM = 768  # CLS embedding width; fixed by the HDF5 contract ("cls" is (N, 768)).
+
+
+# ---------------------------------------------------------------------------
+# YAML helpers (atomic writes everywhere — no partially-written configs)
+# ---------------------------------------------------------------------------
+
+def load_yaml(path: str) -> Any:
+    with open(path, "r", encoding="utf-8") as f:
+        return yaml.safe_load(f)
+
+
+def dump_yaml(obj: Any, path: str) -> None:
+    """Atomically write YAML: write to a temp file in the same dir, then rename."""
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".yaml.tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            yaml.dump(obj, f, allow_unicode=True, sort_keys=False)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+
+
+def _from_dict(cls, data: Optional[Dict[str, Any]]):
+    """Build a dataclass from a dict, ignoring unknown keys (forward compat)."""
+    data = data or {}
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in data.items() if k in names})
+
+
+# ---------------------------------------------------------------------------
+# Entity configs
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CameraSettings:
+    """Per-camera recording settings (reference: backend/cbas.py:722-749)."""
+
+    name: str = "Unnamed"
+    rtsp_url: str = ""
+    framerate: int = 10
+    resolution: int = 256
+    segment_seconds: int = 600
+    crop_left_x: float = 0.0
+    crop_top_y: float = 0.0
+    crop_width: float = 1.0
+    crop_height: float = 1.0
+
+    def __post_init__(self) -> None:
+        self.framerate = int(self.framerate)
+        self.resolution = int(self.resolution)
+        self.segment_seconds = int(self.segment_seconds)
+        for f_ in ("crop_left_x", "crop_top_y", "crop_width", "crop_height"):
+            setattr(self, f_, float(getattr(self, f_)))
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, data: Dict[str, Any]) -> "CameraSettings":
+        return _from_dict(cls, data)
+
+    @property
+    def record_url(self) -> str:
+        """High-quality substream substitution (reference: backend/cbas.py:740-743)."""
+        if "/profile1" in self.rtsp_url:
+            return self.rtsp_url.replace("/profile1", "/profile0")
+        return self.rtsp_url
+
+
+@dataclass
+class ProjectSettings:
+    """Project-level config (``cbas_config.yaml``; reference: backend/cbas.py:1020-1033)."""
+
+    encoder_model_identifier: str = DEFAULT_ENCODER
+
+    @classmethod
+    def from_dict(cls, data: Optional[Dict[str, Any]]) -> "ProjectSettings":
+        return _from_dict(cls, data)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+@dataclass
+class TrainingConfig:
+    """All hyperparameters of one head-training job.
+
+    Field-for-field equivalent of the reference's 17-parameter ``TrainingTask``
+    (reference: backend/workthreads.py:1044-1067) with its defaults.
+    """
+
+    name: str = ""
+    behaviors: List[str] = field(default_factory=list)
+    batch_size: int = 512
+    learning_rate: float = 1e-4
+    epochs: int = 10
+    sequence_length: int = 31
+    training_method: str = "oversampling"  # oversampling | weighted_loss | custom_weights
+    patience: int = 3
+    num_runs: int = 1
+    num_trials: int = 1
+    optimization_target: str = "weighted avg"
+    use_test: bool = True
+    test_split: float = 0.2
+    custom_weights: Optional[Dict[str, float]] = None
+    weight_decay: float = 0.0
+    label_smoothing: float = 0.0
+    lstm_hidden_size: int = 64
+    lstm_layers: int = 1
+
+    def __post_init__(self) -> None:
+        self.use_test = bool(self.use_test)
+        self.test_split = float(self.test_split)
+        if self.sequence_length % 2 == 0:
+            raise ValueError(f"sequence_length must be odd, got {self.sequence_length}")
+        if self.training_method not in ("oversampling", "weighted_loss", "custom_weights"):
+            raise ValueError(f"unknown training_method: {self.training_method}")
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, data: Dict[str, Any]) -> "TrainingConfig":
+        return _from_dict(cls, data)
+
+
+@dataclass
+class InferenceConfig:
+    """Chunked-inference geometry (reference: backend/cbas.py:482,539).
+
+    ``chunk_frames`` frames are processed per halo-extended read;
+    ``window_batch`` sliding windows per device call. The device program is
+    compiled for a fixed ``window_batch`` so XLA sees static shapes.
+    """
+
+    chunk_frames: int = 20000
+    window_batch: int = 512
+
+
+@dataclass
+class EncodeConfig:
+    """Streamed-encode geometry (reference: backend/cbas.py:48,418-421)."""
+
+    chunk_frames: int = 512       # frames per device batch
+    h5_chunk_rows: int = 8192     # HDF5 chunking of the "cls" dataset
+    prefetch_chunks: int = 2      # host-side decode lookahead (double buffering)
+
+
+@dataclass
+class RuntimeConfig:
+    """Device/runtime knobs. The mesh is a config parameter so multi-chip
+    layouts need no code changes (SURVEY.md §2.7)."""
+
+    mesh_shape: Optional[List[int]] = None   # None = all local devices on one axis
+    mesh_axis_names: List[str] = field(default_factory=lambda: ["data"])
+    compute_dtype: str = "bfloat16"          # ViT matmul dtype on TPU
+    head_dtype: str = "float32"              # classifier head stays fp32
