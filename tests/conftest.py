@@ -6,10 +6,17 @@ XLA's host platform with 8 forced devices. Must run before jax is imported.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon TPU plugin's sitecustomize forces jax_platforms="axon,cpu" at
+# interpreter start; flip it back before any backend is initialized so tests
+# run on the virtual 8-device CPU mesh, not the (single, remote) TPU chip.
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 
