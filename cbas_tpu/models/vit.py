@@ -1,0 +1,454 @@
+"""DINOv2 (with registers) and DINOv3 vision transformers in pure JAX.
+
+Functional rebuilds of the HF reference encoders used by the pipeline
+(reference: backend/cbas.py:650-677 loads ``facebook/dinov2-with-registers-base``
+or DINOv3 via ``transformers.AutoModel``). Parameters are flat dicts keyed by
+the HF ``state_dict`` names so pretrained checkpoints port without remapping.
+
+TPU-first design notes:
+
+- Patch embedding is a reshape + one large matmul (stride == kernel makes the
+  conv exactly a per-patch projection), which maps straight onto the MXU
+  instead of going through a convolution lowering.
+- Attention softmax runs in float32 (matching HF) and the whole block stack is
+  a ``lax.scan``-free static unroll — XLA fuses the elementwise chains into the
+  matmuls; layer count is small and static.
+- Position-embedding resampling (DINOv2) and RoPE tables (DINOv3) are
+  precomputed per input geometry at wrapper level (see models/encoder.py), so
+  the jitted program sees only static shapes.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, jnp.ndarray]
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    variant: str = "dinov2"  # "dinov2" (with registers) | "dinov3"
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    patch_size: int = 16
+    num_register_tokens: int = 4
+    intermediate_size: int = 3072
+    layer_norm_eps: float = 1e-6
+    image_size: int = 224          # pretraining geometry (pos-embed grid for dinov2)
+    use_swiglu_ffn: bool = False   # dinov2 giant
+    use_gated_mlp: bool = False    # dinov3 large+
+    rope_theta: float = 100.0      # dinov3
+    # dinov3 per-projection bias flags (dinov2 uses qkv_bias for all three)
+    query_bias: bool = True
+    key_bias: bool = False
+    value_bias: bool = True
+    proj_bias: bool = True
+    mlp_bias: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def num_prefix_tokens(self) -> int:
+        return 1 + self.num_register_tokens
+
+    @classmethod
+    def from_hf(cls, hf_config) -> "ViTConfig":
+        """Build from a transformers Dinov2[WithRegisters]Config or DINOv3ViTConfig."""
+        t = type(hf_config).__name__
+        if "DINOv3" in t:
+            return cls(
+                variant="dinov3",
+                hidden_size=hf_config.hidden_size,
+                num_layers=hf_config.num_hidden_layers,
+                num_heads=hf_config.num_attention_heads,
+                patch_size=hf_config.patch_size,
+                num_register_tokens=hf_config.num_register_tokens,
+                intermediate_size=hf_config.intermediate_size,
+                layer_norm_eps=hf_config.layer_norm_eps,
+                image_size=hf_config.image_size,
+                use_gated_mlp=hf_config.use_gated_mlp,
+                rope_theta=hf_config.rope_theta,
+                query_bias=hf_config.query_bias,
+                key_bias=hf_config.key_bias,
+                value_bias=hf_config.value_bias,
+                proj_bias=hf_config.proj_bias,
+                mlp_bias=hf_config.mlp_bias,
+            )
+        return cls(
+            variant="dinov2",
+            hidden_size=hf_config.hidden_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            patch_size=hf_config.patch_size,
+            num_register_tokens=getattr(hf_config, "num_register_tokens", 0),
+            intermediate_size=hf_config.hidden_size * hf_config.mlp_ratio,
+            layer_norm_eps=hf_config.layer_norm_eps,
+            image_size=hf_config.image_size,
+            use_swiglu_ffn=hf_config.use_swiglu_ffn,
+        )
+
+
+# Named presets for the model families in BASELINE.json's configs.
+PRESETS: Dict[str, ViTConfig] = {
+    "dinov2-with-registers-base": ViTConfig(
+        variant="dinov2", hidden_size=768, num_layers=12, num_heads=12,
+        patch_size=14, num_register_tokens=4, intermediate_size=3072,
+        image_size=518,
+    ),
+    "dinov2-with-registers-small": ViTConfig(
+        variant="dinov2", hidden_size=384, num_layers=12, num_heads=6,
+        patch_size=14, num_register_tokens=4, intermediate_size=1536,
+        image_size=518,
+    ),
+    "dinov3-vits16": ViTConfig(
+        variant="dinov3", hidden_size=384, num_layers=12, num_heads=6,
+        patch_size=16, num_register_tokens=4, intermediate_size=1536,
+        layer_norm_eps=1e-5, rope_theta=100.0,
+    ),
+    "dinov3-vitb16": ViTConfig(
+        variant="dinov3", hidden_size=768, num_layers=12, num_heads=12,
+        patch_size=16, num_register_tokens=4, intermediate_size=3072,
+        layer_norm_eps=1e-5, rope_theta=100.0,
+    ),
+    "dinov3-vitl16": ViTConfig(
+        variant="dinov3", hidden_size=1024, num_layers=24, num_heads=16,
+        patch_size=16, num_register_tokens=4, intermediate_size=4096,
+        layer_norm_eps=1e-5, rope_theta=100.0,
+    ),
+}
+
+
+def config_for_identifier(identifier: str) -> ViTConfig:
+    """Resolve an HF-style model identifier to a ViTConfig preset."""
+    name = identifier.split("/")[-1].lower()
+    for key, cfg in PRESETS.items():
+        if key in name:
+            return cfg
+    if "dinov3" in name:
+        return PRESETS["dinov3-vitb16"]
+    return PRESETS["dinov2-with-registers-base"]
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def _ln(params: Params, name: str, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (
+        y * params[f"{name}.weight"].astype(jnp.float32)
+        + params[f"{name}.bias"].astype(jnp.float32)
+    ).astype(x.dtype)
+
+
+def _dense(params: Params, name: str, x: jnp.ndarray, bias: bool = True) -> jnp.ndarray:
+    y = x @ params[f"{name}.weight"].T.astype(x.dtype)
+    if bias:
+        y = y + params[f"{name}.bias"].astype(x.dtype)
+    return y
+
+
+def patchify(x: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(B, C, H, W) -> (B, N, C*p*p) patch vectors ordered (c, dy, dx).
+
+    Equivalent to a stride-p conv im2col; trailing rows/cols that don't fill a
+    whole patch are dropped, matching torch Conv2d flooring.
+    """
+    B, C, H, W = x.shape
+    hp, wp = H // patch, W // patch
+    x = x[:, :, : hp * patch, : wp * patch]
+    x = x.reshape(B, C, hp, patch, wp, patch)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # (B, hp, wp, C, p, p)
+    return x.reshape(B, hp * wp, C * patch * patch)
+
+
+def _attention(
+    params: Params,
+    prefix: str,
+    x: jnp.ndarray,
+    cfg: ViTConfig,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    B, N, D = x.shape
+    H, hd = cfg.num_heads, cfg.head_dim
+    if cfg.variant == "dinov2":
+        q = _dense(params, f"{prefix}.attention.attention.query", x)
+        k = _dense(params, f"{prefix}.attention.attention.key", x)
+        v = _dense(params, f"{prefix}.attention.attention.value", x)
+        out_name = f"{prefix}.attention.output.dense"
+        out_bias = True
+    else:
+        q = _dense(params, f"{prefix}.attention.q_proj", x, cfg.query_bias)
+        k = _dense(params, f"{prefix}.attention.k_proj", x, cfg.key_bias)
+        v = _dense(params, f"{prefix}.attention.v_proj", x, cfg.value_bias)
+        out_name = f"{prefix}.attention.o_proj"
+        out_bias = cfg.proj_bias
+
+    q = q.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+
+    if rope is not None:
+        cos, sin = rope  # (num_patches, hd)
+        p = cfg.num_prefix_tokens
+
+        def rot_half(t):
+            t1, t2 = t[..., : hd // 2], t[..., hd // 2 :]
+            return jnp.concatenate([-t2, t1], axis=-1)
+
+        cos = cos.astype(q.dtype)
+        sin = sin.astype(q.dtype)
+        q = q.at[:, :, p:, :].set(q[:, :, p:, :] * cos + rot_half(q[:, :, p:, :]) * sin)
+        k = k.at[:, :, p:, :].set(k[:, :, p:, :] * cos + rot_half(k[:, :, p:, :]) * sin)
+
+    scale = hd ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, D)
+    return _dense(params, out_name, ctx, out_bias)
+
+
+def _mlp(params: Params, prefix: str, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
+    if cfg.variant == "dinov2":
+        if cfg.use_swiglu_ffn:
+            h = _dense(params, f"{prefix}.mlp.weights_in", x)
+            x1, x2 = jnp.split(h, 2, axis=-1)
+            return _dense(params, f"{prefix}.mlp.weights_out", jax.nn.silu(x1) * x2)
+        h = jax.nn.gelu(_dense(params, f"{prefix}.mlp.fc1", x), approximate=False)
+        return _dense(params, f"{prefix}.mlp.fc2", h)
+    if cfg.use_gated_mlp:
+        g = jax.nn.gelu(_dense(params, f"{prefix}.mlp.gate_proj", x, cfg.mlp_bias), approximate=False)
+        u = _dense(params, f"{prefix}.mlp.up_proj", x, cfg.mlp_bias)
+        return _dense(params, f"{prefix}.mlp.down_proj", g * u, cfg.mlp_bias)
+    h = jax.nn.gelu(_dense(params, f"{prefix}.mlp.up_proj", x, cfg.mlp_bias), approximate=False)
+    return _dense(params, f"{prefix}.mlp.down_proj", h, cfg.mlp_bias)
+
+
+def _block(
+    params: Params,
+    prefix: str,
+    x: jnp.ndarray,
+    cfg: ViTConfig,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+) -> jnp.ndarray:
+    h = _ln(params, f"{prefix}.norm1", x, cfg.layer_norm_eps)
+    h = _attention(params, prefix, h, cfg, rope)
+    x = x + h * params[f"{prefix}.layer_scale1.lambda1"].astype(x.dtype)
+    h = _ln(params, f"{prefix}.norm2", x, cfg.layer_norm_eps)
+    h = _mlp(params, prefix, h, cfg)
+    return x + h * params[f"{prefix}.layer_scale2.lambda1"].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Position encodings
+# ---------------------------------------------------------------------------
+
+def rope_tables(cfg: ViTConfig, grid_h: int, grid_w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Precompute DINOv3 RoPE cos/sin for a (grid_h, grid_w) patch grid.
+
+    Matches DINOv3ViTRopePositionEmbedding: patch-center coords normalized to
+    [-1, 1], angles = 2*pi*coords x inv_freq, halves tiled.
+    """
+    hd = cfg.head_dim
+    inv_freq = 1.0 / cfg.rope_theta ** np.arange(0, 1, 4 / hd, dtype=np.float32)
+    ch = (np.arange(0.5, grid_h, dtype=np.float32) / grid_h) * 2.0 - 1.0
+    cw = (np.arange(0.5, grid_w, dtype=np.float32) / grid_w) * 2.0 - 1.0
+    coords = np.stack(np.meshgrid(ch, cw, indexing="ij"), axis=-1).reshape(-1, 2)
+    angles = 2.0 * math.pi * coords[:, :, None] * inv_freq[None, None, :]
+    angles = angles.reshape(angles.shape[0], -1)
+    angles = np.tile(angles, 2)
+    return np.cos(angles), np.sin(angles)
+
+
+def resample_pos_embed(
+    pos: np.ndarray, grid_h: int, grid_w: int
+) -> np.ndarray:
+    """Resize DINOv2 patch position embeddings to a new grid.
+
+    ``pos`` is the checkpoint's ``(1, 1 + S*S, D)`` table (CLS first). Uses
+    torch's antialiased bicubic when available (bit-matching the HF
+    ``interpolate_pos_encoding``), falling back to jax.image otherwise.
+    Returns ``(1, 1 + grid_h*grid_w, D)`` float32.
+    """
+    pos = np.asarray(pos, np.float32)
+    cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
+    s = int(round(patch_pos.shape[1] ** 0.5))
+    if (s, s) == (grid_h, grid_w):
+        return pos
+    grid = patch_pos.reshape(1, s, s, -1)
+    try:
+        import torch
+
+        t = torch.from_numpy(grid).permute(0, 3, 1, 2)
+        t = torch.nn.functional.interpolate(
+            t, size=(grid_h, grid_w), mode="bicubic", align_corners=False, antialias=True
+        )
+        out = t.permute(0, 2, 3, 1).numpy()
+    except ImportError:
+        out = np.asarray(
+            jax.image.resize(grid, (1, grid_h, grid_w, grid.shape[-1]), "bicubic")
+        )
+    return np.concatenate([cls_pos, out.reshape(1, grid_h * grid_w, -1)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def vit_forward(
+    params: Params,
+    pixel_values: jnp.ndarray,
+    cfg: ViTConfig,
+    pos_embed: Optional[jnp.ndarray] = None,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """Encode images: (B, 3, H, W) -> last hidden state (B, N_tokens, D).
+
+    ``pos_embed`` (dinov2) must already match the input grid — pass the
+    checkpoint table for native geometry or :func:`resample_pos_embed` output
+    otherwise. ``rope`` (dinov3) comes from :func:`rope_tables`. Token 0 is CLS.
+    """
+    B = pixel_values.shape[0]
+    dtype = pixel_values.dtype
+
+    if cfg.variant == "dinov2":
+        w = params["embeddings.patch_embeddings.projection.weight"]
+        proj = w.reshape(w.shape[0], -1).astype(dtype)  # (D, C*p*p)
+        tokens = patchify(pixel_values, cfg.patch_size) @ proj.T
+        tokens = tokens + params["embeddings.patch_embeddings.projection.bias"].astype(dtype)
+        cls_tok = jnp.broadcast_to(
+            params["embeddings.cls_token"].astype(dtype), (B, 1, cfg.hidden_size)
+        )
+        x = jnp.concatenate([cls_tok, tokens], axis=1)
+        if pos_embed is None:
+            pos_embed = params["embeddings.position_embeddings"]
+        x = x + pos_embed.astype(dtype)
+        if cfg.num_register_tokens:
+            regs = jnp.broadcast_to(
+                params["embeddings.register_tokens"].astype(dtype),
+                (B, cfg.num_register_tokens, cfg.hidden_size),
+            )
+            x = jnp.concatenate([x[:, :1], regs, x[:, 1:]], axis=1)
+        layer_prefix = "encoder.layer"
+        final_ln = "layernorm"
+        block_rope = None
+    else:
+        w = params["embeddings.patch_embeddings.weight"]
+        proj = w.reshape(w.shape[0], -1).astype(dtype)
+        tokens = patchify(pixel_values, cfg.patch_size) @ proj.T
+        tokens = tokens + params["embeddings.patch_embeddings.bias"].astype(dtype)
+        cls_tok = jnp.broadcast_to(
+            params["embeddings.cls_token"].astype(dtype), (B, 1, cfg.hidden_size)
+        )
+        regs = jnp.broadcast_to(
+            params["embeddings.register_tokens"].astype(dtype),
+            (B, cfg.num_register_tokens, cfg.hidden_size),
+        )
+        x = jnp.concatenate([cls_tok, regs, tokens], axis=1)
+        layer_prefix = "layer"
+        final_ln = "norm"
+        if rope is None:
+            grid = pixel_values.shape[2] // cfg.patch_size, pixel_values.shape[3] // cfg.patch_size
+            cos, sin = rope_tables(cfg, *grid)
+            rope = (jnp.asarray(cos), jnp.asarray(sin))
+        block_rope = rope
+
+    for i in range(cfg.num_layers):
+        x = _block(params, f"{layer_prefix}.{i}", x, cfg, block_rope)
+
+    return _ln(params, final_ln, x, cfg.layer_norm_eps)
+
+
+def cls_embeddings(
+    params: Params,
+    pixel_values: jnp.ndarray,
+    cfg: ViTConfig,
+    pos_embed: Optional[jnp.ndarray] = None,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """(B, 3, H, W) -> (B, D) CLS tokens (the pipeline's frame embedding)."""
+    return vit_forward(params, pixel_values, cfg, pos_embed, rope)[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Initialization (for offline/self-trained encoders and tests)
+# ---------------------------------------------------------------------------
+
+def init_vit_params(key: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Params:
+    """HF-style init: trunc-normal(0.02) weights, zero biases/layerscale=1."""
+    params: Params = {}
+    init = jax.nn.initializers.truncated_normal(0.02)
+
+    def dense(name: str, fan_in: int, fan_out: int, bias: bool = True) -> None:
+        nonlocal key
+        key, sub = jax.random.split(key)
+        params[f"{name}.weight"] = init(sub, (fan_out, fan_in), dtype)
+        if bias:
+            params[f"{name}.bias"] = jnp.zeros((fan_out,), dtype)
+
+    def ln(name: str) -> None:
+        params[f"{name}.weight"] = jnp.ones((cfg.hidden_size,), dtype)
+        params[f"{name}.bias"] = jnp.zeros((cfg.hidden_size,), dtype)
+
+    D, p = cfg.hidden_size, cfg.patch_size
+    key, k1, k2 = jax.random.split(key, 3)
+    params["embeddings.cls_token"] = init(k1, (1, 1, D), dtype)
+    if cfg.num_register_tokens:
+        params["embeddings.register_tokens"] = jnp.zeros(
+            (1, cfg.num_register_tokens, D), dtype
+        )
+    if cfg.variant == "dinov2":
+        dense("embeddings.patch_embeddings.projection", 3 * p * p, D)
+        params["embeddings.patch_embeddings.projection.weight"] = params[
+            "embeddings.patch_embeddings.projection.weight"
+        ].reshape(D, 3, p, p)
+        n_pos = (cfg.image_size // p) ** 2 + 1
+        params["embeddings.position_embeddings"] = init(k2, (1, n_pos, D), dtype)
+    else:
+        dense("embeddings.patch_embeddings", 3 * p * p, D)
+        params["embeddings.patch_embeddings.weight"] = params[
+            "embeddings.patch_embeddings.weight"
+        ].reshape(D, 3, p, p)
+
+    for i in range(cfg.num_layers):
+        pref = f"encoder.layer.{i}" if cfg.variant == "dinov2" else f"layer.{i}"
+        ln(f"{pref}.norm1")
+        ln(f"{pref}.norm2")
+        params[f"{pref}.layer_scale1.lambda1"] = jnp.ones((D,), dtype)
+        params[f"{pref}.layer_scale2.lambda1"] = jnp.ones((D,), dtype)
+        if cfg.variant == "dinov2":
+            dense(f"{pref}.attention.attention.query", D, D)
+            dense(f"{pref}.attention.attention.key", D, D)
+            dense(f"{pref}.attention.attention.value", D, D)
+            dense(f"{pref}.attention.output.dense", D, D)
+            if cfg.use_swiglu_ffn:
+                dense(f"{pref}.mlp.weights_in", D, 2 * cfg.intermediate_size)
+                dense(f"{pref}.mlp.weights_out", cfg.intermediate_size, D)
+            else:
+                dense(f"{pref}.mlp.fc1", D, cfg.intermediate_size)
+                dense(f"{pref}.mlp.fc2", cfg.intermediate_size, D)
+        else:
+            dense(f"{pref}.attention.q_proj", D, D, cfg.query_bias)
+            dense(f"{pref}.attention.k_proj", D, D, cfg.key_bias)
+            dense(f"{pref}.attention.v_proj", D, D, cfg.value_bias)
+            dense(f"{pref}.attention.o_proj", D, D, cfg.proj_bias)
+            if cfg.use_gated_mlp:
+                dense(f"{pref}.mlp.gate_proj", D, cfg.intermediate_size, cfg.mlp_bias)
+            dense(f"{pref}.mlp.up_proj", D, cfg.intermediate_size, cfg.mlp_bias)
+            dense(f"{pref}.mlp.down_proj", cfg.intermediate_size, D, cfg.mlp_bias)
+
+    ln("layernorm" if cfg.variant == "dinov2" else "norm")
+    return params

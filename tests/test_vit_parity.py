@@ -1,0 +1,169 @@
+"""ViT backbone parity vs HF transformers (randomly-initialized, offline).
+
+Weights are ported from torch models instantiated from config (no downloads);
+JAX forward must reproduce HF's last_hidden_state / CLS embedding to fp32
+tolerance, including the register-token layout, LayerScale, position-embedding
+interpolation (dinov2) and RoPE (dinov3).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from cbas_tpu.models.torch_port import state_dict_to_params
+from cbas_tpu.models.vit import (
+    PRESETS,
+    ViTConfig,
+    cls_embeddings,
+    config_for_identifier,
+    init_vit_params,
+    resample_pos_embed,
+    rope_tables,
+    vit_forward,
+)
+
+TOL = dict(rtol=5e-5, atol=5e-5)
+
+
+def small_dinov2(image_size=32, patch=16):
+    from transformers import Dinov2WithRegistersConfig
+    from transformers.models.dinov2_with_registers.modeling_dinov2_with_registers import (
+        Dinov2WithRegistersModel,
+    )
+
+    hf_cfg = Dinov2WithRegistersConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        patch_size=patch,
+        image_size=image_size,
+        num_register_tokens=4,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    return Dinov2WithRegistersModel(hf_cfg).eval(), ViTConfig.from_hf(hf_cfg)
+
+
+def small_dinov3(use_gated_mlp=False):
+    from transformers import DINOv3ViTConfig
+    from transformers.models.dinov3_vit.modeling_dinov3_vit import DINOv3ViTModel
+
+    hf_cfg = DINOv3ViTConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        patch_size=16,
+        image_size=32,
+        num_register_tokens=4,
+        intermediate_size=256,
+        use_gated_mlp=use_gated_mlp,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    return DINOv3ViTModel(hf_cfg).eval(), ViTConfig.from_hf(hf_cfg)
+
+
+def port(model):
+    return {k: jnp.asarray(v) for k, v in state_dict_to_params(model.state_dict()).items()}
+
+
+def test_dinov2_matches_hf_native_resolution():
+    model, cfg = small_dinov2()
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        want = model(x).last_hidden_state.numpy()
+    got = vit_forward(port(model), jnp.asarray(x.numpy()), cfg)
+    assert got.shape == want.shape  # (2, 1 + 4 + 4, 64)
+    np.testing.assert_allclose(np.asarray(got), want, **TOL)
+
+
+def test_dinov2_matches_hf_interpolated_resolution():
+    """Non-native input size exercises antialiased-bicubic pos-embed resampling."""
+    model, cfg = small_dinov2(image_size=32, patch=16)
+    x = torch.randn(2, 3, 64, 48)
+    with torch.no_grad():
+        want = model(x).last_hidden_state.numpy()
+    pos = resample_pos_embed(
+        model.state_dict()["embeddings.position_embeddings"].numpy(), 64 // 16, 48 // 16
+    )
+    got = vit_forward(port(model), jnp.asarray(x.numpy()), cfg, pos_embed=jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(got), want, **TOL)
+
+
+@pytest.mark.parametrize("gated", [False, True])
+def test_dinov3_matches_hf(gated):
+    model, cfg = small_dinov3(use_gated_mlp=gated)
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        want = model(x).last_hidden_state.numpy()
+    got = vit_forward(port(model), jnp.asarray(x.numpy()), cfg)
+    np.testing.assert_allclose(np.asarray(got), want, **TOL)
+
+
+def test_dinov3_rope_matches_hf_module():
+    from transformers import DINOv3ViTConfig
+    from transformers.models.dinov3_vit.modeling_dinov3_vit import (
+        DINOv3ViTRopePositionEmbedding,
+    )
+
+    hf_cfg = DINOv3ViTConfig(
+        hidden_size=64, num_attention_heads=2, patch_size=16, image_size=32
+    )
+    mod = DINOv3ViTRopePositionEmbedding(hf_cfg).eval()
+    with torch.no_grad():
+        want_cos, want_sin = mod(torch.zeros(1, 3, 64, 48))
+    cos, sin = rope_tables(ViTConfig.from_hf(hf_cfg), 64 // 16, 48 // 16)
+    np.testing.assert_allclose(cos, want_cos.numpy(), **TOL)
+    np.testing.assert_allclose(sin, want_sin.numpy(), **TOL)
+
+
+def test_cls_embeddings_and_rect_input():
+    model, cfg = small_dinov3()
+    x = torch.randn(1, 3, 32, 48)
+    with torch.no_grad():
+        want = model(x).last_hidden_state[:, 0, :].numpy()
+    got = cls_embeddings(port(model), jnp.asarray(x.numpy()), cfg)
+    np.testing.assert_allclose(np.asarray(got), want, **TOL)
+
+
+def test_init_params_load_into_hf_model():
+    """init_vit_params produces checkpoints loadable by transformers."""
+    from transformers import Dinov2WithRegistersConfig
+    from transformers.models.dinov2_with_registers.modeling_dinov2_with_registers import (
+        Dinov2WithRegistersModel,
+    )
+
+    import jax
+
+    hf_cfg = Dinov2WithRegistersConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        patch_size=16,
+        image_size=32,
+        num_register_tokens=4,
+        attn_implementation="eager",
+    )
+    cfg = ViTConfig.from_hf(hf_cfg)
+    params = init_vit_params(jax.random.key(0), cfg)
+    model = Dinov2WithRegistersModel(hf_cfg).eval()
+    sd = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in params.items()}
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    assert not unexpected
+    assert set(missing) == {"embeddings.mask_token"}  # unused in forward
+
+    x = torch.randn(1, 3, 32, 32)
+    with torch.no_grad():
+        want = model(x).last_hidden_state.numpy()
+    got = vit_forward(params, jnp.asarray(x.numpy()), cfg)
+    np.testing.assert_allclose(np.asarray(got), want, **TOL)
+
+
+def test_identifier_resolution():
+    assert config_for_identifier("facebook/dinov2-with-registers-base").hidden_size == 768
+    assert config_for_identifier("facebook/dinov3-vitl16-pretrain-lvd1689m").num_layers == 24
+    assert config_for_identifier("facebook/dinov3-vits16-pretrain-lvd1689m").hidden_size == 384
+    assert PRESETS["dinov2-with-registers-base"].patch_size == 14
