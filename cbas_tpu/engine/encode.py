@@ -1,0 +1,127 @@
+"""Streamed video encoding: decode -> device ViT -> HDF5, fully pipelined.
+
+The throughput-critical loop (SURVEY.md §3.2). Versus the reference's
+synchronous chunk loop (backend/cbas.py:399-456), the host decode runs on a
+prefetch thread ahead of the device: while the TPU encodes chunk N, the CPU
+decodes chunk N+1 and the previous embeddings stream to the HDF5 writer. JAX's
+async dispatch gives a third overlap level for free (the device_get of chunk
+N-1 overlaps compute of chunk N).
+
+The output file keeps the reference contract: "cls" (N, 768) float16, chunks
+(8192, 768), encoder-stamped, atomic tmp+rename.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from cbas_tpu.core.config import EncodeConfig
+from cbas_tpu.core.hdf5_store import EmbeddingWriter
+from cbas_tpu.ingest.decode import open_video
+from cbas_tpu.models.encoder import FrameEncoder
+from cbas_tpu.utils.naming import h5_path_for_video
+
+_SENTINEL = object()
+
+
+class EncodeStats:
+    def __init__(self) -> None:
+        self.frames = 0
+        self.decode_s = 0.0
+        self.device_s = 0.0
+        self.wall_s = 0.0
+
+    @property
+    def fps(self) -> float:
+        return self.frames / self.wall_s if self.wall_s else 0.0
+
+
+def encode_file(
+    encoder: FrameEncoder,
+    path: str,
+    progress_callback: Optional[Callable[[float], None]] = None,
+    config: Optional[EncodeConfig] = None,
+    cancel_event: Optional[threading.Event] = None,
+    stats: Optional[EncodeStats] = None,
+) -> Optional[str]:
+    """Encode one video to ``<stem>_cls.h5``. Returns the output path, or None
+    for empty videos. Raises on decode/encode errors (the temp file is cleaned
+    up), mirroring the reference's error contract (backend/cbas.py:447-456).
+    """
+    cfg = config or EncodeConfig()
+    reader = open_video(path)
+    try:
+        video_len = len(reader)
+        if video_len == 0:
+            print(f"Warning: video {path} contains no frames; skipping.")
+            return None
+
+        out_path = h5_path_for_video(path)
+        t0 = time.perf_counter()
+
+        # Decode prefetch: a bounded queue keeps at most `prefetch_chunks`
+        # decoded chunks in flight so memory stays bounded on hour-long videos.
+        chunk_q: "queue.Queue" = queue.Queue(maxsize=max(1, cfg.prefetch_chunks))
+        decode_err: list = []
+
+        def decode_worker() -> None:
+            try:
+                for start in range(0, video_len, cfg.chunk_frames):
+                    if cancel_event is not None and cancel_event.is_set():
+                        break
+                    n = min(cfg.chunk_frames, video_len - start)
+                    t = time.perf_counter()
+                    planes = reader.read_green_batch(start, n)
+                    if stats is not None:
+                        stats.decode_s += time.perf_counter() - t
+                    chunk_q.put((start, planes))
+            except Exception as e:  # surfaced by the consumer
+                decode_err.append(e)
+            finally:
+                chunk_q.put(_SENTINEL)
+
+        t_decode = threading.Thread(target=decode_worker, daemon=True)
+        t_decode.start()
+
+        writer = EmbeddingWriter(
+            out_path,
+            encoder_identifier=encoder.identifier,
+            embed_dim=encoder.embed_dim,
+            chunk_rows=cfg.h5_chunk_rows,
+        )
+        done = 0
+        try:
+            while True:
+                item = chunk_q.get()
+                if item is _SENTINEL:
+                    break
+                start, planes = item
+                t = time.perf_counter()
+                emb = encoder.encode_planes(planes, batch=cfg.chunk_frames)
+                if stats is not None:
+                    stats.device_s += time.perf_counter() - t
+                writer.append(emb)
+                done = start + len(planes)
+                if progress_callback:
+                    progress_callback(done / video_len * 100.0)
+            if decode_err:
+                raise decode_err[0]
+            if cancel_event is not None and cancel_event.is_set() and done < video_len:
+                writer.close(success=False)
+                return None
+        except BaseException:
+            writer.close(success=False)
+            raise
+        result = writer.close(success=True)
+        if stats is not None:
+            stats.frames += done
+            stats.wall_s += time.perf_counter() - t0
+        return result
+    finally:
+        reader.close()

@@ -1,0 +1,158 @@
+"""Halo-chunked sliding-window inference: HDF5 embeddings -> per-frame CSV.
+
+The long-context strategy follows the reference (backend/cbas.py:458-572):
+frames are processed in chunks of ~20k with ±seq_len/2 halo reads, edge frames
+replicate-padded, one probability row per frame. TPU-first differences:
+
+- Each chunk is transferred to HBM once; windows are *gathered on device*
+  (stride-1 windows over consecutive frames are a static-index gather), so no
+  (B, T, D) window tensor ever crosses the host-device boundary.
+- The window batch program is jitted once for a fixed (window_batch, seq_len)
+  and reused across chunks/files; the final partial batch re-reads overlapping
+  windows at a clamped offset rather than padding, keeping shapes static.
+- Probabilities (softmax / calibrated temperature) are computed on device.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from cbas_tpu.core.config import InferenceConfig
+from cbas_tpu.core.hdf5_store import DATASET_NAME
+from cbas_tpu.engine.classifier import ClassifierBundle
+from cbas_tpu.utils.naming import outputs_csv_for_h5
+
+
+def _window_program(bundle: ClassifierBundle, window_batch: int):
+    """Build fn(params, chunk (M, D), offset) -> probs (window_batch, C).
+
+    ``chunk`` holds seq_len-1 halo rows beyond the targets; window i covers
+    rows [offset+i, offset+i+seq_len).
+    """
+    seq_len = bundle.seq_len
+    probs = bundle.probs_fn()
+    idx = np.arange(window_batch)[:, None] + np.arange(seq_len)[None, :]
+    idx = jnp.asarray(idx)
+
+    def fn(params, chunk, offset):
+        rows = jax.lax.dynamic_slice_in_dim(chunk, offset, window_batch + seq_len - 1)
+        windows = rows[idx]  # (window_batch, seq_len, D) static gather
+        return probs(params, windows.astype(jnp.float32))
+
+    return jax.jit(fn)
+
+
+class InferenceSession:
+    """Reusable compiled inference pipeline for one model bundle."""
+
+    def __init__(self, bundle: ClassifierBundle, config: Optional[InferenceConfig] = None):
+        self.bundle = bundle
+        self.cfg = config or InferenceConfig()
+        self._params = bundle.jax_params()
+        self._program = _window_program(bundle, self.cfg.window_batch)
+
+    def predict_frames(self, features: np.ndarray, pad_front: int, pad_back: int) -> np.ndarray:
+        """Probabilities for every target frame of one halo-extended chunk.
+
+        ``features``: (n_rows, D) embeddings covering the targets plus
+        available halo; missing halo is synthesized by replicating edge rows
+        ``pad_front``/``pad_back`` times (reference: backend/cbas.py:510-525).
+        """
+        h = self.bundle.seq_len // 2
+        if pad_front:
+            features = np.concatenate(
+                [np.repeat(features[:1], pad_front, axis=0), features], axis=0
+            )
+        if pad_back:
+            features = np.concatenate(
+                [features, np.repeat(features[-1:], pad_back, axis=0)], axis=0
+            )
+        n_targets = features.shape[0] - 2 * h
+        if n_targets <= 0:
+            return np.zeros((0, len(self.bundle.behaviors)), np.float32)
+
+        wb = self.cfg.window_batch
+        if n_targets < wb:
+            # Tiny chunk: replicate the last row so one full window batch fits;
+            # the surplus windows are dropped below.
+            extra = wb - n_targets
+            features = np.concatenate(
+                [features, np.repeat(features[-1:], extra, axis=0)], axis=0
+            )
+        chunk_dev = jax.device_put(jnp.asarray(features))
+
+        out = np.empty((n_targets, len(self.bundle.behaviors)), np.float32)
+        if n_targets <= wb:
+            probs = np.asarray(self._program(self._params, chunk_dev, 0))
+            out[:] = probs[:n_targets]
+            return out
+        offset = 0
+        while offset < n_targets:
+            take = min(wb, n_targets - offset)
+            # Clamp the final batch so it re-reads overlapping windows instead
+            # of changing shape; keep only its trailing `take` rows.
+            start = offset if take == wb else n_targets - wb
+            probs = np.asarray(self._program(self._params, chunk_dev, start))
+            out[offset : offset + take] = probs if take == wb else probs[-take:]
+            offset += take
+        return out
+
+    def infer_h5(
+        self,
+        h5_path: str,
+        output_csv: Optional[str] = None,
+        progress_callback: Optional[Callable[[float], None]] = None,
+    ) -> Optional[str]:
+        """Run the full file and write ``*_<model>_outputs.csv``."""
+        output_csv = output_csv or outputs_csv_for_h5(h5_path, self.bundle.name)
+        h = self.bundle.seq_len // 2
+        chunk = self.cfg.chunk_frames
+
+        with h5py.File(h5_path, "r") as f:
+            dset = f[DATASET_NAME]
+            total = dset.shape[0]
+            if total == 0:
+                print(f"Warning: HDF5 file {h5_path} is empty.")
+                return None
+
+            all_probs = []
+            for start in range(0, total, chunk):
+                end = min(start + chunk, total)
+                read_start = max(0, start - h)
+                read_end = min(total, end + h)
+                feats = dset[read_start:read_end]
+                probs = self.predict_frames(
+                    feats,
+                    pad_front=h - (start - read_start),
+                    pad_back=h - (read_end - end),
+                )
+                assert probs.shape[0] == end - start
+                all_probs.append(probs)
+                if progress_callback:
+                    progress_callback(end / total * 100.0)
+
+        probs = np.concatenate(all_probs, axis=0)
+        if probs.shape[0] != total:
+            print(
+                f"Warning: prediction count ({probs.shape[0]}) != frame count ({total})."
+            )
+        pd.DataFrame(probs, columns=self.bundle.behaviors).to_csv(output_csv, index=False)
+        return output_csv
+
+
+def infer_file(
+    h5_path: str,
+    bundle: ClassifierBundle,
+    output_csv: Optional[str] = None,
+    config: Optional[InferenceConfig] = None,
+    progress_callback: Optional[Callable[[float], None]] = None,
+) -> Optional[str]:
+    """One-shot convenience wrapper (reference API: cbas.infer_file)."""
+    return InferenceSession(bundle, config).infer_h5(h5_path, output_csv, progress_callback)

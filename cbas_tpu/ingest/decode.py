@@ -1,0 +1,150 @@
+"""Host-side video decoding feeding the TPU pipeline.
+
+Replaces the reference's decord dependency (backend/cbas.py:402,425) with two
+backends behind one interface:
+
+- :class:`NativeVideoReader` — our C++ libavcodec/libavformat decoder
+  (ingest/native/), which decodes on dedicated threads and can emit the green
+  plane directly (no RGB round-trip). Preferred when the extension is built.
+- :class:`OpenCVVideoReader` — cv2.VideoCapture fallback, always available.
+
+Both return uint8 RGB batches shaped (B, H, W, 3) so the device pipeline is
+backend-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class VideoReader:
+    """Interface: random-access chunked video decode."""
+
+    path: str
+    frame_count: int
+    fps: float
+    width: int
+    height: int
+
+    def read_batch(self, start: int, count: int) -> np.ndarray:
+        """Decode frames [start, start+count) as uint8 RGB (B, H, W, 3)."""
+        raise NotImplementedError
+
+    def read_green_batch(self, start: int, count: int) -> np.ndarray:
+        """Decode the green plane only, (B, H, W) uint8 (default: slice RGB)."""
+        return np.ascontiguousarray(self.read_batch(start, count)[:, :, :, 1])
+
+    def close(self) -> None:  # pragma: no cover - trivial
+        pass
+
+    def __len__(self) -> int:
+        return self.frame_count
+
+    def __enter__(self) -> "VideoReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def iter_chunks(self, chunk_size: int) -> Iterator[Tuple[int, np.ndarray]]:
+        for start in range(0, self.frame_count, chunk_size):
+            n = min(chunk_size, self.frame_count - start)
+            yield start, self.read_batch(start, n)
+
+
+class OpenCVVideoReader(VideoReader):
+    """Sequential-optimized cv2 decoder: seeks only on backward/far jumps."""
+
+    def __init__(self, path: str):
+        import cv2
+
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        self.path = path
+        self._cv2 = cv2
+        self._cap = cv2.VideoCapture(path)
+        if not self._cap.isOpened():
+            raise IOError(f"Could not open video: {path}")
+        self.frame_count = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self.fps = float(self._cap.get(cv2.CAP_PROP_FPS)) or 0.0
+        self.width = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self.height = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        self._next_frame = 0
+        self._lock = threading.Lock()
+        if self.frame_count <= 0:
+            # Some containers misreport; count by scanning (rare path).
+            self.frame_count = self._count_by_scan()
+
+    def _count_by_scan(self) -> int:
+        n = 0
+        while True:
+            ok = self._cap.grab()
+            if not ok:
+                break
+            n += 1
+        self._cap.set(self._cv2.CAP_PROP_POS_FRAMES, 0)
+        self._next_frame = 0
+        return n
+
+    def read_batch(self, start: int, count: int) -> np.ndarray:
+        with self._lock:
+            if start != self._next_frame:
+                self._cap.set(self._cv2.CAP_PROP_POS_FRAMES, start)
+                self._next_frame = start
+            frames = np.empty((count, self.height, self.width, 3), np.uint8)
+            got = 0
+            for i in range(count):
+                ok, bgr = self._cap.read()
+                if not ok:
+                    break
+                # cv2 decodes BGR; flip to RGB so the green plane index matches
+                # the reference's decord RGB layout (channel 1 either way, but
+                # keep full RGB correct for thumbnails/labeling).
+                frames[i] = bgr[:, :, ::-1]
+                got += 1
+            self._next_frame = start + got
+            if got < count:
+                frames = frames[:got]
+            return frames
+
+    def close(self) -> None:
+        self._cap.release()
+
+
+def _native_available() -> bool:
+    try:
+        from cbas_tpu.ingest.native import loader
+
+        return loader.is_available()
+    except Exception:
+        return False
+
+
+def open_video(path: str, backend: str = "auto") -> VideoReader:
+    """Open a video with the best available decoder."""
+    if backend in ("auto", "native") and _native_available():
+        from cbas_tpu.ingest.native.loader import NativeVideoReader
+
+        try:
+            return NativeVideoReader(path)
+        except Exception:
+            if backend == "native":
+                raise
+    if backend == "native":
+        raise RuntimeError("native decoder requested but not available")
+    return OpenCVVideoReader(path)
+
+
+def probe(path: str) -> dict:
+    """Lightweight container probe (frame count, fps, geometry)."""
+    with open_video(path) as r:
+        return {
+            "frame_count": r.frame_count,
+            "fps": r.fps,
+            "width": r.width,
+            "height": r.height,
+        }

@@ -1,0 +1,195 @@
+"""FrameEncoder: decoded video frames -> CLS embeddings, as one device program.
+
+Replaces the reference's ``DinoEncoder`` (backend/cbas.py:650-677). The device
+program is jitted once per (batch, height, width) geometry and performs:
+
+    uint8 green plane -> [0,1] scale -> single-plane patch projection
+    (channel-folded kernel) -> ViT blocks -> CLS token -> float16
+
+Design points:
+
+- Host->device traffic is 1 byte/pixel (uint8 plane), ~12x less than fp32 RGB.
+- Compute runs in bfloat16 on TPU by default (fp32 on CPU tests); the HDF5
+  store is float16 either way, same as the reference's autocast+f2 pipeline.
+- Partial final chunks are zero-padded to the compiled batch and sliced after,
+  so XLA sees static shapes for every video length.
+- With a multi-device mesh, batches are sharded on the batch axis (pure data
+  parallelism over ICI; see parallel/mesh.py) — the natural layout for a
+  stream of independent frames.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cbas_tpu.core.config import EMBED_DIM
+from cbas_tpu.models.vit import (
+    ViTConfig,
+    config_for_identifier,
+    init_vit_params,
+    resample_pos_embed,
+    rope_tables,
+    vit_forward_from_tokens,
+)
+from cbas_tpu.ops.preprocess import (
+    extract_green_plane,
+    fold_channels_into_patch_kernel,
+    normalize_plane,
+    patchify_plane,
+)
+
+Params = Dict[str, jnp.ndarray]
+
+
+class EncoderWeightsUnavailable(RuntimeError):
+    pass
+
+
+def load_encoder_params(identifier: str) -> Dict[str, np.ndarray]:
+    """Load pretrained ViT weights as numpy params without network access.
+
+    Tries, in order: a local safetensors/pth file path, a local directory with
+    a safetensors checkpoint, and the HF cache via transformers
+    ``local_files_only``. Raises :class:`EncoderWeightsUnavailable` otherwise
+    (callers can fall back to random init for smoke testing).
+    """
+    candidates = []
+    if os.path.isfile(identifier):
+        candidates.append(identifier)
+    elif os.path.isdir(identifier):
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            p = os.path.join(identifier, name)
+            if os.path.exists(p):
+                candidates.append(p)
+
+    for path in candidates:
+        if path.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            return dict(load_file(path))
+        from cbas_tpu.models.torch_port import load_pth
+
+        return load_pth(path)
+
+    try:
+        import transformers
+
+        model = transformers.AutoModel.from_pretrained(identifier, local_files_only=True)
+        from cbas_tpu.models.torch_port import state_dict_to_params
+
+        return state_dict_to_params(model.state_dict())
+    except Exception as e:
+        raise EncoderWeightsUnavailable(
+            f"Could not load encoder weights for '{identifier}' from local files "
+            f"or the HF cache ({type(e).__name__}: {e}). Download the checkpoint "
+            "or pass random_init=True for testing."
+        ) from e
+
+
+class FrameEncoder:
+    """Frozen ViT frame encoder with a cached jitted program per geometry."""
+
+    def __init__(
+        self,
+        identifier: str,
+        params: Optional[Dict[str, np.ndarray]] = None,
+        cfg: Optional[ViTConfig] = None,
+        compute_dtype: jnp.dtype = jnp.bfloat16,
+        random_init: bool = False,
+        mesh=None,
+    ):
+        self.identifier = identifier
+        self.cfg = cfg or config_for_identifier(identifier)
+        self.compute_dtype = compute_dtype
+        self.mesh = mesh
+        if params is None:
+            if random_init:
+                params = jax.device_get(init_vit_params(jax.random.key(0), self.cfg))
+            else:
+                params = load_encoder_params(identifier)
+        self._params_np = {k: np.asarray(v) for k, v in params.items()}
+        self.embed_dim = self.cfg.hidden_size
+
+        # Channel-folded single-plane patch kernel (see ops/preprocess.py).
+        if self.cfg.variant == "dinov2":
+            conv_w = self._params_np["embeddings.patch_embeddings.projection.weight"]
+            self._patch_bias_key = "embeddings.patch_embeddings.projection.bias"
+        else:
+            conv_w = self._params_np["embeddings.patch_embeddings.weight"]
+            self._patch_bias_key = "embeddings.patch_embeddings.bias"
+        self._plane_kernel = fold_channels_into_patch_kernel(conv_w)
+
+        self._device_params = jax.tree.map(
+            lambda a: jnp.asarray(a, self.compute_dtype if a.dtype == np.float32 else None),
+            self._params_np,
+        )
+        self._geometry_cache: dict = {}
+
+    # -- device program -----------------------------------------------------
+
+    def _build(self, batch: int, height: int, width: int):
+        p = self.cfg.patch_size
+        grid = (height // p, width // p)
+
+        pos_embed = None
+        rope = None
+        if self.cfg.variant == "dinov2":
+            pos = resample_pos_embed(
+                self._params_np["embeddings.position_embeddings"], *grid
+            )
+            pos_embed = jnp.asarray(pos, self.compute_dtype)
+        else:
+            cos, sin = rope_tables(self.cfg, *grid)
+            rope = (jnp.asarray(cos, jnp.float32), jnp.asarray(sin, jnp.float32))
+
+        plane_kernel = jnp.asarray(self._plane_kernel, self.compute_dtype)
+        cfg = self.cfg
+        dtype = self.compute_dtype
+
+        def encode(params, plane_u8):
+            x = normalize_plane(plane_u8, dtype)
+            tokens = patchify_plane(x, p) @ plane_kernel.T
+            tokens = tokens + params[self._patch_bias_key].astype(dtype)
+            hidden = vit_forward_from_tokens(params, tokens, cfg, pos_embed, rope)
+            return hidden[:, 0, :].astype(jnp.float16)
+
+        fn = jax.jit(encode)
+        if self.mesh is not None:
+            from cbas_tpu.parallel.mesh import shard_batch_jit
+
+            fn = shard_batch_jit(encode, self.mesh)
+        return fn
+
+    def _program(self, batch: int, height: int, width: int):
+        key = (batch, height, width)
+        prog = self._geometry_cache.get(key)
+        if prog is None:
+            prog = self._build(batch, height, width)
+            self._geometry_cache[key] = prog
+        return prog
+
+    # -- public API -----------------------------------------------------------
+
+    def encode_planes(self, planes_u8: np.ndarray, batch: Optional[int] = None) -> np.ndarray:
+        """uint8 green planes (B, H, W) -> float16 CLS embeddings (B, D)."""
+        n, h, w = planes_u8.shape
+        compiled_batch = batch or n
+        prog = self._program(compiled_batch, h, w)
+        if n < compiled_batch:
+            pad = np.zeros((compiled_batch - n, h, w), np.uint8)
+            planes_u8 = np.concatenate([planes_u8, pad], axis=0)
+        out = prog(self._device_params, jnp.asarray(planes_u8))
+        return np.asarray(jax.device_get(out))[:n]
+
+    def encode_rgb(self, frames_rgb: np.ndarray, batch: Optional[int] = None) -> np.ndarray:
+        """uint8 RGB frames (B, H, W, 3) -> float16 CLS embeddings (B, D)."""
+        return self.encode_planes(extract_green_plane(frames_rgb), batch)
+
+    def __call__(self, frames_rgb: np.ndarray) -> np.ndarray:
+        return self.encode_rgb(frames_rgb)

@@ -308,6 +308,52 @@ def resample_pos_embed(
 # Forward
 # ---------------------------------------------------------------------------
 
+def vit_forward_from_tokens(
+    params: Params,
+    tokens: jnp.ndarray,
+    cfg: ViTConfig,
+    pos_embed: Optional[jnp.ndarray] = None,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """Run the transformer over already-projected patch tokens (B, N, D).
+
+    Lets callers supply a custom patch-embedding path (e.g. the single-plane
+    folded kernel in models/encoder.py) while sharing the block stack.
+    """
+    B = tokens.shape[0]
+    dtype = tokens.dtype
+    cls_tok = jnp.broadcast_to(
+        params["embeddings.cls_token"].astype(dtype), (B, 1, cfg.hidden_size)
+    )
+    if cfg.variant == "dinov2":
+        x = jnp.concatenate([cls_tok, tokens], axis=1)
+        if pos_embed is None:
+            pos_embed = params["embeddings.position_embeddings"]
+        x = x + pos_embed.astype(dtype)
+        if cfg.num_register_tokens:
+            regs = jnp.broadcast_to(
+                params["embeddings.register_tokens"].astype(dtype),
+                (B, cfg.num_register_tokens, cfg.hidden_size),
+            )
+            x = jnp.concatenate([x[:, :1], regs, x[:, 1:]], axis=1)
+        layer_prefix, final_ln, block_rope = "encoder.layer", "layernorm", None
+    else:
+        regs = jnp.broadcast_to(
+            params["embeddings.register_tokens"].astype(dtype),
+            (B, cfg.num_register_tokens, cfg.hidden_size),
+        )
+        x = jnp.concatenate([cls_tok, regs, tokens], axis=1)
+        layer_prefix, final_ln = "layer", "norm"
+        if rope is None:
+            raise ValueError("dinov3 requires rope tables (see rope_tables())")
+        block_rope = rope
+
+    for i in range(cfg.num_layers):
+        x = _block(params, f"{layer_prefix}.{i}", x, cfg, block_rope)
+
+    return _ln(params, final_ln, x, cfg.layer_norm_eps)
+
+
 def vit_forward(
     params: Params,
     pixel_values: jnp.ndarray,
@@ -321,55 +367,24 @@ def vit_forward(
     checkpoint table for native geometry or :func:`resample_pos_embed` output
     otherwise. ``rope`` (dinov3) comes from :func:`rope_tables`. Token 0 is CLS.
     """
-    B = pixel_values.shape[0]
     dtype = pixel_values.dtype
-
     if cfg.variant == "dinov2":
         w = params["embeddings.patch_embeddings.projection.weight"]
-        proj = w.reshape(w.shape[0], -1).astype(dtype)  # (D, C*p*p)
-        tokens = patchify(pixel_values, cfg.patch_size) @ proj.T
-        tokens = tokens + params["embeddings.patch_embeddings.projection.bias"].astype(dtype)
-        cls_tok = jnp.broadcast_to(
-            params["embeddings.cls_token"].astype(dtype), (B, 1, cfg.hidden_size)
-        )
-        x = jnp.concatenate([cls_tok, tokens], axis=1)
-        if pos_embed is None:
-            pos_embed = params["embeddings.position_embeddings"]
-        x = x + pos_embed.astype(dtype)
-        if cfg.num_register_tokens:
-            regs = jnp.broadcast_to(
-                params["embeddings.register_tokens"].astype(dtype),
-                (B, cfg.num_register_tokens, cfg.hidden_size),
-            )
-            x = jnp.concatenate([x[:, :1], regs, x[:, 1:]], axis=1)
-        layer_prefix = "encoder.layer"
-        final_ln = "layernorm"
-        block_rope = None
+        bias = params["embeddings.patch_embeddings.projection.bias"]
     else:
         w = params["embeddings.patch_embeddings.weight"]
-        proj = w.reshape(w.shape[0], -1).astype(dtype)
-        tokens = patchify(pixel_values, cfg.patch_size) @ proj.T
-        tokens = tokens + params["embeddings.patch_embeddings.bias"].astype(dtype)
-        cls_tok = jnp.broadcast_to(
-            params["embeddings.cls_token"].astype(dtype), (B, 1, cfg.hidden_size)
-        )
-        regs = jnp.broadcast_to(
-            params["embeddings.register_tokens"].astype(dtype),
-            (B, cfg.num_register_tokens, cfg.hidden_size),
-        )
-        x = jnp.concatenate([cls_tok, regs, tokens], axis=1)
-        layer_prefix = "layer"
-        final_ln = "norm"
-        if rope is None:
-            grid = pixel_values.shape[2] // cfg.patch_size, pixel_values.shape[3] // cfg.patch_size
-            cos, sin = rope_tables(cfg, *grid)
-            rope = (jnp.asarray(cos), jnp.asarray(sin))
-        block_rope = rope
+        bias = params["embeddings.patch_embeddings.bias"]
+    proj = w.reshape(w.shape[0], -1).astype(dtype)  # (D, C*p*p)
+    tokens = patchify(pixel_values, cfg.patch_size) @ proj.T + bias.astype(dtype)
 
-    for i in range(cfg.num_layers):
-        x = _block(params, f"{layer_prefix}.{i}", x, cfg, block_rope)
-
-    return _ln(params, final_ln, x, cfg.layer_norm_eps)
+    if cfg.variant == "dinov3" and rope is None:
+        grid = (
+            pixel_values.shape[2] // cfg.patch_size,
+            pixel_values.shape[3] // cfg.patch_size,
+        )
+        cos, sin = rope_tables(cfg, *grid)
+        rope = (jnp.asarray(cos), jnp.asarray(sin))
+    return vit_forward_from_tokens(params, tokens, cfg, pos_embed, rope)
 
 
 def cls_embeddings(

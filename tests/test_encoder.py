@@ -1,0 +1,105 @@
+"""FrameEncoder tests: preprocessing equivalence, geometry cache, sharding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cbas_tpu.models.encoder import FrameEncoder
+from cbas_tpu.models.vit import ViTConfig, init_vit_params, vit_forward, resample_pos_embed
+from cbas_tpu.ops.preprocess import (
+    extract_green_plane,
+    fold_channels_into_patch_kernel,
+    normalize_plane,
+    patchify_plane,
+)
+from cbas_tpu.parallel.mesh import make_mesh, shard_batch_jit
+
+SMALL_V2 = ViTConfig(
+    variant="dinov2", hidden_size=64, num_layers=2, num_heads=2, patch_size=16,
+    num_register_tokens=4, intermediate_size=128, image_size=32,
+)
+SMALL_V3 = ViTConfig(
+    variant="dinov3", hidden_size=64, num_layers=2, num_heads=2, patch_size=16,
+    num_register_tokens=4, intermediate_size=128, image_size=32,
+    layer_norm_eps=1e-5,
+)
+
+
+def make_encoder(cfg, **kw):
+    params = jax.device_get(init_vit_params(jax.random.key(0), cfg))
+    return FrameEncoder("test-encoder", params=params, cfg=cfg,
+                        compute_dtype=jnp.float32, **kw)
+
+
+@pytest.mark.parametrize("cfg", [SMALL_V2, SMALL_V3], ids=["dinov2", "dinov3"])
+def test_plane_path_equals_replicated_rgb_path(cfg):
+    """The folded single-plane kernel must equal 3-channel replication."""
+    enc = make_encoder(cfg)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (3, 32, 32, 3), np.uint8)
+    got = enc.encode_rgb(frames)
+
+    # Reference path: green/255 replicated to 3 channels through vit_forward.
+    green = frames[:, :, :, 1].astype(np.float32) / 255.0
+    rgb = np.repeat(green[:, None, :, :], 3, axis=1)
+    params = {k: jnp.asarray(v) for k, v in enc._params_np.items()}
+    pos = None
+    if cfg.variant == "dinov2":
+        pos = jnp.asarray(resample_pos_embed(enc._params_np["embeddings.position_embeddings"], 2, 2))
+    want = np.asarray(vit_forward(params, jnp.asarray(rgb), cfg, pos_embed=pos))[:, 0, :]
+    np.testing.assert_allclose(
+        got.astype(np.float32), want.astype(np.float32), rtol=2e-3, atol=2e-3
+    )  # fp16 output quantization dominates
+
+
+def test_partial_batch_padding():
+    enc = make_encoder(SMALL_V3)
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, (8, 32, 32, 3), np.uint8)
+    full = enc.encode_rgb(frames, batch=8)
+    part = enc.encode_rgb(frames[:5], batch=8)  # padded to 8, sliced to 5
+    assert part.shape == (5, 64)
+    np.testing.assert_array_equal(part, full[:5])
+    assert len(enc._geometry_cache) == 1  # same compiled program reused
+
+
+def test_embeddings_are_fp16():
+    enc = make_encoder(SMALL_V2)
+    out = enc.encode_rgb(np.zeros((2, 32, 32, 3), np.uint8))
+    assert out.dtype == np.float16 and out.shape == (2, 64)
+
+
+def test_encode_sharded_over_mesh():
+    mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+    assert mesh.devices.size == 8
+    enc = make_encoder(SMALL_V3, mesh=mesh)
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, (16, 32, 32, 3), np.uint8)
+    sharded = enc.encode_rgb(frames)
+    unsharded = make_encoder(SMALL_V3).encode_rgb(frames)
+    np.testing.assert_allclose(
+        sharded.astype(np.float32), unsharded.astype(np.float32), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_preprocess_helpers():
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (2, 8, 8, 3), np.uint8)
+    plane = extract_green_plane(frames)
+    np.testing.assert_array_equal(plane, frames[:, :, :, 1])
+    x = normalize_plane(jnp.asarray(plane))
+    assert float(x.max()) <= 1.0 and x.shape == (2, 8, 8)
+
+    patches = patchify_plane(jnp.asarray(plane, jnp.float32), 4)
+    assert patches.shape == (2, 4, 16)
+    # patch (0,0) is rows 0:4, cols 0:4 row-major
+    np.testing.assert_array_equal(
+        np.asarray(patches)[0, 0], plane[0, :4, :4].reshape(-1).astype(np.float32)
+    )
+
+    w = rng.normal(size=(5, 3, 4, 4)).astype(np.float32)
+    folded = fold_channels_into_patch_kernel(w)
+    assert folded.shape == (5, 16)
+    np.testing.assert_allclose(folded, w.sum(1).reshape(5, -1))

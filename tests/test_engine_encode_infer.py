@@ -1,0 +1,199 @@
+"""End-to-end engine tests: synthetic video -> encode -> H5 -> infer -> CSV.
+
+The inference oracle is the reference algorithm run directly on the reference
+torch head (imported from /root/reference): per-frame centered windows with
+edge replication, temperature-scaled softmax. Our halo-chunked device pipeline
+must reproduce it frame-for-frame.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+torch = pytest.importorskip("torch")
+cv2 = pytest.importorskip("cv2")
+
+import jax
+import jax.numpy as jnp
+
+from cbas_tpu.core.config import EncodeConfig, InferenceConfig
+from cbas_tpu.core import hdf5_store
+from cbas_tpu.engine.classifier import ClassifierBundle
+from cbas_tpu.engine.encode import EncodeStats, encode_file
+from cbas_tpu.engine.infer import InferenceSession, infer_file
+from cbas_tpu.ingest.decode import OpenCVVideoReader, open_video, probe
+from cbas_tpu.models.heads import DeltasHeadConfig, init_deltas_params
+from cbas_tpu.models.vit import ViTConfig, init_vit_params
+from cbas_tpu.models.encoder import FrameEncoder
+from tests.conftest import load_reference_module
+
+ref_heads = load_reference_module("classifier_head")
+
+RES = 32
+N_FRAMES = 130
+
+SMALL_CFG = ViTConfig(
+    variant="dinov2", hidden_size=64, num_layers=2, num_heads=2, patch_size=16,
+    num_register_tokens=4, intermediate_size=128, image_size=32,
+)
+
+
+@pytest.fixture(scope="module")
+def video_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("videos") / "mouse_00001.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (RES, RES))
+    rng = np.random.default_rng(0)
+    for i in range(N_FRAMES):
+        frame = rng.integers(0, 256, (RES, RES, 3), np.uint8)
+        frame[:, :, 1] = (np.arange(RES)[:, None] * 3 + i) % 256  # structured green
+        w.write(frame)
+    w.release()
+    return path
+
+
+@pytest.fixture(scope="module")
+def small_encoder():
+    params = jax.device_get(init_vit_params(jax.random.key(0), SMALL_CFG))
+    return FrameEncoder("test-enc", params=params, cfg=SMALL_CFG, compute_dtype=jnp.float32)
+
+
+def test_decoder_basics(video_path):
+    info = probe(video_path)
+    assert info["frame_count"] == N_FRAMES
+    assert (info["width"], info["height"]) == (RES, RES)
+    with open_video(video_path) as r:
+        batch = r.read_batch(10, 5)
+        assert batch.shape == (5, RES, RES, 3)
+        again = r.read_batch(10, 5)  # backward seek
+        np.testing.assert_array_equal(batch, again)
+        green = r.read_green_batch(0, 3)
+        assert green.shape == (3, RES, RES)
+        np.testing.assert_array_equal(green, r.read_batch(0, 3)[:, :, :, 1])
+
+
+def test_encode_file_contract(video_path, small_encoder, tmp_path):
+    stats = EncodeStats()
+    out = encode_file(
+        small_encoder,
+        video_path,
+        config=EncodeConfig(chunk_frames=48),
+        stats=stats,
+        progress_callback=lambda p: None,
+    )
+    assert out == os.path.splitext(video_path)[0] + "_cls.h5"
+    assert hdf5_store.num_frames(out) == N_FRAMES
+    assert hdf5_store.encoder_stamp(out) == "test-enc"
+    data = hdf5_store.read_all(out)
+    assert data.dtype == np.float16 and data.shape == (N_FRAMES, 64)
+    assert stats.frames == N_FRAMES and stats.fps > 0
+
+    # Chunked streaming result equals one-shot encoding of all frames.
+    with open_video(video_path) as r:
+        frames = r.read_batch(0, N_FRAMES)
+    want = small_encoder.encode_rgb(frames, batch=48)
+    np.testing.assert_allclose(
+        data.astype(np.float32), want.astype(np.float32), rtol=2e-3, atol=2e-3
+    )
+
+
+def _reference_infer(params_np, features, behaviors, seq_len, hidden, layers, temperature):
+    """The reference inference algorithm on the reference torch head."""
+    model = ref_heads.ClassifierLSTMDeltas(
+        in_features=64, out_features=len(behaviors), seq_len=seq_len,
+        lstm_hidden_size=hidden, lstm_layers=layers,
+    )
+    model.load_state_dict({k: torch.from_numpy(np.asarray(v).copy()) for k, v in params_np.items()})
+    model.eval()
+    h = seq_len // 2
+    feats = torch.from_numpy(features.astype(np.float32))
+    padded = torch.cat([feats[0:1].repeat(h, 1), feats, feats[-1:].repeat(h, 1)])
+    probs = []
+    with torch.no_grad():
+        for i in range(features.shape[0]):
+            window = padded[i : i + seq_len].unsqueeze(0)
+            logits, _ = model(window)
+            probs.append(torch.softmax(logits / max(1e-3, temperature), dim=1).numpy()[0])
+    return np.stack(probs)
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    behaviors = ["walk", "rest", "groom"]
+    cfg = DeltasHeadConfig(in_features=64, out_features=3, seq_len=7, lstm_hidden_size=16)
+    params = jax.device_get(init_deltas_params(jax.random.key(3), cfg))
+    b = ClassifierBundle(
+        name="testmodel",
+        behaviors=behaviors,
+        seq_len=7,
+        params={k: np.asarray(v) for k, v in params.items()},
+        lstm_hidden_size=16,
+        lstm_layers=1,
+        temperature=1.37,
+        encoder_identifier="test-enc",
+    )
+    d = str(tmp_path_factory.mktemp("models") / "testmodel")
+    b.save(d)
+    return ClassifierBundle.load(d)
+
+
+def test_bundle_roundtrip(bundle, tmp_path):
+    assert bundle.behaviors == ["walk", "rest", "groom"]
+    assert bundle.seq_len == 7
+    assert bundle.lstm_hidden_size == 16
+    assert bundle.temperature == pytest.approx(1.37)
+    assert bundle.architecture == "ClassifierLSTMDeltas"
+    # encoder guard
+    d = str(tmp_path / "m2")
+    bundle.save(d)
+    with pytest.raises(ValueError, match="Encoder mismatch"):
+        ClassifierBundle.load(d, expected_encoder="some-other-encoder")
+    # hyperparameter inference when meta lacks them
+    import json
+
+    meta_path = os.path.join(d, "model_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    del meta["hyperparameters"]["lstm_hidden_size"]
+    del meta["hyperparameters"]["lstm_layers"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    b2 = ClassifierBundle.load(d)
+    assert b2.lstm_hidden_size == 16 and b2.lstm_layers == 1
+
+
+@pytest.mark.parametrize("total", [130, 40, 3])
+def test_infer_matches_reference_algorithm(bundle, tmp_path, total):
+    rng = np.random.default_rng(4)
+    features = rng.normal(size=(total, 64)).astype(np.float16)
+    h5 = str(tmp_path / f"v{total}_cls.h5")
+    with hdf5_store.EmbeddingWriter(h5, encoder_identifier="test-enc", embed_dim=64) as w:
+        w.append(features)
+
+    # Small chunks/batches exercise halo reads and partial window batches.
+    cfg = InferenceConfig(chunk_frames=50, window_batch=32)
+    out_csv = infer_file(h5, bundle, config=cfg)
+    assert out_csv.endswith(f"v{total}_testmodel_outputs.csv")
+    got = pd.read_csv(out_csv)
+    assert list(got.columns) == bundle.behaviors
+    assert len(got) == total
+
+    want = _reference_infer(
+        bundle.params, features, bundle.behaviors, bundle.seq_len,
+        bundle.lstm_hidden_size, bundle.lstm_layers, bundle.temperature,
+    )
+    np.testing.assert_allclose(got.to_numpy(), want, rtol=1e-4, atol=1e-4)
+    # Probabilities sum to one per frame.
+    np.testing.assert_allclose(got.to_numpy().sum(1), 1.0, rtol=1e-5)
+
+
+def test_inference_session_reuse_compiles_once(bundle, tmp_path):
+    session = InferenceSession(bundle, InferenceConfig(chunk_frames=50, window_batch=32))
+    rng = np.random.default_rng(5)
+    for name in ("a", "b"):
+        h5 = str(tmp_path / f"{name}_cls.h5")
+        with hdf5_store.EmbeddingWriter(h5, encoder_identifier="e", embed_dim=64) as w:
+            w.append(rng.normal(size=(60, 64)).astype(np.float16))
+        csv = session.infer_h5(h5)
+        assert len(pd.read_csv(csv)) == 60
