@@ -1,0 +1,307 @@
+"""Head training: jit-compiled optax loop with the reference's loss recipe.
+
+Reproduces ``train_lstm_model`` (backend/cbas.py:1274-1422) as a TPU program:
+
+- torch-Adam-semantics optimizer (L2 added to gradients before the moments)
+  with the separate 1e-3 weight-decay group for the fusion ``gate``
+  (backend/cbas.py:1306-1309)
+- cross-entropy with optional class weights + label smoothing, matching
+  torch.nn.CrossEntropyLoss numerics including the weighted-mean reduction
+- the covariance-decorrelation auxiliary loss on the attended latent: sum of
+  squared off-diagonals of the batch covariance (backend/cbas.py:1338-1344)
+- class-balanced oversampled train stream, per-epoch train+val reports,
+  early stopping on the validation F1 of ``optimization_target``
+
+Batches have one static shape; padded rows carry label -1 and are masked out
+of every reduction, so the whole step jit-compiles once.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cbas_tpu.engine.data import BalancedSampler, SequentialSampler, WindowSource, iter_batches
+from cbas_tpu.engine.metrics import PerformanceReport, f1_of, report_and_cm
+from cbas_tpu.models.heads import DeltasHeadConfig, deltas_forward, init_deltas_params
+
+Params = dict
+
+
+# ---------------------------------------------------------------------------
+# Loss pieces
+# ---------------------------------------------------------------------------
+
+def masked_cross_entropy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    class_weights: Optional[jnp.ndarray],
+    label_smoothing: float,
+) -> jnp.ndarray:
+    """torch.nn.CrossEntropyLoss(weight, label_smoothing) with -1 masking.
+
+    torch semantics: per-sample NLL weighted by the target's class weight; the
+    smoothing term sums class-weighted log-probs / C; mean reduction divides
+    by the sum of target weights.
+    """
+    C = logits.shape[-1]
+    valid = labels >= 0
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+
+    w = class_weights if class_weights is not None else jnp.ones((C,), logits.dtype)
+    nll = -jnp.take_along_axis(logp, safe_labels[:, None], axis=-1)[:, 0]
+    smooth = -(logp * w[None, :]).sum(-1) / C
+    wi = w[safe_labels] * valid
+    per = (1.0 - label_smoothing) * nll * wi + label_smoothing * smooth * valid
+    return per.sum() / jnp.maximum(wi.sum(), 1e-9)
+
+
+def covariance_loss(latent: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Sum of squared off-diagonals of the valid-row batch covariance."""
+    n = valid.sum()
+    mask = valid[:, None].astype(latent.dtype)
+    mean = (latent * mask).sum(0) / jnp.maximum(n, 1)
+    centered = (latent - mean) * mask
+    cov = centered.T @ centered / jnp.maximum(n - 1, 1)
+    off = (cov**2).sum() - (jnp.diagonal(cov) ** 2).sum()
+    return jnp.where(n > 1, off, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer (torch.optim.Adam semantics, per-group weight decay)
+# ---------------------------------------------------------------------------
+
+def make_optimizer(lr: float, weight_decay: float, gate_decay: float = 1e-3):
+    def gate_mask(params):
+        return {k: k == "gate" for k in params}
+
+    def rest_mask(params):
+        return {k: k != "gate" for k in params}
+
+    steps = []
+    if gate_decay:
+        steps.append(optax.masked(optax.add_decayed_weights(gate_decay), gate_mask))
+    if weight_decay:
+        steps.append(optax.masked(optax.add_decayed_weights(weight_decay), rest_mask))
+    steps += [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8), optax.scale(-lr)]
+    return optax.chain(*steps)
+
+
+# ---------------------------------------------------------------------------
+# Compiled programs
+# ---------------------------------------------------------------------------
+
+def build_train_step(
+    cfg: DeltasHeadConfig,
+    optimizer,
+    class_weights: Optional[np.ndarray],
+    label_smoothing: float,
+):
+    cw = jnp.asarray(class_weights, jnp.float32) if class_weights is not None else None
+
+    def loss_fn(params, x, y, rng):
+        logits, latent = deltas_forward(params, x, cfg, train=True, rng=rng)
+        valid = y >= 0
+        ce = masked_cross_entropy(logits, y, cw, label_smoothing)
+        cov = covariance_loss(latent, valid)
+        return ce + cov, (ce, cov)
+
+    @jax.jit
+    def step(params, opt_state, x, y, rng):
+        (loss, (ce, cov)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, y, rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def build_logits_program(cfg: DeltasHeadConfig):
+    @jax.jit
+    def logits(params, x):
+        return deltas_forward(params, x, cfg, train=False)[0]
+
+    return logits
+
+
+def predict_source(
+    params,
+    logits_prog,
+    source: WindowSource,
+    sampler,
+    batch_size: int,
+    cancel_event: Optional[threading.Event] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(y_true, y_pred) over a source; padded/corrupt rows excluded."""
+    y_true: List[np.ndarray] = []
+    y_pred: List[np.ndarray] = []
+    for x, y, n_valid in iter_batches(source, sampler, batch_size):
+        if cancel_event is not None and cancel_event.is_set():
+            break
+        logits = np.asarray(logits_prog(params, jnp.asarray(x)))
+        keep = y[:n_valid] >= 0
+        y_true.append(y[:n_valid][keep])
+        y_pred.append(logits[:n_valid].argmax(1)[keep])
+    if not y_true:
+        return np.array([], np.int32), np.array([], np.int32)
+    return np.concatenate(y_true), np.concatenate(y_pred)
+
+
+# ---------------------------------------------------------------------------
+# Training loop
+# ---------------------------------------------------------------------------
+
+def train_head(
+    train_source: WindowSource,
+    val_source: Optional[WindowSource],
+    seq_len: int,
+    behaviors: Sequence[str],
+    cancel_event: Optional[threading.Event] = None,
+    batch_size: int = 512,
+    lr: float = 1e-4,
+    epochs: int = 10,
+    class_weights: Optional[np.ndarray] = None,
+    patience: int = 3,
+    progress_callback: Optional[Callable[[str], None]] = None,
+    optimization_target: str = "weighted avg",
+    weight_decay: float = 0.0,
+    label_smoothing: float = 0.0,
+    lstm_hidden_size: int = 64,
+    lstm_layers: int = 1,
+    seed: int = 0,
+) -> Tuple[Optional[dict], Optional[List[PerformanceReport]], int]:
+    """Train a deltas head; returns (best params as numpy dict, reports, best_epoch).
+
+    Mirrors the reference's control flow: balanced oversampled train stream,
+    full train+val evaluation each epoch, best-by-val-F1 with early stopping,
+    per-batch cancellation (backend/cbas.py:1274-1422).
+    """
+    if len(train_source) == 0:
+        return None, None, -1
+
+    cancel_event = cancel_event or threading.Event()
+    cfg = DeltasHeadConfig(
+        in_features=train_source.embed_dim,
+        out_features=len(behaviors),
+        seq_len=seq_len,
+        lstm_hidden_size=lstm_hidden_size,
+        lstm_layers=lstm_layers,
+    )
+    key = jax.random.key(seed)
+    key, init_key = jax.random.split(key)
+    params = init_deltas_params(init_key, cfg)
+
+    optimizer = make_optimizer(lr, weight_decay)
+    opt_state = optimizer.init(params)
+    step = build_train_step(cfg, optimizer, class_weights, label_smoothing)
+    logits_prog = build_logits_program(cfg)
+
+    train_sampler = BalancedSampler(train_source.manifest, len(behaviors), seed=seed)
+    has_val = val_source is not None and len(val_source) > 0
+
+    best_f1, best_params, best_epoch = -1.0, None, -1
+    epoch_reports: List[PerformanceReport] = []
+    no_improve = 0
+
+    for e in range(epochs):
+        if cancel_event.is_set():
+            return (jax.device_get(best_params) if best_params is not None else None,
+                    epoch_reports, best_epoch)
+        if progress_callback:
+            progress_callback(f"Training Epoch {e + 1}/{epochs}...")
+
+        for i, (x, y, _) in enumerate(iter_batches(train_source, train_sampler, batch_size)):
+            if cancel_event.is_set():
+                break
+            key, step_key = jax.random.split(key)
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(x), jnp.asarray(y), step_key
+            )
+            if i % 50 == 0:
+                print(f"[Epoch {e + 1}/{epochs} Batch {i}] Loss: {float(loss):.4f}")
+
+        # Per-epoch evaluation (balanced train stream + sequential val).
+        eval_sampler = BalancedSampler(
+            train_source.manifest, len(behaviors), seed=seed + 1000 + e
+        )
+        t_true, t_pred = predict_source(
+            params, logits_prog, train_source, eval_sampler, batch_size, cancel_event
+        )
+        if t_true.size == 0:
+            no_improve += 1
+            if no_improve >= patience:
+                break
+            continue
+        train_report, train_cm = report_and_cm(t_true, t_pred, behaviors)
+
+        val_report, val_cm = {}, np.array([])
+        if has_val:
+            v_true, v_pred = predict_source(
+                params,
+                logits_prog,
+                val_source,
+                SequentialSampler(len(val_source)),
+                batch_size,
+                cancel_event,
+            )
+            if v_true.size:
+                val_report, val_cm = report_and_cm(v_true, v_pred, behaviors)
+
+        epoch_reports.append(PerformanceReport(train_report, train_cm, val_report, val_cm))
+
+        cur_val = f1_of(val_report, optimization_target)
+        cur_train = f1_of(train_report, optimization_target)
+        val_str = f"{cur_val:.4f}" if has_val else "N/A"
+        if progress_callback:
+            progress_callback(f"Epoch {e + 1} Val F1: {val_str}")
+        print(
+            f"--- Epoch {e + 1} | Train F1: {cur_train:.4f} | Val F1: {val_str} "
+            f"({optimization_target}) ---"
+        )
+
+        if cur_val > best_f1:
+            best_f1, best_epoch = cur_val, e
+            best_params = jax.tree.map(lambda a: a.copy(), params)
+            no_improve = 0
+        else:
+            no_improve += 1
+        if has_val and no_improve >= patience:
+            print(f"Early stopping triggered at epoch {e + 1}.")
+            break
+
+    if best_params is None and epochs > 0 and not has_val:
+        best_params, best_epoch = params, epochs - 1
+    if best_params is None:
+        return None, None, -1
+    return (
+        {k: np.asarray(v) for k, v in jax.device_get(best_params).items()},
+        epoch_reports,
+        best_epoch,
+    )
+
+
+def evaluate_on_split(
+    params: dict,
+    cfg: DeltasHeadConfig,
+    source: WindowSource,
+    behaviors: Sequence[str],
+    batch_size: int = 512,
+) -> dict:
+    """One-shot evaluation: {"report": ..., "cm": ...} (backend/cbas.py:1222-1251)."""
+    logits_prog = build_logits_program(cfg)
+    dev_params = {k: jnp.asarray(v) for k, v in params.items()}
+    y_true, y_pred = predict_source(
+        dev_params, logits_prog, source, SequentialSampler(len(source)), batch_size
+    )
+    if y_true.size == 0:
+        return {"report": {}, "cm": np.array([])}
+    rep, cm = report_and_cm(y_true, y_pred, behaviors)
+    return {"report": rep, "cm": cm}
