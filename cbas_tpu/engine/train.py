@@ -102,6 +102,7 @@ def build_train_step(
     optimizer,
     class_weights: Optional[np.ndarray],
     label_smoothing: float,
+    jit: bool = True,
 ):
     cw = jnp.asarray(class_weights, jnp.float32) if class_weights is not None else None
 
@@ -112,7 +113,6 @@ def build_train_step(
         cov = covariance_loss(latent, valid)
         return ce + cov, (ce, cov)
 
-    @jax.jit
     def step(params, opt_state, x, y, rng):
         (loss, (ce, cov)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, x, y, rng
@@ -121,7 +121,7 @@ def build_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return step
+    return jax.jit(step) if jit else step
 
 
 def build_logits_program(cfg: DeltasHeadConfig):

@@ -142,6 +142,26 @@ def config_for_identifier(identifier: str) -> ViTConfig:
 # Building blocks
 # ---------------------------------------------------------------------------
 
+_FUSED_ATTENTION: Optional[bool] = None  # None = auto (TPU only)
+
+
+def set_fused_attention(enabled: Optional[bool]) -> None:
+    """Force the Pallas fused-attention kernel on/off (None = auto)."""
+    global _FUSED_ATTENTION
+    _FUSED_ATTENTION = enabled
+
+
+def use_fused_attention() -> bool:
+    import os
+
+    if _FUSED_ATTENTION is not None:
+        return _FUSED_ATTENTION
+    env = os.environ.get("CBAS_TPU_FUSED_ATTENTION")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
 def _ln(params: Params, name: str, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     x32 = x.astype(jnp.float32)
     mean = x32.mean(-1, keepdims=True)
@@ -214,9 +234,12 @@ def _attention(
         k = k.at[:, :, p:, :].set(k[:, :, p:, :] * cos + rot_half(k[:, :, p:, :]) * sin)
 
     scale = hd ** -0.5
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
-    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    from cbas_tpu.ops import flash_attention as fa
+
+    if use_fused_attention():
+        ctx = fa.fused_attention(q, k, v, scale)
+    else:
+        ctx = fa.reference_attention(q, k, v, scale)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, D)
     return _dense(params, out_name, ctx, out_bias)
 

@@ -1,0 +1,119 @@
+"""Fused multi-head attention Pallas kernel for the ViT encoder.
+
+The XLA-default attention materializes the (B, H, N, N) score tensor in HBM —
+at 480p (N=1205, fp32 softmax) that is gigabytes of traffic per batch and the
+dominant cost of the encode path. For ViT-scale sequences (N <= ~4k) the whole
+K/V block of one (batch, head) fits comfortably in VMEM, so this kernel
+computes each query tile's full score row on-chip:
+
+    HBM reads:  Q, K, V once      HBM writes: O once
+    VMEM:       one (block_q, N_pad) fp32 score tile + K/V
+
+Exact (not online) softmax in fp32 — numerics match the unfused reference to
+float32 roundoff, which keeps the HF-parity guarantees of models/vit.py.
+Forward-only: the encoder is frozen in this pipeline (reference:
+backend/cbas.py:669-670), so no custom VJP is needed; the jnp path remains
+available for any differentiable use.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+_NEG_INF = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
+    # q: (1, block_q, d), k/v: (1, n_pad, d), o: (1, block_q, d)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (block_q, n_pad)
+
+    n_pad = k.shape[0]
+    if n_valid < n_pad:  # mask padded keys (static shapes, static branch)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(col < n_valid, s, _NEG_INF)
+
+    s = s - jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) / denom
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def fused_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    block_q: int = DEFAULT_BLOCK_Q,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Attention over (B, H, N, d) tensors; returns (B, H, N, d) in q's dtype.
+
+    Pads N to the tile grid internally; padded keys are masked, padded query
+    rows are sliced away. d should be a multiple of 8 (ViT head dims are
+    64/128).
+    """
+    B, H, N, d = q.shape
+    n_pad = _round_up(N, 128)
+    block_q = min(block_q, n_pad)
+    q_pad = _round_up(N, block_q)
+
+    def pad_to(x, target):
+        if x.shape[2] == target:
+            return x
+        cfg = [(0, 0), (0, 0), (0, target - x.shape[2]), (0, 0)]
+        return jnp.pad(x, cfg)
+
+    qf = pad_to(q, q_pad).reshape(B * H, q_pad, d)
+    kf = pad_to(k, n_pad).reshape(B * H, n_pad, d)
+    vf = pad_to(v, n_pad).reshape(B * H, n_pad, d)
+
+    grid = (B * H, q_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, n_valid=N),
+        out_shape=jax.ShapeDtypeStruct((B * H, q_pad, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * q_pad * n_pad * d,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize * 2,
+            transcendentals=B * H * q_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    out = out.reshape(B, H, q_pad, d)
+    return out[:, :, :N, :]
+
+
+def reference_attention(q, k, v, scale):
+    """The unfused jnp path (fp32 softmax), for fallback and parity tests."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    w = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
