@@ -1,0 +1,250 @@
+"""Background workers: encode, classify, train — the host-side job scheduler.
+
+The reference runs three daemon threads over lock-guarded task lists with
+CUDA streams for overlap (backend/workthreads.py:267-533,536-726). Here the
+device work is XLA async dispatch (no streams to manage); the workers pump
+queues, push progress through the Callbacks fan-out, and chain encode ->
+live classification exactly like the reference.
+
+Callback names (UI contract):
+    update_global_encoding_progress(done, total, percent)
+    updateInferenceProgress(model, percent, message)
+    updateTrainingStatusOnUI(dataset, message)
+    notify_new_data_available()
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import traceback
+from typing import List, Optional
+
+from cbas_tpu.app.state import AppState
+from cbas_tpu.core.config import EncodeConfig, InferenceConfig, TrainingConfig
+from cbas_tpu.engine.classifier import ClassifierBundle
+from cbas_tpu.engine.encode import encode_file
+from cbas_tpu.engine.infer import InferenceSession
+from cbas_tpu.engine.orchestrator import run_training_job
+from cbas_tpu.utils.logging import log_message
+from cbas_tpu.utils.naming import h5_path_for_video
+
+
+class EncodeWorker(threading.Thread):
+    """Drains the encode queue through the device encoder; chains into live
+    classification when a live model is selected."""
+
+    def __init__(self, state: AppState, poll_s: float = 1.0, config: Optional[EncodeConfig] = None):
+        super().__init__(daemon=True, name="EncodeWorker")
+        self.state = state
+        self.poll_s = poll_s
+        self.config = config or EncodeConfig()
+
+    def process_one(self) -> bool:
+        path = self.state.encode_tasks.pop()
+        if path is None:
+            return False
+        st = self.state
+        if st.encoder is None:
+            log_message("No encoder loaded; re-queueing encode task.", "WARN")
+            st.encode_tasks.append(path)
+            time.sleep(self.poll_s)
+            return False
+        try:
+            def per_file_progress(pct: float) -> None:
+                done, total = st.encode_progress()
+                st.callbacks.emit("update_global_encoding_progress", done, total, pct)
+
+            out = encode_file(
+                st.encoder, path, progress_callback=per_file_progress, config=self.config
+            )
+            st.note_encode_done()
+            done, total = st.encode_progress()
+            st.callbacks.emit("update_global_encoding_progress", done, total, 100.0)
+            if out and st.live_inference_model_name:
+                st.classify_tasks.append(out)
+            return True
+        except Exception as e:
+            st.note_encode_done()
+            log_message(f"Encoding failed for '{path}': {e}", "ERROR")
+            traceback.print_exc()
+            return False
+
+    def run(self) -> None:
+        while not self.state.shutdown.is_set():
+            if not self.process_one():
+                self.state.shutdown.wait(self.poll_s)
+
+
+class ClassifyWorker(threading.Thread):
+    """Watches the live model selection, (re)loads its bundle, drains the
+    classify queue through a reusable compiled InferenceSession."""
+
+    def __init__(self, state: AppState, poll_s: float = 1.0, config: Optional[InferenceConfig] = None):
+        super().__init__(daemon=True, name="ClassifyWorker")
+        self.state = state
+        self.poll_s = poll_s
+        self.config = config or InferenceConfig()
+        self._session: Optional[InferenceSession] = None
+        self._loaded_model: Optional[str] = None
+        self._batch_total = 0
+        self._batch_done = 0
+
+    def _ensure_session(self) -> Optional[InferenceSession]:
+        st = self.state
+        name = st.live_inference_model_name
+        if name != self._loaded_model:
+            self._session, self._loaded_model = None, name
+            self._batch_total, self._batch_done = len(st.classify_tasks), 0
+            if name and st.project is not None:
+                model = st.project.models.get(name)
+                if model is None:
+                    log_message(f"Model '{name}' not found in project.", "ERROR")
+                    st.live_inference_model_name = None
+                    return None
+                try:
+                    bundle = ClassifierBundle.load(
+                        model.path, expected_encoder=st.project.encoder_model_identifier
+                    )
+                    self._session = InferenceSession(bundle, self.config)
+                    log_message(f"Model '{name}' loaded for live inference.")
+                except Exception as e:
+                    log_message(f"Error loading model bundle '{name}': {e}", "ERROR")
+                    st.live_inference_model_name = None
+        return self._session
+
+    def process_one(self) -> bool:
+        st = self.state
+        session = self._ensure_session()
+        if session is None:
+            return False
+        path = st.classify_tasks.pop()
+        if path is None:
+            return False
+        model_name = self._loaded_model
+        log_message(f"Classifying: {path} with model '{model_name}'")
+        try:
+            session.infer_h5(path)
+            st.callbacks.emit("notify_new_data_available")
+            self._batch_done += 1
+            if self._batch_total:
+                pct = self._batch_done / self._batch_total * 100.0
+                st.callbacks.emit(
+                    "updateInferenceProgress", model_name, pct,
+                    f"Processing {self._batch_done}/{self._batch_total}",
+                )
+                if self._batch_done >= self._batch_total and not len(st.classify_tasks):
+                    st.callbacks.emit(
+                        "updateInferenceProgress", model_name, 100.0, "Inference complete."
+                    )
+                    if st.project is not None:
+                        st.project.reload()
+                    st.live_inference_model_name = None
+                    self._batch_total = self._batch_done = 0
+            return True
+        except Exception as e:
+            log_message(f"Failed to classify '{path}': {e}", "ERROR")
+            traceback.print_exc()
+            return False
+
+    def run(self) -> None:
+        while not self.state.shutdown.is_set():
+            if not self.process_one():
+                self.state.shutdown.wait(self.poll_s)
+
+
+class TrainWorker(threading.Thread):
+    """Runs queued training jobs through the orchestrator."""
+
+    def __init__(self, state: AppState, poll_s: float = 1.0):
+        super().__init__(daemon=True, name="TrainWorker")
+        self.state = state
+        self.poll_s = poll_s
+        self._queue: List[TrainingConfig] = []
+        self._lock = threading.Lock()
+
+    def queue_task(self, task: TrainingConfig) -> None:
+        self.state.training_cancel.clear()
+        with self._lock:
+            self._queue.append(task)
+        log_message(f"Queued training task for dataset: {task.name}")
+
+    def pending(self) -> int:
+        with self._lock:
+            return len(self._queue)
+
+    def process_one(self) -> bool:
+        with self._lock:
+            task = self._queue.pop(0) if self._queue else None
+        if task is None:
+            return False
+        st = self.state
+
+        def progress(message: str) -> None:
+            st.callbacks.emit("updateTrainingStatusOnUI", task.name, message)
+
+        try:
+            model_dir = run_training_job(
+                st.project, task,
+                cancel_event=st.training_cancel,
+                progress_callback=progress,
+            )
+            if model_dir:
+                progress("Training complete.")
+                st.callbacks.emit("refreshAllDatasets")
+            else:
+                progress("Training failed or cancelled.")
+            return True
+        except Exception as e:
+            log_message(f"Critical error during training for {task.name}: {e}", "ERROR")
+            traceback.print_exc()
+            progress(f"Training Error: {e}")
+            return False
+
+    def run(self) -> None:
+        while not self.state.shutdown.is_set():
+            if self.state.training_cancel.is_set():
+                self.state.shutdown.wait(self.poll_s)
+                continue
+            if not self.process_one():
+                self.state.shutdown.wait(self.poll_s)
+
+
+def queue_encode_task(state: AppState, video_path: str) -> bool:
+    if state.encode_tasks.append(video_path):
+        state.note_encode_queued()
+        return True
+    return False
+
+
+def sweep_stale_embeddings(state: AppState) -> int:
+    """Queue every video whose H5 is missing/unstamped/mismatched
+    (reference: backend/startup_page.py:82-126)."""
+    if state.project is None:
+        return 0
+    stale = state.project.stale_or_missing_embeddings()
+    n = sum(queue_encode_task(state, v) for v in stale)
+    if n:
+        log_message(f"Queued {n} videos for (re-)encoding after stale sweep.")
+    return n
+
+
+def start_classification(state: AppState, model_name: str, h5_files: List[str]) -> int:
+    """Select the live model and enqueue files lacking that model's outputs
+    (reference: backend/label_train_page.py:1853-1895)."""
+    from cbas_tpu.utils.naming import outputs_csv_for_h5
+    import os
+
+    todo = [
+        f for f in h5_files if not os.path.exists(outputs_csv_for_h5(f, model_name))
+    ]
+    state.live_inference_model_name = model_name
+    return state.classify_tasks.extend(todo)
+
+
+def start_workers(state: AppState):
+    """Spawn the worker trio (daemon threads); returns them for joining."""
+    workers = (EncodeWorker(state), ClassifyWorker(state), TrainWorker(state))
+    for w in workers:
+        w.start()
+    return workers

@@ -1,0 +1,89 @@
+"""Recording-directory watcher: new videos -> encode queue, after settling.
+
+The reference uses a watchdog Observer with a 10s cool-down so ffmpeg finishes
+writing each segment before it is queued (backend/workthreads.py:1174-1224).
+This implementation is dependency-free: a polling scanner that tracks file
+sizes/mtimes and promotes a file once it has been stable for ``settle_s``.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Callable, Dict, Optional, Set
+
+
+class RecordingWatcher(threading.Thread):
+    def __init__(
+        self,
+        root: str,
+        on_ready: Callable[[str], None],
+        settle_s: float = 10.0,
+        poll_s: float = 2.0,
+        suffix: str = ".mp4",
+    ):
+        super().__init__(daemon=True)
+        self.root = root
+        self.on_ready = on_ready
+        self.settle_s = settle_s
+        self.poll_s = poll_s
+        self.suffix = suffix
+        self._stop = threading.Event()
+        # path -> (size, mtime, first_seen_stable)
+        self._pending: Dict[str, tuple] = {}
+        self._known: Set[str] = set()
+        self._lock = threading.Lock()
+
+    def prime_existing(self) -> None:
+        """Mark files that already exist as known (don't re-queue them)."""
+        for path in self._scan():
+            self._known.add(path)
+
+    def forget(self, path: str) -> None:
+        """Drop a path from dedup tracking (used by import flows)."""
+        with self._lock:
+            self._known.discard(path)
+            self._pending.pop(path, None)
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _scan(self):
+        for dirpath, _, files in os.walk(self.root):
+            for name in files:
+                if name.endswith(self.suffix):
+                    yield os.path.join(dirpath, name)
+
+    def poll_once(self, now: Optional[float] = None) -> int:
+        """One scan cycle; returns how many files were promoted. Testable."""
+        now = now if now is not None else time.monotonic()
+        promoted = 0
+        with self._lock:
+            for path in self._scan():
+                if path in self._known:
+                    continue
+                try:
+                    st = os.stat(path)
+                except OSError:
+                    continue
+                sig = (st.st_size, st.st_mtime)
+                prev = self._pending.get(path)
+                if prev is None or prev[:2] != sig:
+                    self._pending[path] = (*sig, now)
+                    continue
+                if now - prev[2] >= self.settle_s:
+                    self._known.add(path)
+                    del self._pending[path]
+                    promoted += 1
+                    try:
+                        self.on_ready(path)
+                    except Exception as e:
+                        print(f"Watcher on_ready failed for {path}: {e}")
+        return promoted
+
+    def run(self) -> None:
+        self.prime_existing()
+        while not self._stop.is_set():
+            self.poll_once()
+            self._stop.wait(self.poll_s)

@@ -1,0 +1,175 @@
+"""App-layer tests: queues, watcher settling, workers end-to-end, recording mgmt."""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cbas_tpu.app.state import AppState, TaskQueue
+from cbas_tpu.app.workers import (
+    ClassifyWorker,
+    EncodeWorker,
+    TrainWorker,
+    queue_encode_task,
+    start_classification,
+    sweep_stale_embeddings,
+)
+from cbas_tpu.core import hdf5_store
+from cbas_tpu.core.config import CameraSettings, EncodeConfig, InferenceConfig
+from cbas_tpu.core.project import Project
+from cbas_tpu.engine.classifier import ClassifierBundle
+from cbas_tpu.ingest.record import RecordingManager, build_record_command, ffmpeg_available
+from cbas_tpu.ingest.watcher import RecordingWatcher
+from cbas_tpu.models.encoder import FrameEncoder
+from cbas_tpu.models.heads import DeltasHeadConfig, init_deltas_params
+from cbas_tpu.models.vit import ViTConfig, init_vit_params
+from cbas_tpu.utils.naming import h5_path_for_video, outputs_csv_for_h5
+
+cv2 = pytest.importorskip("cv2")
+
+RES = 32
+SMALL_CFG = ViTConfig(
+    variant="dinov3", hidden_size=64, num_layers=2, num_heads=2, patch_size=16,
+    num_register_tokens=4, intermediate_size=128, layer_norm_eps=1e-5,
+)
+
+
+def test_task_queue_dedupe_and_fifo():
+    q = TaskQueue()
+    assert q.append("a") and not q.append("a")
+    q.extend(["b", "c", "b"])
+    assert q.snapshot() == ["a", "b", "c"]
+    assert q.pop() == "a" and len(q) == 2
+
+
+def test_watcher_settling(tmp_path):
+    ready = []
+    w = RecordingWatcher(str(tmp_path), ready.append, settle_s=5.0)
+    p = str(tmp_path / "cam_00001.mp4")
+    with open(p, "wb") as f:
+        f.write(b"x" * 100)
+    t0 = 1000.0
+    assert w.poll_once(now=t0) == 0          # first sighting: start settling
+    assert w.poll_once(now=t0 + 2) == 0      # stable but not settled yet
+    # file grows -> settle clock restarts
+    with open(p, "ab") as f:
+        f.write(b"y" * 50)
+    assert w.poll_once(now=t0 + 4) == 0
+    assert w.poll_once(now=t0 + 8) == 0      # only 4s stable
+    assert w.poll_once(now=t0 + 10) == 1     # settled
+    assert ready == [p]
+    assert w.poll_once(now=t0 + 20) == 0     # known: never re-queued
+    w.forget(p)
+    assert w.poll_once(now=t0 + 21) == 0     # starts settling again
+    assert w.poll_once(now=t0 + 40) == 1
+
+
+@pytest.fixture
+def app_project(tmp_path):
+    proj = Project.create_project(str(tmp_path), "p")
+    rec_dir = os.path.join(proj.recordings_dir, "sess", "m0")
+    os.makedirs(rec_dir)
+    video = os.path.join(rec_dir, "m0_00001.mp4")
+    wtr = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10, (RES, RES))
+    rng = np.random.default_rng(0)
+    for i in range(40):
+        wtr.write(rng.integers(0, 256, (RES, RES, 3), np.uint8))
+    wtr.release()
+    proj.reload()
+
+    state = AppState()
+    state.project = proj
+    params = jax.device_get(init_vit_params(jax.random.key(0), SMALL_CFG))
+    state.encoder = FrameEncoder(
+        proj.encoder_model_identifier, params=params, cfg=SMALL_CFG,
+        compute_dtype=jnp.float32,
+    )
+    return proj, state, video
+
+
+def test_encode_worker_end_to_end(app_project):
+    proj, state, video = app_project
+    assert sweep_stale_embeddings(state) == 1
+    progress = []
+    state.callbacks.register(
+        "update_global_encoding_progress", lambda d, t, p: progress.append((d, t, p))
+    )
+    worker = EncodeWorker(state, config=EncodeConfig(chunk_frames=16))
+    assert worker.process_one()
+    h5 = h5_path_for_video(video)
+    assert os.path.exists(h5)
+    assert hdf5_store.num_frames(h5) == 40
+    assert hdf5_store.is_stamp_valid(h5, proj.encoder_model_identifier)
+    assert progress[-1] == (1, 1, 100.0)
+    # Re-sweep finds nothing stale.
+    assert sweep_stale_embeddings(state) == 0
+
+
+def test_encode_then_live_classify_chain(app_project, tmp_path):
+    proj, state, video = app_project
+
+    # Train-free bundle with matching encoder stamp.
+    cfg = DeltasHeadConfig(in_features=64, out_features=2, seq_len=7, lstm_hidden_size=8)
+    params = jax.device_get(init_deltas_params(jax.random.key(1), cfg))
+    bundle = ClassifierBundle(
+        name="livemodel", behaviors=["a", "b"], seq_len=7,
+        params={k: np.asarray(v) for k, v in params.items()},
+        lstm_hidden_size=8, encoder_identifier=proj.encoder_model_identifier,
+    )
+    bundle.save(os.path.join(proj.models_dir, "livemodel"))
+    proj.reload()
+
+    state.live_inference_model_name = "livemodel"
+    queue_encode_task(state, video)
+    EncodeWorker(state, config=EncodeConfig(chunk_frames=16)).process_one()
+    assert len(state.classify_tasks) == 1  # chained
+
+    notified = []
+    state.callbacks.register("notify_new_data_available", lambda: notified.append(1))
+    cw = ClassifyWorker(state, config=InferenceConfig(chunk_frames=50, window_batch=16))
+    assert cw.process_one()
+    csv = outputs_csv_for_h5(h5_path_for_video(video), "livemodel")
+    df = pd.read_csv(csv)
+    assert len(df) == 40 and list(df.columns) == ["a", "b"]
+    assert notified
+    # Queue drained -> live model cleared.
+    assert state.live_inference_model_name is None
+
+
+def test_start_classification_skips_done(app_project):
+    proj, state, video = app_project
+    h5 = h5_path_for_video(video)
+    with hdf5_store.EmbeddingWriter(h5, encoder_identifier="e", embed_dim=8) as w:
+        w.append(np.zeros((10, 8)))
+    done_csv = outputs_csv_for_h5(h5, "m")
+    pd.DataFrame({"a": [1]}).to_csv(done_csv, index=False)
+    n = start_classification(state, "m", [h5])
+    assert n == 0 and state.live_inference_model_name == "m"
+
+
+def test_record_command_recipe():
+    cam = CameraSettings(
+        name="c1", rtsp_url="rtsp://host/profile1", framerate=10, resolution=256,
+        segment_seconds=600, crop_left_x=0.1, crop_top_y=0.0,
+        crop_width=0.8, crop_height=1.0,
+    )
+    cmd = build_record_command(cam, "/x/c1_%05d.mp4", "/x/c1_playlist.m3u8")
+    joined = " ".join(cmd)
+    assert "rtsp://host/profile0" in joined  # high-quality substream swap
+    assert "crop=iw*0.8:ih*1.0:iw*0.1:ih*0.0" in joined
+    assert "scale=256:256:force_original_aspect_ratio=decrease" in joined
+    assert "-hls_time 600" in joined and "program_date_time" in joined
+
+
+def test_recording_manager_without_ffmpeg(tmp_path):
+    mgr = RecordingManager(str(tmp_path))
+    cam = CameraSettings(name="c1", rtsp_url="rtsp://x")
+    if not ffmpeg_available():
+        assert mgr.start(cam, "sess") is False
+    assert mgr.stop("c1") is False  # nothing active
