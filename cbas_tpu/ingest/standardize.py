@@ -1,0 +1,277 @@
+"""Video import, standardization, and augmentation (host-side transforms).
+
+The reference shells out to ffmpeg for these (backend/label_train_page.py:124-213,
+backend/workthreads.py:178-265). Here the same transforms run through OpenCV's
+codec bindings so they work without an ffmpeg binary; when one is present the
+equivalent ffmpeg commands are used for speed (identical filter semantics).
+
+Standardization target (reference: label_train_page.py:143-181): fps=10,
+square ``resolution`` x ``resolution``, either stretched or aspect-preserving
+padded. Augmentation (workthreads.py:201): horizontal flip, brightness +0.03,
+contrast x1.1, gaussian blur sigma 0.2 — producing resumable ``*_aug.mp4``
+siblings.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from cbas_tpu.ingest.decode import open_video
+from cbas_tpu.utils.logging import log_message
+
+AUG_FILTER_CHAIN = "hflip,eq=brightness=0.03:contrast=1.1,gblur=sigma=0.2"
+
+
+def _writer(path: str, fps: float, size: Tuple[int, int]) -> cv2.VideoWriter:
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
+    if not w.isOpened():
+        raise IOError(f"Could not open video writer for {path}")
+    return w
+
+
+def crop_fractional(frame: np.ndarray, crop: Tuple[float, float, float, float]) -> np.ndarray:
+    """crop = (left_x, top_y, width, height) as fractions of the frame."""
+    h, w = frame.shape[:2]
+    x0 = int(round(crop[0] * w))
+    y0 = int(round(crop[1] * h))
+    x1 = min(w, x0 + max(1, int(round(crop[2] * w))))
+    y1 = min(h, y0 + max(1, int(round(crop[3] * h))))
+    return frame[y0:y1, x0:x1]
+
+
+def fit_square(frame: np.ndarray, resolution: int, stretch: bool) -> np.ndarray:
+    """Resize to resolution x resolution, stretched or aspect-padded (centered)."""
+    if stretch:
+        return cv2.resize(frame, (resolution, resolution), interpolation=cv2.INTER_AREA)
+    h, w = frame.shape[:2]
+    scale = min(resolution / w, resolution / h)
+    nw, nh = max(1, int(round(w * scale))), max(1, int(round(h * scale)))
+    resized = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_AREA)
+    out = np.zeros((resolution, resolution, 3), frame.dtype)
+    y0 = (resolution - nh) // 2
+    x0 = (resolution - nw) // 2
+    out[y0 : y0 + nh, x0 : x0 + nw] = resized
+    return out
+
+
+def standardize_video(
+    src_path: str,
+    dst_path: str,
+    fps: float = 10.0,
+    resolution: int = 256,
+    stretch: bool = False,
+    crop: Optional[Tuple[float, float, float, float]] = None,
+    progress_callback: Optional[Callable[[float], None]] = None,
+) -> str:
+    """Re-time to ``fps`` and re-frame to a square; frame selection uses
+    timestamp rounding (the same frames ffmpeg's fps filter picks)."""
+    with open_video(src_path) as reader:
+        src_fps = reader.fps or fps
+        n = reader.frame_count
+        duration = n / src_fps if src_fps > 0 else 0
+        out_frames = max(1, int(round(duration * fps))) if duration else n
+        writer = _writer(dst_path + ".tmp.mp4", fps, (resolution, resolution))
+        try:
+            chunk = 64
+            # Map each output timestamp to the nearest source frame.
+            src_indices = np.minimum(
+                (np.arange(out_frames) * (src_fps / fps)).round().astype(int), n - 1
+            )
+            pos = 0
+            while pos < out_frames:
+                take = src_indices[pos : pos + chunk]
+                lo, hi = int(take[0]), int(take[-1]) + 1
+                batch = reader.read_batch(lo, hi - lo)
+                if batch.shape[0] == 0:
+                    break
+                for idx in take:
+                    frame = batch[min(idx - lo, batch.shape[0] - 1)]
+                    if crop is not None:
+                        frame = crop_fractional(frame, crop)
+                    frame = fit_square(frame, resolution, stretch)
+                    writer.write(frame[:, :, ::-1])  # RGB -> BGR for cv2
+                pos += len(take)
+                if progress_callback:
+                    progress_callback(min(100.0, pos / out_frames * 100.0))
+        finally:
+            writer.release()
+    os.replace(dst_path + ".tmp.mp4", dst_path)
+    return dst_path
+
+
+def import_videos(
+    sources: Sequence[str],
+    dest_dir: str,
+    standardize: bool = True,
+    fps: float = 10.0,
+    resolution: int = 256,
+    stretch: bool = False,
+    crop: Optional[Tuple[float, float, float, float]] = None,
+    progress_callback: Optional[Callable[[float, str], None]] = None,
+) -> List[str]:
+    """Import external videos into a recording folder, optionally standardized
+    (reference: backend/label_train_page.py:124-213). Returns imported paths."""
+    os.makedirs(dest_dir, exist_ok=True)
+    out_paths: List[str] = []
+    for i, src in enumerate(sources):
+        name = os.path.basename(src)
+        dst = os.path.join(dest_dir, name)
+        if progress_callback:
+            progress_callback(i / max(1, len(sources)) * 100.0, name)
+        try:
+            if standardize or crop is not None:
+                standardize_video(
+                    src, dst, fps=fps, resolution=resolution, stretch=stretch, crop=crop
+                )
+            else:
+                shutil.copy2(src, dst)
+            out_paths.append(dst)
+        except Exception as e:
+            log_message(f"Import failed for '{src}': {e}", "ERROR")
+    if progress_callback:
+        progress_callback(100.0, "done")
+    return out_paths
+
+
+# ---------------------------------------------------------------------------
+# Augmentation
+# ---------------------------------------------------------------------------
+
+def augment_frame(frame_bgr: np.ndarray) -> np.ndarray:
+    """hflip + brightness +0.03 + contrast x1.1 + gaussian blur sigma 0.2.
+
+    Matches ffmpeg's ``eq`` filter semantics: out = (in - 0.5)*contrast + 0.5
+    + brightness, in normalized [0,1] space.
+    """
+    f = frame_bgr[:, ::-1, :].astype(np.float32) / 255.0
+    f = (f - 0.5) * 1.1 + 0.5 + 0.03
+    f = np.clip(f, 0.0, 1.0)
+    f = cv2.GaussianBlur(f, (0, 0), sigmaX=0.2)
+    return (f * 255.0 + 0.5).astype(np.uint8)
+
+
+def aug_path_for(video_path: str) -> str:
+    stem, _ = os.path.splitext(video_path)
+    return f"{stem}_aug.mp4"
+
+
+def is_aug_video(path: str) -> bool:
+    return os.path.splitext(os.path.basename(path))[0].endswith("_aug")
+
+
+def augment_video(src_path: str, dst_path: Optional[str] = None) -> str:
+    """Create the augmented sibling of one video (idempotent)."""
+    dst_path = dst_path or aug_path_for(src_path)
+    if os.path.exists(dst_path):
+        return dst_path
+    if shutil.which("ffmpeg"):
+        subprocess.run(
+            ["ffmpeg", "-hide_banner", "-loglevel", "error", "-y",
+             "-i", src_path, "-vf", AUG_FILTER_CHAIN, "-an", dst_path + ".tmp.mp4"],
+            check=True,
+        )
+        os.replace(dst_path + ".tmp.mp4", dst_path)
+        return dst_path
+    with open_video(src_path) as reader:
+        fps = reader.fps or 10.0
+        writer = _writer(dst_path + ".tmp.mp4", fps, (reader.width, reader.height))
+        try:
+            for _, batch in reader.iter_chunks(64):
+                for frame in batch:
+                    writer.write(augment_frame(frame[:, :, ::-1]))
+        finally:
+            writer.release()
+    os.replace(dst_path + ".tmp.mp4", dst_path)
+    return dst_path
+
+
+def augment_dataset(
+    project,
+    source_dataset_name: str,
+    new_dataset_name: str,
+    progress_callback: Optional[Callable[[float, str], None]] = None,
+):
+    """Create an augmented copy of a dataset: ``*_aug.mp4`` siblings for every
+    labeled video plus remapped label instances, resumable and idempotent
+    (reference: backend/workthreads.py:178-265)."""
+    source = project.datasets.get(source_dataset_name)
+    if source is None:
+        raise ValueError(f"Source dataset '{source_dataset_name}' not found.")
+    if new_dataset_name in project.datasets:
+        log_message(f"Resuming augmentation into existing dataset '{new_dataset_name}'.")
+        new_ds = project.datasets[new_dataset_name]
+    else:
+        new_ds = project.create_dataset(
+            new_dataset_name,
+            source.config.get("behaviors", []),
+            source.config.get("whitelist", []),
+        )
+        if new_ds is None:
+            raise RuntimeError(f"Could not create dataset '{new_dataset_name}'.")
+
+    all_instances = source.all_instances()
+    videos = sorted(
+        {os.path.join(project.path, i["video"]) for i in all_instances if i.get("video")}
+    )
+    if not videos:
+        log_message("No videos found in source dataset to augment.", "WARN")
+        return new_ds
+
+    processed: Dict[str, str] = {}
+    for i, src in enumerate(videos):
+        if progress_callback:
+            progress_callback(
+                (i + 1) / len(videos) * 100.0, f"Processing video {i + 1} of {len(videos)}"
+            )
+        out = aug_path_for(src)
+        if os.path.exists(out):
+            log_message(f"Skipping already augmented video: {os.path.basename(out)}")
+        else:
+            log_message(f"Augmenting: {os.path.basename(src)} -> {os.path.basename(out)}")
+            augment_video(src, out)
+        processed[src] = out
+
+    # Source labels plus remapped copies pointing at the augmented videos.
+    new_labels = {b: list(insts) for b, insts in source.labels.get("labels", {}).items()}
+    for inst in all_instances:
+        src = os.path.join(project.path, inst["video"])
+        if src in processed:
+            remapped = dict(inst)
+            remapped["video"] = os.path.relpath(processed[src], start=project.path)
+            if remapped.get("label") in new_labels:
+                new_labels[remapped["label"]].append(remapped)
+    new_ds.labels = dict(source.labels)
+    new_ds.labels["labels"] = new_labels
+    new_ds.save_labels()
+    log_message(f"Augmentation complete: dataset '{new_dataset_name}' ready.")
+    return new_ds
+
+
+def resync_aug_labels(project, dataset_name: str) -> int:
+    """Re-copy source-video labels onto their _aug siblings (used after the
+    source labels change; reference: backend/workthreads.py:1310-1377).
+    Returns the number of aug instances after resync."""
+    ds = project.datasets.get(dataset_name)
+    if ds is None:
+        raise ValueError(f"Dataset '{dataset_name}' not found.")
+    labels = ds.labels.get("labels", {})
+    count = 0
+    for behavior, insts in labels.items():
+        sources = [i for i in insts if not is_aug_video(str(i.get("video", "")))]
+        fresh: List[dict] = []
+        for inst in sources:
+            aug_rel = aug_path_for(str(inst["video"]))
+            if os.path.exists(os.path.join(project.path, aug_rel)):
+                remapped = dict(inst)
+                remapped["video"] = aug_rel.replace("\\", "/")
+                fresh.append(remapped)
+        labels[behavior] = sources + fresh
+        count += len(fresh)
+    ds.save_labels()
+    return count
