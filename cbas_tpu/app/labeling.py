@@ -1,0 +1,484 @@
+"""Labeling session engine: server-side video scrubber + instance editor.
+
+Rebuild of the reference's guided-labeling state machine
+(backend/label_train_page.py:593-715,1098-1631,1942-2105) as one class with no
+UI coupling: every mutation returns/emits render payloads through the
+Callbacks fan-out, so any frontend (websocket, tests, notebooks) can drive it.
+
+Core semantics preserved:
+
+- the session buffer is the single source of truth for one video: human labels
+  plus (in review mode) model predictions filtered by confidence with human
+  intervals subtracted
+- edits promote predictions to human labels (confidence stripped,
+  ``_confirmed`` set) with ancestry tracking (``_parent_id``) and deletion
+  suppression so refiltering never resurrects replaced/deleted ghosts
+- boundary nudges trim overlapping neighbors and drop collapsed ones
+- commit is a "scorched-earth" rewrite of that video's entries in labels.yaml,
+  stripping session-only keys
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from cbas_tpu.app.state import Callbacks
+from cbas_tpu.core.config import load_yaml, dump_yaml
+from cbas_tpu.core.labels import subtract_intervals
+from cbas_tpu.core.project import Dataset, Project
+from cbas_tpu.utils.logging import log_message
+
+TIMELINE_WIDTH = 500
+
+# tab20-like categorical palette (hex), used for behavior colors.
+BEHAVIOR_COLORS = [
+    "#1f77b4", "#aec7e8", "#ff7f0e", "#ffbb78", "#2ca02c", "#98df8a",
+    "#d62728", "#ff9896", "#9467bd", "#c5b0d5", "#8c564b", "#c49c94",
+    "#e377c2", "#f7b6d2", "#7f7f7f", "#c7c7c7", "#bcbd22", "#dbdb8d",
+    "#17becf", "#9edae5",
+]
+
+
+def behavior_color(i: int) -> str:
+    return BEHAVIOR_COLORS[i % len(BEHAVIOR_COLORS)]
+
+
+def _sig(inst: dict) -> Tuple:
+    return (inst["start"], inst["end"], inst["label"])
+
+
+class LabelingSession:
+    """One interactive labeling session over a single video."""
+
+    def __init__(
+        self,
+        project: Project,
+        dataset_name: str,
+        video_path: str,
+        preloaded_instances: Optional[List[dict]] = None,
+        filter_for_behavior: Optional[str] = None,
+        callbacks: Optional[Callbacks] = None,
+        model_name: str = "",
+        open_capture: bool = True,
+    ):
+        if dataset_name not in project.datasets:
+            raise ValueError(f"Dataset '{dataset_name}' not found.")
+        if not os.path.exists(video_path):
+            raise FileNotFoundError(f"Video to label does not exist: {video_path}")
+
+        self.project = project
+        # Re-read the dataset from disk for a fresh label view.
+        self.dataset = Dataset(project.datasets[dataset_name].path)
+        project.datasets[dataset_name] = self.dataset
+        self.video_path = video_path
+        self.rel_video = os.path.relpath(video_path, start=project.path).replace("\\", "/")
+        self.filter_for_behavior = filter_for_behavior
+        self.callbacks = callbacks or Callbacks()
+        self.model_name = model_name
+
+        self.behaviors: List[str] = self.dataset.labels.get("behaviors", [])
+        self.colors: List[str] = [behavior_color(i) for i in range(len(self.behaviors))]
+
+        # Scrubber state
+        self.frame_index = 0
+        self.total_frames = 0
+        self._capture = None
+        if open_capture:
+            import cv2
+
+            cap = cv2.VideoCapture(video_path)
+            if cap.isOpened():
+                self._capture = cap
+                self.total_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+
+        # Editing state
+        self.pending_type = -1     # behavior index of an in-progress label
+        self.pending_start = -1    # start frame of an in-progress label
+        self.selected_index = -1
+        self.history: List[dict] = []
+        self.dirty: set = set()
+        self.suppressed_ids: set = set()
+        self.confirmation_mode = False
+        self.confidence_threshold = 100  # percent
+        self.filter_mode = "below"
+
+        # Buffer = human labels for this video (+ filtered predictions).
+        self.buffer: List[dict] = []
+        for insts in self.dataset.labels.get("labels", {}).values():
+            for inst in insts:
+                if str(inst.get("video", "")).replace("\\", "/") == self.rel_video:
+                    copy = dict(inst)
+                    copy["video"] = self.rel_video
+                    self.buffer.append(copy)
+
+        self.mode = "scratch"
+        self.unfiltered_predictions: List[dict] = []
+        if preloaded_instances:
+            self.mode = "review"
+            self.unfiltered_predictions = [dict(p) for p in preloaded_instances]
+            human_intervals = sorted(
+                (int(h["start"]), int(h["end"])) for h in self.buffer
+            )
+            threshold = self.confidence_threshold / 100.0
+            for pred in self.unfiltered_predictions:
+                if pred.get("confidence", 1.0) >= threshold:
+                    continue
+                for piece in subtract_intervals(pred, human_intervals):
+                    self.buffer.append(piece)
+
+        self.buffer.sort(key=lambda x: x["start"])
+
+    # -- helpers ---------------------------------------------------------------
+
+    def close(self) -> None:
+        if self._capture is not None:
+            self._capture.release()
+            self._capture = None
+
+    def _instance_at(self, frame: int) -> Tuple[int, Optional[dict]]:
+        for i, inst in enumerate(self.buffer):
+            if inst.get("start", -1) <= frame <= inst.get("end", -1):
+                return i, inst
+        return -1, None
+
+    def _blocked_by_filter(self, inst: Optional[dict]) -> bool:
+        return (
+            self.filter_for_behavior is not None
+            and inst is not None
+            and inst.get("label") != self.filter_for_behavior
+        )
+
+    def _promote(self, inst: dict) -> None:
+        """Prediction touched by the user -> human label with ancestry."""
+        if "confidence" in inst:
+            if "_parent_id" not in inst:
+                inst["_parent_id"] = _sig(inst)
+            del inst["confidence"]
+            inst["_confirmed"] = True
+
+    # -- navigation -------------------------------------------------------------
+
+    def jump_to_frame(self, frame: int) -> None:
+        if self.total_frames > 0:
+            self.frame_index = max(0, min(int(frame), self.total_frames - 1))
+        else:
+            self.frame_index = max(0, int(frame))
+
+    def next_frame(self, shift: int) -> None:
+        self.jump_to_frame(self.frame_index + shift)
+
+    def click_timeline(self, x: int, width: int = TIMELINE_WIDTH) -> None:
+        if self.total_frames > 0:
+            self.jump_to_frame(int(x * self.total_frames / width))
+
+    def jump_to_instance(self, direction: int) -> Optional[dict]:
+        """Tab through instances; returns the newly selected instance."""
+        if not self.buffer:
+            self.selected_index = -1
+            return None
+        ordered = sorted(self.buffer, key=lambda x: x.get("start", 0))
+        inside = -1
+        for i, inst in enumerate(ordered):
+            if inst.get("start", -1) <= self.frame_index <= inst.get("end", -1):
+                inside = i
+                break
+        if inside != -1:
+            target = ordered[(inside + direction) % len(ordered)]
+        elif direction > 0:
+            target = next(
+                (i for i in ordered if i.get("start", -1) > self.frame_index),
+                ordered[0],
+            )
+        else:
+            target = next(
+                (i for i in reversed(ordered) if i.get("start", -1) < self.frame_index),
+                ordered[-1],
+            )
+        self.frame_index = int(target.get("start", 0))
+        self.selected_index = self.buffer.index(target)
+        self.callbacks.emit("highlightBehaviorRow", target.get("label"))
+        self.callbacks.emit(
+            "updateConfidenceBadge", target.get("label"), target.get("confidence")
+        )
+        return target
+
+    # -- edits -----------------------------------------------------------------
+
+    def label_frame(self, value: int) -> None:
+        """Number-key handler: start/finish a new label, or relabel under playhead
+        (reference: label_train_page.py:1520-1572)."""
+        if not 0 <= value < len(self.behaviors):
+            return
+        idx, under = self._instance_at(self.frame_index)
+        if self.filter_for_behavior is not None and self._blocked_by_filter(under):
+            log_message("Edit blocked: non-target behavior in review-by-behavior mode.", "WARN")
+            return
+
+        if idx != -1 and self.pending_type == -1:
+            # Relabel the instance under the playhead.
+            inst = self.buffer[idx]
+            self.dirty.add(id(inst))
+            self._promote(inst)
+            inst["label"] = self.behaviors[value]
+        elif value == self.pending_type:
+            self._finish_pending(self.behaviors[value])
+            self.pending_type, self.pending_start = -1, -1
+        else:
+            self.pending_type, self.pending_start = value, self.frame_index
+            self.selected_index = -1
+
+    def _finish_pending(self, behavior: str) -> None:
+        """Close the in-progress label (second press of the same key) and add
+        it to the buffer unless it overlaps an existing instance
+        (reference: label_train_page.py:1488-1517)."""
+        if self.pending_start == -1:
+            return
+        start = min(self.pending_start, self.frame_index)
+        end = max(self.pending_start, self.frame_index)
+        if start == end:
+            return
+        for inst in self.buffer:
+            if max(start, inst["start"]) <= min(end, inst["end"]):
+                self.callbacks.emit(
+                    "showErrorOnLabelTrainPage",
+                    "Overlapping behavior region! Behavior not recorded.",
+                )
+                return
+        new_inst = {
+            "video": self.rel_video,
+            "start": start,
+            "end": end,
+            "label": behavior,
+        }
+        self.buffer.append(new_inst)
+        self.buffer.sort(key=lambda x: x["start"])
+        self.dirty.add(id(new_inst))
+        self.history.append(new_inst)
+
+    def delete_instance(self) -> Optional[dict]:
+        idx, inst = self._instance_at(self.frame_index)
+        if inst is None:
+            return None
+        if self._blocked_by_filter(inst):
+            log_message("Edit blocked: cannot delete a non-target behavior.", "WARN")
+            return None
+        removed = self.buffer.pop(idx)
+        if "confidence" in removed:
+            self.suppressed_ids.add(_sig(removed))
+        self.dirty.add(f"deleted_{removed['label']}")
+        if removed in self.history:
+            self.history.remove(removed)
+        self.selected_index = -1
+        return removed
+
+    def undo_last(self) -> Optional[dict]:
+        if not self.history:
+            return None
+        last = self.history.pop()
+        try:
+            self.buffer.remove(last)
+            self.selected_index = -1
+            return last
+        except ValueError:
+            return None
+
+    def confirm_selected(self) -> Optional[bool]:
+        """Toggle the selected instance's confirmed state (keeps confidence)."""
+        if not 0 <= self.selected_index < len(self.buffer):
+            return None
+        inst = self.buffer[self.selected_index]
+        inst["_confirmed"] = not inst.get("_confirmed", False)
+        return inst["_confirmed"]
+
+    def update_instance_boundary(self, boundary_type: str) -> bool:
+        """Nudge the selected instance's start/end to the playhead, trimming
+        overlapped neighbors (reference: label_train_page.py:1408-1464)."""
+        if not 0 <= self.selected_index < len(self.buffer):
+            return False
+        inst = self.buffer[self.selected_index]
+        if self._blocked_by_filter(inst):
+            log_message("Edit blocked: non-target behavior boundaries.", "WARN")
+            return False
+        self.dirty.add(id(inst))
+        frame = self.frame_index
+        self._promote(inst)
+
+        if boundary_type == "start":
+            if frame >= inst["end"]:
+                return False
+            new_start, new_end = frame, inst["end"]
+        elif boundary_type == "end":
+            if frame <= inst["start"]:
+                return False
+            new_start, new_end = inst["start"], frame
+        else:
+            return False
+
+        drop = []
+        for i, nb in enumerate(self.buffer):
+            if i == self.selected_index:
+                continue
+            if max(new_start, nb["start"]) <= min(new_end, nb["end"]):
+                if boundary_type == "start" and new_start <= nb["end"]:
+                    nb["end"] = new_start - 1
+                elif boundary_type == "end" and new_end >= nb["start"]:
+                    nb["start"] = new_end + 1
+                if nb["start"] >= nb["end"]:
+                    drop.append(i)
+        for i in sorted(drop, reverse=True):
+            if i < self.selected_index:
+                self.selected_index -= 1
+            self.buffer.pop(i)
+
+        inst = self.buffer[self.selected_index]
+        inst["start" if boundary_type == "start" else "end"] = frame
+        return True
+
+    # -- confidence refiltering ---------------------------------------------------
+
+    def refilter(self, new_threshold: int, mode: str = "below") -> None:
+        """Re-filter predictions against the buffer with ancestry + deletion
+        suppression (reference: label_train_page.py:1162-1220)."""
+        self.confidence_threshold = new_threshold
+        self.filter_mode = mode
+        if not self.unfiltered_predictions:
+            return
+
+        preserved: List[dict] = []
+        suppression = set(self.suppressed_ids)
+        for inst in self.buffer:
+            if "confidence" not in inst or inst.get("_confirmed", False):
+                preserved.append(inst)
+                suppression.add(_sig(inst))
+                if "_parent_id" in inst:
+                    suppression.add(tuple(inst["_parent_id"]))
+
+        threshold = new_threshold / 100.0
+        fresh = []
+        for p in self.unfiltered_predictions:
+            conf = p.get("confidence", 0.0)
+            passes = conf >= threshold if mode == "above" else conf < threshold
+            if passes and _sig(p) not in suppression:
+                fresh.append(p)
+
+        self.buffer = sorted(preserved + fresh, key=lambda x: x["start"])
+        self.selected_index = -1
+        self.callbacks.emit("highlightBehaviorRow", None)
+        self.callbacks.emit("updateConfidenceBadge", None, None)
+
+    # -- commit ---------------------------------------------------------------
+
+    def has_changes(self) -> bool:
+        return bool(self.dirty) or any(i.get("_confirmed") for i in self.buffer)
+
+    def save(self) -> dict:
+        """Commit the session: rewrite this video's labels in labels.yaml
+        (reference: label_train_page.py:1098-1160)."""
+        commit = [
+            inst
+            for inst in self.buffer
+            if "confidence" not in inst or inst.get("_confirmed", False)
+        ]
+        if not self.has_changes():
+            log_message("No changes detected in labeling session; nothing to save.")
+            return {"status": "no_changes"}
+
+        master = load_yaml(self.dataset.labels_path)
+        for behavior in master.get("labels", {}):
+            master["labels"][behavior] = [
+                i
+                for i in master["labels"].get(behavior, [])
+                if str(i.get("video", "")).replace("\\", "/") != self.rel_video
+            ]
+        for inst in commit:
+            clean = dict(inst)
+            for key in ("confidence", "confidences", "_original_start",
+                        "_original_end", "_confirmed", "_parent_id"):
+                clean.pop(key, None)
+            master["labels"].setdefault(clean["label"], []).append(clean)
+        dump_yaml(master, self.dataset.labels_path)
+        self.dataset.labels = master
+        try:
+            self.dataset.update_instance_counts_in_config()
+        except Exception as e:
+            log_message(f"Could not update instance counts after saving: {e}", "ERROR")
+        log_message(f"Saved {len(commit)} labels for {self.rel_video}.")
+        self.confirmation_mode = False
+        return {
+            "status": "success",
+            "video_path": self.rel_video,
+            "dataset_name": self.dataset.name,
+        }
+
+    # -- counts + rendering -----------------------------------------------------
+
+    def counts(self) -> Dict[str, int]:
+        out = {b: 0 for b in self.behaviors}
+        for inst in self.buffer:
+            if inst.get("label") in out and (
+                "confidence" not in inst or inst.get("_confirmed")
+            ):
+                out[inst["label"]] += int(inst["end"]) - int(inst["start"]) + 1
+        return out
+
+    def visible_instances(self) -> List[dict]:
+        if self.confirmation_mode:
+            return [
+                i for i in self.buffer
+                if "confidence" not in i or i.get("_confirmed", False)
+            ]
+        return self.buffer
+
+    def timeline_raster(self, width: int = TIMELINE_WIDTH) -> np.ndarray:
+        """Behavior-index raster of the full timeline (-1 = unlabeled).
+
+        The UI colorizes this; tests assert on it directly.
+        """
+        raster = np.full(width, -1, np.int32)
+        total = max(1, self.total_frames)
+        index_of = {b: i for i, b in enumerate(self.behaviors)}
+        for inst in self.visible_instances():
+            b = index_of.get(inst.get("label"))
+            if b is None:
+                continue
+            x0 = int(int(inst["start"]) * width / total)
+            x1 = max(x0 + 1, int((int(inst["end"]) + 1) * width / total))
+            raster[x0 : min(x1, width)] = b
+        return raster
+
+    def render_payload(self, size: int = 500) -> dict:
+        """Current frame (base64 JPEG, if a capture is open) + timelines +
+        playhead + selection metadata — everything the UI needs per step."""
+        frame_b64 = None
+        if self._capture is not None:
+            import cv2
+            from cbas_tpu.app.media import _to_jpeg_b64
+
+            self._capture.set(cv2.CAP_PROP_POS_FRAMES, self.frame_index)
+            ok, frame = self._capture.read()
+            if ok:
+                frame = cv2.resize(frame, (size, size), interpolation=cv2.INTER_AREA)
+                frame_b64 = _to_jpeg_b64(frame)
+        sel = (
+            self.buffer[self.selected_index]
+            if 0 <= self.selected_index < len(self.buffer)
+            else None
+        )
+        payload = {
+            "frame": frame_b64,
+            "frame_index": self.frame_index,
+            "total_frames": self.total_frames,
+            "timeline": self.timeline_raster().tolist(),
+            "behaviors": self.behaviors,
+            "colors": self.colors,
+            "selected": sel,
+            "pending": {"type": self.pending_type, "start": self.pending_start},
+            "mode": self.mode,
+            "confirmation_mode": self.confirmation_mode,
+            "counts": self.counts(),
+        }
+        self.callbacks.emit("updateLabelImageSrc", payload)
+        return payload

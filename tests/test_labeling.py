@@ -1,0 +1,212 @@
+"""Labeling session engine tests: buffer setup, edits, refiltering, commit."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from cbas_tpu.app.labeling import LabelingSession
+from cbas_tpu.core.project import Project
+
+
+@pytest.fixture
+def project(tmp_path):
+    proj = Project.create_project(str(tmp_path), "p")
+    rec = os.path.join(proj.recordings_dir, "s", "m0")
+    os.makedirs(rec)
+    video = os.path.join(rec, "m0_00001.mp4")
+    w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 32))
+    for i in range(100):
+        w.write(np.full((32, 32, 3), i % 256, np.uint8))
+    w.release()
+
+    ds = proj.create_dataset("d", ["walk", "rest"], [])
+    rel = os.path.relpath(video, proj.path)
+    ds.labels["labels"]["walk"] = [
+        {"video": rel, "start": 10, "end": 20, "label": "walk"}
+    ]
+    ds.save_labels()
+    proj.reload()
+    return proj, video, rel
+
+
+def make_session(project_tuple, preloaded=None, **kw):
+    proj, video, rel = project_tuple
+    return LabelingSession(proj, "d", video, preloaded_instances=preloaded, **kw)
+
+
+def test_session_loads_human_labels(project):
+    s = make_session(project)
+    assert s.total_frames == 100
+    assert len(s.buffer) == 1 and s.buffer[0]["label"] == "walk"
+    assert s.mode == "scratch"
+    s.close()
+
+
+def test_review_mode_subtracts_human_intervals(project):
+    _, _, rel = project
+    preds = [
+        {"video": rel, "start": 5, "end": 30, "label": "rest", "confidence": 0.4},
+        {"video": rel, "start": 50, "end": 60, "label": "rest", "confidence": 0.99},
+    ]
+    s = make_session(project, preloaded=preds)
+    assert s.mode == "review"
+    # High-confidence (0.99 >= 1.0? no, threshold 100% -> 1.0; 0.99 < 1.0 passes)
+    spans = sorted((i["start"], i["end"], i.get("confidence") is not None) for i in s.buffer)
+    # pred (5,30) is split around human (10,20) -> (5,9) and (21,30)
+    assert (5, 9, True) in spans and (21, 30, True) in spans
+    assert (10, 20, False) in spans
+    assert (50, 60, True) in spans
+    s.close()
+
+
+def test_label_creation_two_keypresses(project):
+    s = make_session(project)
+    s.jump_to_frame(40)
+    s.label_frame(1)         # start 'rest' at 40
+    assert s.pending_type == 1
+    s.jump_to_frame(55)
+    s.label_frame(1)         # close at 55
+    assert s.pending_type == -1
+    spans = [(i["start"], i["end"], i["label"]) for i in s.buffer]
+    assert (40, 55, "rest") in spans
+    # Undo removes it.
+    assert s.undo_last() is not None
+    assert (40, 55, "rest") not in [(i["start"], i["end"], i["label"]) for i in s.buffer]
+    s.close()
+
+
+def test_overlap_rejected(project):
+    errors = []
+    s = make_session(project)
+    s.callbacks.register("showErrorOnLabelTrainPage", errors.append)
+    s.jump_to_frame(15)      # inside the human label -> relabel path not taken
+    s.label_frame(1)
+    # playhead inside existing instance with pending_type == -1 => relabel
+    assert s.buffer[0]["label"] == "rest"
+    s.buffer[0]["label"] = "walk"
+
+    s.jump_to_frame(5)
+    s.label_frame(1)
+    s.jump_to_frame(15)      # would overlap (10,20)
+    s.label_frame(1)
+    assert errors  # rejected
+    assert len([i for i in s.buffer if i["start"] == 5]) == 0
+    s.close()
+
+
+def test_relabel_promotes_prediction(project):
+    _, _, rel = project
+    preds = [{"video": rel, "start": 50, "end": 60, "label": "rest", "confidence": 0.5}]
+    s = make_session(project, preloaded=preds)
+    s.jump_to_frame(55)
+    s.label_frame(0)  # relabel to walk
+    inst = [i for i in s.buffer if i["start"] == 50][0]
+    assert inst["label"] == "walk"
+    assert "confidence" not in inst and inst["_confirmed"]
+    assert inst["_parent_id"] == (50, 60, "rest")
+    s.close()
+
+
+def test_boundary_update_trims_neighbors(project):
+    s = make_session(project)
+    # Add a second instance adjacent to the human one.
+    s.jump_to_frame(21)
+    s.label_frame(1)
+    s.jump_to_frame(40)
+    s.label_frame(1)  # rest (21, 40)
+    # Select it and pull its start left over the human label (10,20).
+    s.selected_index = [i for i, x in enumerate(s.buffer) if x["start"] == 21][0]
+    s.jump_to_frame(15)
+    assert s.update_instance_boundary("start")
+    inst = [x for x in s.buffer if x["label"] == "rest"][0]
+    assert inst["start"] == 15
+    walk = [x for x in s.buffer if x["label"] == "walk"][0]
+    assert walk["end"] == 14  # trimmed
+    s.close()
+
+
+def test_delete_suppression_in_refilter(project):
+    _, _, rel = project
+    preds = [
+        {"video": rel, "start": 50, "end": 60, "label": "rest", "confidence": 0.3},
+        {"video": rel, "start": 70, "end": 80, "label": "rest", "confidence": 0.4},
+    ]
+    s = make_session(project, preloaded=preds)
+    s.jump_to_frame(55)
+    assert s.delete_instance()["start"] == 50
+    # Refilter must not resurrect the deleted prediction.
+    s.refilter(100, "below")
+    starts = [i["start"] for i in s.buffer if "confidence" in i]
+    assert 70 in starts and 50 not in starts
+    # 'above' mode flips the filter.
+    s.refilter(35, "above")
+    starts = [i["start"] for i in s.buffer if "confidence" in i]
+    assert starts == [70]
+    s.close()
+
+
+def test_confirm_and_save_scorched_earth(project):
+    proj, video, rel = project
+    preds = [{"video": rel, "start": 50, "end": 60, "label": "rest", "confidence": 0.5}]
+    s = make_session(project, preloaded=preds)
+    # Confirm the prediction via selection.
+    s.jump_to_frame(50)
+    s.jump_to_instance(1)  # selects something; find the prediction explicitly
+    s.selected_index = [i for i, x in enumerate(s.buffer) if x["start"] == 50][0]
+    assert s.confirm_selected() is True
+    res = s.save()
+    assert res["status"] == "success"
+
+    reloaded = Project(proj.path).datasets["d"]
+    rest = reloaded.labels["labels"]["rest"]
+    assert len(rest) == 1 and rest[0]["start"] == 50
+    assert "confidence" not in rest[0] and "_confirmed" not in rest[0]
+    walk = reloaded.labels["labels"]["walk"]
+    assert len(walk) == 1  # human label survived the rewrite
+    s.close()
+
+
+def test_save_no_changes(project):
+    s = make_session(project)
+    assert s.save() == {"status": "no_changes"}
+    s.close()
+
+
+def test_counts_and_timeline(project):
+    _, _, rel = project
+    preds = [{"video": rel, "start": 50, "end": 59, "label": "rest", "confidence": 0.5}]
+    s = make_session(project, preloaded=preds)
+    counts = s.counts()
+    assert counts == {"walk": 11, "rest": 0}  # unconfirmed predictions don't count
+    raster = s.timeline_raster(width=100)
+    assert set(raster[10:21]) == {0}   # walk region
+    assert set(raster[50:60]) == {1}   # prediction visible in normal mode
+    s.confirmation_mode = True
+    raster2 = s.timeline_raster(width=100)
+    assert set(raster2[50:60]) == {-1}  # hidden when staging commit
+    s.close()
+
+
+def test_render_payload(project):
+    s = make_session(project)
+    s.jump_to_frame(3)
+    payload = s.render_payload(size=64)
+    assert payload["frame_index"] == 3 and payload["total_frames"] == 100
+    assert payload["frame"] is not None
+    assert payload["behaviors"] == ["walk", "rest"]
+    assert len(payload["timeline"]) == 500
+    s.close()
+
+
+def test_review_filter_blocks_foreign_edits(project):
+    _, _, rel = project
+    preds = [{"video": rel, "start": 50, "end": 60, "label": "rest", "confidence": 0.5}]
+    s = make_session(project, preloaded=preds, filter_for_behavior="rest")
+    s.jump_to_frame(15)  # on the human 'walk' instance
+    s.label_frame(1)
+    assert s.buffer[0]["label"] == "walk"  # blocked
+    assert s.delete_instance() is None      # blocked
+    s.close()
