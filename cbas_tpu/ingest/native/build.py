@@ -1,0 +1,45 @@
+"""Build the native decoder shared library (g++ + libav dev headers).
+
+Invoked automatically on first use (ingest/native/loader.py) and cacheable:
+the .so lands next to this file. Also runnable directly:
+
+    python -m cbas_tpu.ingest.native.build
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SRC = os.path.join(HERE, "decoder.cpp")
+LIB = os.path.join(HERE, "libcbasdecoder.so")
+
+LIBS = ["-lavformat", "-lavcodec", "-lavutil", "-lswscale"]
+
+
+def build(force: bool = False) -> str:
+    """Compile decoder.cpp -> libcbasdecoder.so; returns the library path."""
+    if not force and os.path.exists(LIB) and os.path.getmtime(LIB) >= os.path.getmtime(SRC):
+        return LIB
+    cmd = [
+        "g++", "-O2", "-fPIC", "-shared", "-std=c++17",
+        SRC, "-o", LIB + ".tmp",
+    ] + LIBS
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    os.replace(LIB + ".tmp", LIB)
+    return LIB
+
+
+def main() -> None:
+    try:
+        path = build(force="--force" in sys.argv)
+        print(f"built {path}")
+    except subprocess.CalledProcessError as e:
+        print(e.stderr, file=sys.stderr)
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
