@@ -1,0 +1,114 @@
+"""Sweep runner tests: batch derivation, manifests, mini end-to-end sweep."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cbas_tpu.app.sweep import SweepRunner, derive_batch_size_for_seq_len
+from cbas_tpu.core import hdf5_store
+from cbas_tpu.core.project import Project
+from cbas_tpu.utils.naming import h5_path_for_video
+
+DIM = 16
+FRAMES = 120
+
+
+def test_batch_derivation_token_budget():
+    # Reference semantics: batch*seq ~= 1024*31, snapped down to 32s, capped.
+    assert derive_batch_size_for_seq_len(31) == 1024
+    assert derive_batch_size_for_seq_len(63) == 480   # 1024*31/63 = 503 -> 480
+    assert derive_batch_size_for_seq_len(95) == 320   # 334 -> 320
+    assert derive_batch_size_for_seq_len(9999) == 32  # floor at minimum
+
+
+@pytest.fixture(scope="module")
+def project(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sweepproj")
+    proj = Project.create_project(str(root), "p")
+    rng = np.random.default_rng(0)
+    ds = proj.create_dataset("d", ["walk", "rest"], [])
+    labels = {"walk": [], "rest": []}
+    for s in range(8):
+        rec = os.path.join(proj.recordings_dir, "sess", f"m{s}")
+        os.makedirs(rec)
+        video = os.path.join(rec, f"m{s}_00001.mp4")
+        open(video, "wb").close()
+        feats = np.zeros((FRAMES, DIM), np.float16)
+        half = FRAMES // 2
+        feats[:half] = rng.normal(1.5, 1.0, (half, DIM))
+        feats[half:] = rng.normal(-1.5, 1.0, (FRAMES - half, DIM))
+        with hdf5_store.EmbeddingWriter(
+            h5_path_for_video(video), encoder_identifier=proj.encoder_model_identifier,
+            embed_dim=DIM,
+        ) as w:
+            w.append(feats)
+        rel = os.path.relpath(video, proj.path)
+        labels["walk"].append({"video": rel, "start": 10, "end": 40, "label": "walk"})
+        labels["rest"].append({"video": rel, "start": half + 10, "end": half + 40, "label": "rest"})
+    ds.labels["labels"] = labels
+    ds.save_labels()
+    proj.reload()
+    return proj
+
+
+TINY = dict(epochs=1, num_runs=1, num_trials=1, batch_size=64, patience=1)
+
+
+@pytest.fixture(scope="module")
+def runner(project):
+    return SweepRunner(
+        project,
+        "d",
+        parameter_grid={"learning_rate": [5e-3], "sequence_length": [7]},
+        fixed=dict(TINY, training_method="oversampling", use_test=False,
+                   test_split=0.0, optimization_target="weighted avg",
+                   lstm_hidden_size=8, lstm_layers=1),
+        champion=dict(TINY, learning_rate=5e-3, sequence_length=7,
+                      lstm_hidden_size=8, lstm_layers=1, weight_decay=0.0,
+                      label_smoothing=0.0, training_method="oversampling",
+                      optimization_target="weighted avg", use_test=True,
+                      test_split=0.15, num_runs=2),
+        n_sweep_splits=2,
+        n_outer_splits=2,
+    )
+
+
+def test_precompute_writes_fingerprinted_manifests(runner, project):
+    runner.precompute_splits()
+    for path, n in ((runner.sweep_manifest_path, 2), (runner.outer_manifest_path, 2)):
+        doc = json.load(open(path))
+        assert len(doc["splits"]) == n
+        assert doc["dataset_fingerprint"] == runner._fingerprint()
+        s = doc["splits"][0]
+        assert s["train"] and s["validation"] is not None
+
+
+def test_sweep_phase(runner):
+    out = runner.run_sweep()
+    assert out and os.path.exists(out)
+    df = pd.read_csv(out)
+    assert len(df) == 1  # one grid combo
+    assert "avg_validation_f1_weighted_avg" in df.columns
+    assert df["effective_tokens_per_step"].iloc[0] == df["batch_size"].iloc[0] * 7
+    # batch derived from token budget (base 64 @ seq31 -> seq7 caps at 64)
+    assert df["batch_size"].iloc[0] == 64
+
+
+def test_evaluate_phase(runner):
+    out = runner.run_final_evaluation()
+    assert out and os.path.exists(out)
+    df = pd.read_csv(out)
+    assert len(df) == 2  # two replicates
+    assert {"walk_Test_F1", "rest_Test_Precision", "replicate"} <= set(df.columns)
+
+
+def test_train_final_phase(runner, project):
+    model_dir = runner.train_final_model()
+    assert model_dir and os.path.exists(os.path.join(model_dir, "model.npz"))
+    cfg = project.datasets["d"].config
+    assert "metrics" in cfg
+    assert "Train Inst (Frames)" in cfg["metrics"]["walk"]
+    assert "F1 Score" in cfg["metrics"]["walk"]
