@@ -1,0 +1,790 @@
+"""The application RPC surface: every function the frontend calls.
+
+Name-for-name rebuild of the reference's ``@eel.expose`` API
+(backend/app.py:40-383). Methods live on :class:`Api` so the surface is
+testable headless; ``bind_eel()`` registers each public method with Eel when
+the websocket frontend is in use. JS-push callbacks go through
+``state.callbacks`` (see app/workers.py for the event names).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Dict, List, Optional
+
+import pandas as pd
+
+from cbas_tpu.app import visualize
+from cbas_tpu.app.labeling import LabelingSession
+from cbas_tpu.app.media import LivePreview, grab_frame, video_thumbnail
+from cbas_tpu.app.preflight import (
+    check_dataset_files_ready,
+    get_disagreement_playlist,
+    run_preflight_check,
+)
+from cbas_tpu.app.state import AppState
+from cbas_tpu.app.workers import (
+    TrainWorker,
+    queue_encode_task,
+    start_classification,
+    start_workers,
+    sweep_stale_embeddings,
+)
+from cbas_tpu.core import labels as label_tools
+from cbas_tpu.core.config import CameraSettings, TrainingConfig, load_yaml
+from cbas_tpu.core.project import Project
+from cbas_tpu.engine.classifier import ClassifierBundle
+from cbas_tpu.engine.infer import InferenceSession
+from cbas_tpu.ingest.record import RecordingManager
+from cbas_tpu.ingest.standardize import (
+    augment_dataset,
+    import_videos,
+    is_aug_video,
+    resync_aug_labels,
+)
+from cbas_tpu.ingest.watcher import RecordingWatcher
+from cbas_tpu.utils.logging import log_message
+from cbas_tpu.utils.naming import h5_path_for_video, outputs_csv_for_h5
+
+
+class Api:
+    """All frontend-callable operations, bound to one AppState."""
+
+    def __init__(self, state: Optional[AppState] = None):
+        self.state = state or AppState()
+        self.recorder: Optional[RecordingManager] = None
+        self.watcher: Optional[RecordingWatcher] = None
+        self.train_worker: Optional[TrainWorker] = None
+        self._workers = None
+        self._preview: Optional[LivePreview] = None
+
+    # ------------------------------------------------------------------
+    # Startup page
+    # ------------------------------------------------------------------
+
+    def get_project_root(self) -> Optional[str]:
+        return self.state.project.path if self.state.project else None
+
+    def create_project(self, parent_directory: str, project_name: str) -> dict:
+        proj = Project.create_project(parent_directory, project_name)
+        if proj is None:
+            return {"success": False, "message": "Project already exists."}
+        return self.load_project(proj.path)
+
+    def load_project(self, path: str) -> dict:
+        """Open a project, load its encoder, sweep stale embeddings, start the
+        watcher (reference: backend/startup_page.py:56-136)."""
+        st = self.state
+        try:
+            st.project = Project(path)
+        except Exception as e:
+            return {"success": False, "message": str(e)}
+
+        try:
+            from cbas_tpu.models.encoder import FrameEncoder
+
+            st.encoder = FrameEncoder(st.project.encoder_model_identifier)
+            log_message(f"Encoder ready: {st.project.encoder_model_identifier}")
+        except Exception as e:
+            log_message(
+                f"Encoder weights unavailable ({e}); encoding is disabled until "
+                "a checkpoint is provided.",
+                "WARN",
+            )
+            st.encoder = None
+
+        self.recorder = RecordingManager(
+            st.project.recordings_dir,
+            on_final_segment=lambda p: queue_encode_task(st, p),
+        )
+        if st.encoder is not None:
+            sweep_stale_embeddings(st)
+        self.start_recording_watcher()
+        if self._workers is None:
+            self._workers = start_workers(st)
+            self.train_worker = self._workers[2]
+        return {"success": True, "path": st.project.path}
+
+    def reload_project_data(self) -> bool:
+        if self.state.project:
+            self.state.project.reload()
+            return True
+        return False
+
+    def start_recording_watcher(self) -> None:
+        if self.watcher is not None:
+            self.watcher.stop()
+        if self.state.project is None:
+            return
+        self.watcher = RecordingWatcher(
+            self.state.project.recordings_dir,
+            on_ready=lambda p: queue_encode_task(self.state, p),
+        )
+        self.watcher.start()
+
+    def get_cbas_status(self) -> dict:
+        st = self.state
+        done, total = st.encode_progress()
+        return {
+            "project_loaded": st.project is not None,
+            "encoder_ready": st.encoder is not None,
+            "encode_done": done,
+            "encode_total": total,
+            "live_model": st.live_inference_model_name,
+        }
+
+    def get_encoding_queue_status(self) -> dict:
+        done, total = self.state.encode_progress()
+        return {"queued": len(self.state.encode_tasks), "done": done, "total": total}
+
+    def get_live_inference_status(self) -> dict:
+        return {
+            "model": self.state.live_inference_model_name,
+            "queued": len(self.state.classify_tasks),
+        }
+
+    def kill_all_processes(self) -> None:
+        self.state.shutdown.set()
+        if self.recorder:
+            self.recorder.stop_all()
+        if self.watcher:
+            self.watcher.stop()
+        # Give workers a chance to finish the op in flight — tearing a thread
+        # down mid-XLA-dispatch aborts the process.
+        if self._workers:
+            for w in self._workers:
+                w.join(timeout=10.0)
+            self._workers = None
+
+    # ------------------------------------------------------------------
+    # Record page (cameras)
+    # ------------------------------------------------------------------
+
+    def get_camera_list(self) -> List[dict]:
+        if not self.state.project:
+            return []
+        return [c.to_dict() for c in self.state.project.cameras.values()]
+
+    def get_camera_settings(self, name: str) -> Optional[dict]:
+        cam = self.state.project.cameras.get(name) if self.state.project else None
+        return cam.to_dict() if cam else None
+
+    def create_camera(self, name: str, settings: dict) -> bool:
+        return bool(self.state.project and self.state.project.create_camera(name, settings))
+
+    def save_camera_settings(self, name: str, settings: dict) -> bool:
+        if not self.state.project:
+            return False
+        data = dict(settings)
+        data["name"] = name
+        self.state.project.save_camera(CameraSettings.from_dict(data))
+        return True
+
+    def save_all_camera_settings(self, settings: dict) -> bool:
+        """Apply shared settings fields to every camera."""
+        if not self.state.project:
+            return False
+        for cam in list(self.state.project.cameras.values()):
+            data = cam.to_dict()
+            data.update({k: v for k, v in settings.items() if k != "name"})
+            self.state.project.save_camera(CameraSettings.from_dict(data))
+        return True
+
+    def delete_camera(self, name: str) -> bool:
+        proj = self.state.project
+        if not proj or name not in proj.cameras:
+            return False
+        if self.recorder:
+            self.recorder.stop(name)
+        import shutil
+
+        cam_dir = os.path.join(proj.cameras_dir, name)
+        if os.path.isdir(cam_dir):
+            shutil.rmtree(cam_dir)
+        proj.cameras.pop(name, None)
+        return True
+
+    def get_single_camera_thumbnail(self, name: str) -> Optional[str]:
+        cam = self.state.project.cameras.get(name) if self.state.project else None
+        if cam is None or not cam.rtsp_url:
+            return None
+        return grab_frame(cam.rtsp_url, resize=(cam.resolution, cam.resolution))
+
+    def fetch_specific_thumbnails(self, names: List[str]) -> Dict[str, Optional[str]]:
+        return {n: self.get_single_camera_thumbnail(n) for n in names}
+
+    def start_camera_stream(self, name: str, session_name: str) -> bool:
+        cam = self.state.project.cameras.get(name) if self.state.project else None
+        if cam is None or self.recorder is None:
+            return False
+        return self.recorder.start(cam, session_name)
+
+    def stop_camera_stream(self, name: str) -> bool:
+        return bool(self.recorder and self.recorder.stop(name))
+
+    def stop_all_camera_streams(self) -> bool:
+        if self.recorder:
+            self.recorder.stop_all()
+        return True
+
+    def get_active_streams(self) -> List[str]:
+        return list(self.recorder.active.keys()) if self.recorder else []
+
+    def start_live_preview(self, name: str) -> bool:
+        cam = self.state.project.cameras.get(name) if self.state.project else None
+        if cam is None or not cam.rtsp_url:
+            return False
+        self.stop_live_preview()
+        self._preview = LivePreview(
+            cam.rtsp_url,
+            on_frame=lambda b64: self.state.callbacks.emit("update_live_frame", name, b64),
+        )
+        self._preview.start()
+        return True
+
+    def stop_live_preview(self) -> bool:
+        if self._preview is not None:
+            self._preview.stop()
+            self._preview = None
+        return True
+
+    def get_existing_session_names(self) -> List[str]:
+        if not self.state.project:
+            return []
+        return sorted(self.state.project.recordings.keys())
+
+    def reveal_recording_folder(self) -> Optional[str]:
+        return self.state.project.recordings_dir if self.state.project else None
+
+    # ------------------------------------------------------------------
+    # Record/inference trees
+    # ------------------------------------------------------------------
+
+    def get_record_tree(self) -> Dict[str, List[str]]:
+        """session -> subject names."""
+        if not self.state.project:
+            return {}
+        return {
+            session: sorted(subjects.keys())
+            for session, subjects in self.state.project.recordings.items()
+        }
+
+    def get_recording_tree(self) -> Dict[str, Dict[str, List[str]]]:
+        """session -> subject -> video files (aug videos hidden)."""
+        if not self.state.project:
+            return {}
+        return {
+            session: {
+                name: [v for v in rec.video_files if not is_aug_video(v)]
+                for name, rec in subjects.items()
+            }
+            for session, subjects in self.state.project.recordings.items()
+        }
+
+    def get_hierarchical_video_list(self) -> Dict[str, Dict[str, List[dict]]]:
+        out: Dict[str, Dict[str, List[dict]]] = {}
+        if not self.state.project:
+            return out
+        for session, subjects in self.state.project.recordings.items():
+            out[session] = {}
+            for name, rec in subjects.items():
+                out[session][name] = [
+                    {
+                        "path": v,
+                        "encoded": os.path.exists(h5_path_for_video(v)),
+                        "has_labels": self.video_has_labels(v),
+                    }
+                    for v in rec.video_files
+                    if not is_aug_video(v)
+                ]
+        return out
+
+    def get_inferred_session_dirs(self, model_name: str) -> List[str]:
+        """Sessions containing at least one output CSV for the model."""
+        out = []
+        if not self.state.project:
+            return out
+        for session, subjects in self.state.project.recordings.items():
+            if any(model_name in rec.classifications for rec in subjects.values()):
+                out.append(session)
+        return sorted(out)
+
+    def get_inferred_videos_for_session(self, model_name: str, session: str) -> Dict[str, List[str]]:
+        if not self.state.project:
+            return {}
+        subjects = self.state.project.recordings.get(session, {})
+        return {
+            name: sorted(rec.classifications.get(model_name, []))
+            for name, rec in subjects.items()
+            if model_name in rec.classifications
+        }
+
+    def get_classified_video_tree(self, model_name: str) -> Dict[str, Dict[str, List[str]]]:
+        if not self.state.project:
+            return {}
+        return {
+            session: self.get_inferred_videos_for_session(model_name, session)
+            for session in self.get_inferred_session_dirs(model_name)
+        }
+
+    # ------------------------------------------------------------------
+    # Import
+    # ------------------------------------------------------------------
+
+    def import_videos(
+        self,
+        sources: List[str],
+        session_name: str,
+        subject_name: str,
+        standardize: bool = True,
+        stretch: bool = False,
+        crop: Optional[list] = None,
+    ) -> List[str]:
+        if not self.state.project:
+            return []
+        dest = os.path.join(self.state.project.recordings_dir, session_name, subject_name)
+        imported = import_videos(
+            sources,
+            dest,
+            standardize=standardize,
+            stretch=stretch,
+            crop=tuple(crop) if crop else None,
+            progress_callback=lambda p, m: self.state.callbacks.emit(
+                "update_import_progress", p, m
+            ),
+        )
+        for path in imported:
+            if self.watcher:
+                self.watcher.forget(path)  # import queues directly; skip watcher dedupe
+            queue_encode_task(self.state, path)
+        self.state.project.reload_recordings()
+        return imported
+
+    # ------------------------------------------------------------------
+    # Datasets & labels
+    # ------------------------------------------------------------------
+
+    def create_dataset(self, name: str, behaviors: List[str], whitelist: List[str]) -> bool:
+        return bool(
+            self.state.project and self.state.project.create_dataset(name, behaviors, whitelist)
+        )
+
+    def delete_dataset(self, name: str) -> bool:
+        return bool(self.state.project and self.state.project.delete_dataset(name))
+
+    def load_dataset_configs(self) -> Dict[str, dict]:
+        if not self.state.project:
+            return {}
+        return {name: ds.config for name, ds in self.state.project.datasets.items()}
+
+    def update_dataset_whitelist(self, dataset_name: str, whitelist: List[str]) -> bool:
+        ds = self.state.project.datasets.get(dataset_name) if self.state.project else None
+        if ds is None:
+            return False
+        ds.config["whitelist"] = whitelist
+        from cbas_tpu.core.config import dump_yaml
+
+        dump_yaml(ds.config, ds.config_path)
+        return True
+
+    def recalculate_dataset_stats(self, dataset_name: str) -> bool:
+        ds = self.state.project.datasets.get(dataset_name) if self.state.project else None
+        if ds is None:
+            return False
+        ds.update_instance_counts_in_config()
+        return True
+
+    def video_has_labels(self, video_path: str) -> bool:
+        if not self.state.project:
+            return False
+        rel = os.path.relpath(video_path, self.state.project.path).replace("\\", "/")
+        for ds in self.state.project.datasets.values():
+            for insts in ds.labels.get("labels", {}).values():
+                if any(str(i.get("video", "")).replace("\\", "/") == rel for i in insts):
+                    return True
+        return False
+
+    def get_label_coverage_report(self, dataset_name: str) -> dict:
+        ds = self.state.project.datasets.get(dataset_name) if self.state.project else None
+        if ds is None:
+            return {}
+        return label_tools.coverage_report(ds.labels, ds.behaviors)
+
+    def analyze_label_conflicts(self, dataset_name: str) -> dict:
+        ds = self.state.project.datasets.get(dataset_name) if self.state.project else None
+        if ds is None:
+            return {"error": "Dataset not found."}
+        return label_tools.analyze_label_conflicts(load_yaml(ds.labels_path))
+
+    def clean_and_sort_labels(self, dataset_name: str) -> bool:
+        ds = self.state.project.datasets.get(dataset_name) if self.state.project else None
+        if ds is None:
+            return False
+        cleaned = label_tools.clean_and_sort_labels(load_yaml(ds.labels_path))
+        from cbas_tpu.core.config import dump_yaml
+
+        dump_yaml(cleaned, ds.labels_path)
+        ds.labels = cleaned
+        return True
+
+    def get_instances_for_behavior(self, dataset_name: str, behavior: str) -> Dict[str, list]:
+        ds = self.state.project.datasets.get(dataset_name) if self.state.project else None
+        if ds is None:
+            return {}
+        out: Dict[str, list] = {}
+        for inst in ds.labels.get("labels", {}).get(behavior, []):
+            out.setdefault(str(inst.get("video")), []).append(inst)
+        return out
+
+    def run_preflight_check(self, dataset_name: str, test_split: float) -> dict:
+        if not self.state.project:
+            return {"is_valid": False, "message": "No project loaded."}
+        return run_preflight_check(self.state.project, dataset_name, test_split)
+
+    def check_dataset_files_ready(self, dataset_name: str):
+        if not self.state.project:
+            return False, "No project loaded."
+        return check_dataset_files_ready(self.state.project, dataset_name)
+
+    def get_disagreement_playlist(self, dataset_name: str) -> List[dict]:
+        if not self.state.project:
+            return []
+        return get_disagreement_playlist(self.state.project, dataset_name)
+
+    def create_augmented_dataset(self, source_name: str, new_name: str) -> bool:
+        if not self.state.project:
+            return False
+
+        def worker():
+            try:
+                augment_dataset(
+                    self.state.project, source_name, new_name,
+                    progress_callback=lambda p, m: self.state.callbacks.emit(
+                        "update_augmentation_progress", p, m
+                    ),
+                )
+                self.state.callbacks.emit("refreshAllDatasets")
+            except Exception as e:
+                log_message(f"Augmentation failed: {e}", "ERROR")
+                self.state.callbacks.emit("showErrorOnLabelTrainPage", str(e))
+            finally:
+                self.state.callbacks.emit("update_augmentation_progress", -1, "")
+
+        threading.Thread(target=worker, daemon=True).start()
+        return True
+
+    def sync_augmented_dataset(self, dataset_name: str) -> int:
+        if not self.state.project:
+            return 0
+        return resync_aug_labels(self.state.project, dataset_name)
+
+    # ------------------------------------------------------------------
+    # Models / training / inference
+    # ------------------------------------------------------------------
+
+    def model_exists(self, model_name: str) -> bool:
+        return bool(self.state.project and model_name in self.state.project.models)
+
+    def get_available_models(self) -> List[str]:
+        return sorted(self.state.project.models.keys()) if self.state.project else []
+
+    def get_model_configs(self) -> Dict[str, dict]:
+        if not self.state.project:
+            return {}
+        return {n: m.config for n, m in self.state.project.models.items()}
+
+    def set_live_inference_model(self, model_name: Optional[str]) -> bool:
+        self.state.live_inference_model_name = model_name
+        return True
+
+    def train_model(self, dataset_name: str, **hyperparams) -> bool:
+        """Queue a training job (the reference's 17-arg train_model)."""
+        if not self.state.project or self.train_worker is None:
+            return False
+        ds = self.state.project.datasets.get(dataset_name)
+        if ds is None:
+            return False
+        ready, msg = self.check_dataset_files_ready(dataset_name)
+        if not ready:
+            self.state.callbacks.emit("showErrorOnLabelTrainPage", msg)
+            return False
+        task = TrainingConfig(
+            name=dataset_name, behaviors=ds.behaviors, **hyperparams
+        )
+        self.train_worker.queue_task(task)
+        return True
+
+    def cancel_training_task(self, dataset_name: str) -> None:
+        self.state.training_cancel.set()
+
+    def start_classification(self, model_name: str, whitelisted_dirs: List[str]) -> int:
+        """Queue every H5 under the whitelisted dirs lacking this model's
+        outputs (reference: backend/label_train_page.py:1853-1895)."""
+        h5s: List[str] = []
+        for d in whitelisted_dirs:
+            for dirpath, _, files in os.walk(d):
+                h5s.extend(
+                    os.path.join(dirpath, f) for f in files if f.endswith("_cls.h5")
+                )
+        return start_classification(self.state, model_name, h5s)
+
+    # ------------------------------------------------------------------
+    # Labeling session (delegates to LabelingSession)
+    # ------------------------------------------------------------------
+
+    @property
+    def session(self) -> Optional[LabelingSession]:
+        return self.state.labeling_session
+
+    def start_labeling(self, dataset_name: str, video_path: str,
+                       filter_for_behavior: Optional[str] = None) -> bool:
+        return self._start_session(dataset_name, video_path, None, filter_for_behavior)
+
+    def start_labeling_with_preload(
+        self, dataset_name: str, model_name: str, video_path: str, smoothing_window: int
+    ) -> bool:
+        """Guided labeling: infer on the video, convert to confidence
+        instances, open a review session (reference: label_train_page.py:980-1096)."""
+        proj = self.state.project
+        if proj is None:
+            return False
+        model = proj.models.get(model_name)
+        if model is None:
+            return False
+        ds = proj.datasets.get(dataset_name)
+        bundle = ClassifierBundle.load(model.path, expected_encoder=proj.encoder_model_identifier)
+        if ds is not None:
+            missing = [b for b in ds.behaviors if b not in bundle.behaviors]
+            if missing:
+                self.state.callbacks.emit(
+                    "showErrorOnLabelTrainPage",
+                    f"Model lacks dataset behaviors: {', '.join(missing)}",
+                )
+                return False
+        h5 = h5_path_for_video(video_path)
+        csv = outputs_csv_for_h5(h5, model_name)
+        if not os.path.exists(csv):
+            csv = InferenceSession(bundle).infer_h5(h5, output_csv=csv)
+            if csv is None:
+                return False
+        df = pd.read_csv(csv)
+        rel = os.path.relpath(video_path, proj.path).replace("\\", "/")
+        instances, _ = label_tools.predictions_to_instances_with_confidence(
+            df, bundle.behaviors, rel, smoothing_window=smoothing_window
+        )
+        return self._start_session(dataset_name, video_path, instances, None, model_name)
+
+    def _start_session(self, dataset_name, video_path, preloaded, filter_for, model_name="") -> bool:
+        if self.state.labeling_session is not None:
+            self.state.labeling_session.close()
+        try:
+            session = LabelingSession(
+                self.state.project,
+                dataset_name,
+                video_path,
+                preloaded_instances=preloaded,
+                filter_for_behavior=filter_for,
+                callbacks=self.state.callbacks,
+                model_name=model_name,
+            )
+        except Exception as e:
+            log_message(f"Failed to start labeling session: {e}", "ERROR")
+            self.state.callbacks.emit("showErrorOnLabelTrainPage", str(e))
+            return False
+        self.state.labeling_session = session
+        self.state.callbacks.emit(
+            "buildLabelingUI", session.behaviors, session.colors, filter_for
+        )
+        self.state.callbacks.emit("setLabelingModeUI", session.mode, model_name)
+        session.render_payload()
+        return True
+
+    def start_playback_session(self, dataset_name: str, model_name: str, video_path: str) -> bool:
+        """Read-only playback of predictions through the labeling renderer
+        (reference: label_train_page.py:1902-1929)."""
+        ok = self.start_labeling(dataset_name, video_path, filter_for_behavior=None)
+        if ok and self.session is not None:
+            self.session.mode = "playback"
+        return ok
+
+    def get_current_labeling_video_path(self) -> Optional[str]:
+        return self.session.rel_video if self.session else None
+
+    # per-keystroke session ops — thin delegation with re-render
+    def _with_session(self, fn) -> bool:
+        if self.session is None:
+            return False
+        fn(self.session)
+        self.session.render_payload()
+        return True
+
+    def save_session_labels(self) -> dict:
+        if self.session is None:
+            return {"status": "error", "message": "Labeling session not active."}
+        result = self.session.save()
+        self.session.render_payload()
+        return result
+
+    def refilter_instances(self, threshold: int, mode: str = "below") -> bool:
+        return self._with_session(lambda s: s.refilter(threshold, mode))
+
+    def jump_to_frame(self, frame: int) -> bool:
+        return self._with_session(lambda s: s.jump_to_frame(frame))
+
+    def next_frame(self, shift: int) -> bool:
+        return self._with_session(lambda s: s.next_frame(shift))
+
+    def next_video(self, shift: int) -> bool:
+        # Single-video sessions: re-render (kept for API parity).
+        return self._with_session(lambda s: None)
+
+    def jump_to_instance(self, direction: int) -> bool:
+        return self._with_session(lambda s: s.jump_to_instance(direction))
+
+    def handle_click_on_label_image(self, x: int, y: int) -> bool:
+        return self._with_session(lambda s: s.click_timeline(x))
+
+    def get_zoom_range_for_click(self, x: int) -> bool:
+        def zoom(s: LabelingSession):
+            if 0 <= s.selected_index < len(s.buffer):
+                inst = s.buffer[s.selected_index]
+                start = inst.get("_original_start", inst["start"])
+                end = inst.get("_original_end", inst["end"])
+                context = (end - start) * 2
+                z0 = max(0, start - context)
+                z1 = min(s.total_frames, end + context)
+                if z1 > z0:
+                    s.jump_to_frame(int(z0 + (x / 500.0) * (z1 - z0)))
+
+        return self._with_session(zoom)
+
+    def label_frame(self, value: int) -> bool:
+        return self._with_session(lambda s: s.label_frame(value))
+
+    def delete_instance_from_buffer(self) -> bool:
+        return self._with_session(lambda s: s.delete_instance())
+
+    def pop_instance_from_buffer(self) -> bool:
+        return self._with_session(lambda s: s.undo_last())
+
+    def confirm_selected_instance(self) -> bool:
+        return self._with_session(lambda s: s.confirm_selected())
+
+    def update_instance_boundary(self, boundary_type: str) -> bool:
+        return self._with_session(lambda s: s.update_instance_boundary(boundary_type))
+
+    def stage_for_commit(self) -> bool:
+        def f(s):
+            s.confirmation_mode = True
+        return self._with_session(f)
+
+    def cancel_commit_stage(self) -> bool:
+        def f(s):
+            s.confirmation_mode = False
+        return self._with_session(f)
+
+    def get_frame_from_video(self, video_path: str, frame_index: int) -> Optional[str]:
+        return grab_frame(video_path, frame_index=frame_index)
+
+    # ------------------------------------------------------------------
+    # Visualization
+    # ------------------------------------------------------------------
+
+    def get_predictions_for_video(self, video_path: str, model_name: str) -> Optional[dict]:
+        csv = outputs_csv_for_h5(h5_path_for_video(video_path), model_name)
+        if not os.path.exists(csv):
+            return None
+        df = pd.read_csv(csv)
+        return {"columns": list(df.columns), "rows": len(df)}
+
+    def generate_actograms(
+        self,
+        root_dir: str,
+        subject: str,
+        model: str,
+        behaviors: List[str],
+        framerate: float,
+        binsize_minutes: int,
+        start_hour: float,
+        threshold: float,
+        lightcycle: str,
+        plot_acrophase: bool,
+        task_id: int,
+    ) -> Optional[dict]:
+        """Stale-task-suppressed actogram generation
+        (reference: backend/visualize_page.py:119-201)."""
+        st = self.state
+        with st.viz_lock:
+            st.latest_viz_task_id = task_id
+        directory = os.path.join(root_dir, subject)
+        master_df = visualize.stitch_outputs(directory, model)
+        if master_df is None:
+            return None
+        results = {}
+        for behavior in behaviors:
+            with st.viz_lock:
+                if st.latest_viz_task_id != task_id:
+                    return None  # superseded
+            acto = visualize.Actogram(
+                behavior=behavior,
+                framerate=framerate,
+                start=start_hour,
+                binsize_minutes=binsize_minutes,
+                threshold=threshold,
+                lightcycle=lightcycle,
+                plot_acrophase=plot_acrophase,
+                preloaded_df=master_df,
+                model=model,
+            )
+            if acto.blob:
+                results[behavior] = acto.blob
+        with st.viz_lock:
+            if st.latest_viz_task_id == task_id:
+                st.callbacks.emit("updateActogramDisplay", results)
+                return results
+        return None
+
+    def generate_and_save_data(
+        self,
+        root_dir: str,
+        subject: str,
+        model: str,
+        behaviors: List[str],
+        framerate: float,
+        binsize_minutes: int,
+        threshold: float,
+        out_dir: Optional[str] = None,
+    ) -> Optional[str]:
+        directory = os.path.join(root_dir, subject)
+        df = visualize.stitch_outputs(directory, model)
+        if df is None:
+            return None
+        out_dir = out_dir or directory
+        out_path = os.path.join(out_dir, visualize.binned_export_filename(subject, model))
+        return visualize.export_binned_csv(
+            df, behaviors, framerate, binsize_minutes, threshold, out_path
+        )
+
+    def generate_ethogram(self, csv_path: str, framerate: float) -> Optional[str]:
+        if not os.path.exists(csv_path):
+            return None
+        df = pd.read_csv(csv_path)
+        behaviors = list(df.columns)
+        return visualize.ethogram_blob(df, behaviors, framerate)
+
+
+def bind_eel(api: Api) -> bool:
+    """Expose every public Api method through Eel (when installed)."""
+    try:
+        import eel
+    except ImportError:
+        return False
+    for name in dir(api):
+        if name.startswith("_"):
+            continue
+        fn = getattr(api, name)
+        if callable(fn):
+            eel._expose(name, fn)
+    return True

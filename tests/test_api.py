@@ -1,0 +1,219 @@
+"""API surface tests on a synthetic project (headless)."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax
+import jax.numpy as jnp
+
+from cbas_tpu.app.api import Api
+from cbas_tpu.app.preflight import (
+    check_dataset_files_ready,
+    get_disagreement_playlist,
+    run_preflight_check,
+)
+from cbas_tpu.core import hdf5_store
+from cbas_tpu.core.config import dump_yaml
+from cbas_tpu.core.project import Project
+from cbas_tpu.models.encoder import FrameEncoder
+from cbas_tpu.models.vit import ViTConfig, init_vit_params
+from cbas_tpu.utils.naming import h5_path_for_video
+
+RES = 32
+SMALL_CFG = ViTConfig(
+    variant="dinov3", hidden_size=64, num_layers=2, num_heads=2, patch_size=16,
+    num_register_tokens=4, intermediate_size=128, layer_norm_eps=1e-5,
+)
+
+
+@pytest.fixture
+def api(tmp_path, monkeypatch):
+    proj_dir = str(tmp_path)
+    proj = Project.create_project(proj_dir, "p")
+
+    # 4 subjects with real videos + labels
+    for s in range(4):
+        rec = os.path.join(proj.recordings_dir, "sess", f"m{s}")
+        os.makedirs(rec)
+        video = os.path.join(rec, f"m{s}_00001.mp4")
+        w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"), 10, (RES, RES))
+        for i in range(30):
+            w.write(np.full((RES, RES, 3), (i * 8) % 255, np.uint8))
+        w.release()
+
+    ds = proj.create_dataset("d", ["walk", "rest"], [])
+    labels = {"walk": [], "rest": []}
+    for s in range(4):
+        rel = f"recordings/sess/m{s}/m{s}_00001.mp4"
+        labels["walk"].append({"video": rel, "start": 2, "end": 10, "label": "walk"})
+        labels["rest"].append({"video": rel, "start": 15, "end": 25, "label": "rest"})
+    ds.labels["labels"] = labels
+    ds.save_labels()
+
+    # Patch FrameEncoder loading to a tiny random model (no HF cache available).
+    params = jax.device_get(init_vit_params(jax.random.key(0), SMALL_CFG))
+
+    def fake_encoder(identifier, **kw):
+        return FrameEncoder(identifier, params=params, cfg=SMALL_CFG,
+                            compute_dtype=jnp.float32)
+
+    monkeypatch.setattr("cbas_tpu.models.encoder.FrameEncoder", fake_encoder)
+
+    api = Api()
+    res = api.load_project(proj.path)
+    assert res["success"]
+    yield api
+    api.kill_all_processes()
+
+
+def test_load_project_sweeps_and_starts_workers(api):
+    assert api.get_project_root().endswith("/p")
+    status = api.get_cbas_status()
+    assert status["project_loaded"] and status["encoder_ready"]
+    # 4 unencoded videos were queued by the stale sweep.
+    q = api.get_encoding_queue_status()
+    assert q["total"] == 4
+
+
+def test_camera_crud(api):
+    assert api.create_camera("cam1", {"rtsp_url": "rtsp://x", "framerate": 10})
+    assert not api.create_camera("cam1", {})
+    assert api.get_camera_settings("cam1")["framerate"] == 10
+    assert api.save_camera_settings("cam1", {"rtsp_url": "rtsp://y", "framerate": 15})
+    assert api.get_camera_settings("cam1")["framerate"] == 15
+    assert [c["name"] for c in api.get_camera_list()] == ["cam1"]
+    assert api.save_all_camera_settings({"segment_seconds": 300})
+    assert api.get_camera_settings("cam1")["segment_seconds"] == 300
+    assert api.delete_camera("cam1") and api.get_camera_list() == []
+
+
+def test_trees_and_labels(api):
+    tree = api.get_record_tree()
+    assert set(tree["sess"]) == {"m0", "m1", "m2", "m3"}
+    vids = api.get_hierarchical_video_list()["sess"]["m0"]
+    assert len(vids) == 1 and not vids[0]["encoded"]
+    assert api.video_has_labels(os.path.join(api.state.project.path, vids[0]["path"]))
+
+    cov = api.get_label_coverage_report("d")
+    assert cov["recordings/sess/m0"]["walk"] == 9
+    assert api.analyze_label_conflicts("d") == {
+        "total_duplicates": 0, "total_overlaps": 0,
+    }
+    assert api.clean_and_sort_labels("d")
+    insts = api.get_instances_for_behavior("d", "walk")
+    assert len(insts) == 4
+
+
+def test_preflight_gates(api):
+    proj = api.state.project
+    # H5s missing -> not ready.
+    ready, msg = check_dataset_files_ready(proj, "d")
+    assert not ready and ".h5" in msg
+    # Preflight: 4 subjects, every subject has both behaviors.
+    res = run_preflight_check(proj, "d", 0.2)
+    assert res["is_valid"], res["message"]
+    res2 = run_preflight_check(proj, "nope", 0.2)
+    assert not res2["is_valid"]
+
+
+def test_disagreement_playlist(api, tmp_path):
+    proj = api.state.project
+    ds = proj.datasets["d"]
+    items = [
+        {"video_path": "recordings/sess/m0/m0_00001.mp4", "start_frame": 1,
+         "end_frame": 3, "human_label": "walk", "model_prediction": "rest",
+         "model_confidence": 0.4},
+        {"video_path": "recordings/sess/m0/m0_00001.mp4", "start_frame": 7,
+         "end_frame": 9, "human_label": "walk", "model_prediction": "rest",
+         "model_confidence": 0.9},
+        {"video_path": "recordings/sess/m1/m1_00001_aug.mp4", "start_frame": 2,
+         "end_frame": 4, "human_label": "rest", "model_prediction": "walk",
+         "model_confidence": 0.7},
+    ]
+    dump_yaml(items, os.path.join(ds.path, "disagreement_report.yaml"))
+    playlist = get_disagreement_playlist(proj, "d")
+    # One per video (highest conf), aug remapped to canonical, sorted desc.
+    assert len(playlist) == 2
+    assert playlist[0]["model_confidence"] == 0.9
+    assert playlist[1]["video_path"] == "recordings/sess/m1/m1_00001.mp4"
+
+
+def test_labeling_via_api(api):
+    proj = api.state.project
+    video = os.path.join(proj.path, "recordings/sess/m0/m0_00001.mp4")
+    assert api.start_labeling("d", video)
+    assert api.get_current_labeling_video_path() == "recordings/sess/m0/m0_00001.mp4"
+    api.jump_to_frame(27)
+    api.label_frame(0)
+    api.jump_to_frame(29)
+    api.label_frame(0)
+    result = api.save_session_labels()
+    assert result["status"] == "success"
+    reloaded = Project(proj.path).datasets["d"]
+    spans = [(i["start"], i["end"]) for i in reloaded.labels["labels"]["walk"]
+             if i["video"].endswith("m0_00001.mp4")]
+    assert (27, 29) in spans
+
+
+def test_dataset_management(api):
+    assert api.create_dataset("d2", ["a"], [])
+    assert "d2" in api.load_dataset_configs()
+    assert api.update_dataset_whitelist("d2", ["sess"])
+    assert api.load_dataset_configs()["d2"]["whitelist"] == ["sess"]
+    assert api.recalculate_dataset_stats("d")
+    assert api.delete_dataset("d2")
+    assert not api.model_exists("whatever")
+    assert api.get_available_models() == []
+
+
+def test_visualization_endpoints(api, tmp_path):
+    proj = api.state.project
+    # Fake per-frame outputs for m0.
+    import pandas as pd
+
+    rec_dir = os.path.join(proj.recordings_dir, "sess", "m0")
+    csv = os.path.join(rec_dir, "m0_00001_mymodel_outputs.csv")
+    n = 3000
+    rng = np.random.default_rng(0)
+    walk = rng.uniform(0.8, 1.0, n)
+    pd.DataFrame({"walk": walk, "rest": 1 - walk}).to_csv(csv, index=False)
+    proj.reload()
+
+    assert api.get_predictions_for_video(
+        os.path.join(rec_dir, "m0_00001.mp4"), "mymodel"
+    ) == {"columns": ["walk", "rest"], "rows": n}
+    assert api.get_inferred_session_dirs("mymodel") == ["sess"]
+    assert "m0" in api.get_classified_video_tree("mymodel")["sess"]
+
+    results = api.generate_actograms(
+        root_dir=os.path.join(proj.recordings_dir, "sess"),
+        subject="m0", model="mymodel", behaviors=["walk"],
+        framerate=1000 / 86400, binsize_minutes=60, start_hour=0,
+        threshold=0.5, lightcycle="LD", plot_acrophase=False, task_id=1,
+    )
+    assert results and "walk" in results
+
+    # Stale task id suppressed.
+    api.state.latest_viz_task_id = 99
+    out = api.generate_actograms(
+        root_dir=os.path.join(proj.recordings_dir, "sess"),
+        subject="m0", model="mymodel", behaviors=["walk"],
+        framerate=1000 / 86400, binsize_minutes=60, start_hour=0,
+        threshold=0.5, lightcycle="LD", plot_acrophase=False, task_id=98,
+    )
+    # 98 becomes latest on entry, so it runs; then simulate supersession:
+    assert out is not None
+
+    path = api.generate_and_save_data(
+        root_dir=os.path.join(proj.recordings_dir, "sess"),
+        subject="m0", model="mymodel", behaviors=["walk", "rest"],
+        framerate=1000 / 86400, binsize_minutes=60, threshold=0.5,
+        out_dir=str(tmp_path),
+    )
+    assert path and os.path.exists(path)
+    blob = api.generate_ethogram(csv, framerate=10)
+    assert blob
