@@ -315,7 +315,7 @@ def resample_pos_embed(
     try:
         import torch
 
-        t = torch.from_numpy(grid).permute(0, 3, 1, 2)
+        t = torch.from_numpy(grid.copy()).permute(0, 3, 1, 2)
         t = torch.nn.functional.interpolate(
             t, size=(grid_h, grid_w), mode="bicubic", align_corners=False, antialias=True
         )
@@ -408,6 +408,97 @@ def vit_forward(
         cos, sin = rope_tables(cfg, *grid)
         rope = (jnp.asarray(cos), jnp.asarray(sin))
     return vit_forward_from_tokens(params, tokens, cfg, pos_embed, rope)
+
+
+def cls_attention_map(
+    params: Params,
+    pixel_values: jnp.ndarray,
+    cfg: ViTConfig,
+    pos_embed: Optional[jnp.ndarray] = None,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """Head-averaged last-layer attention of the CLS token over patch tokens.
+
+    Returns (B, grid_h, grid_w) — the encoder-sanity heatmap used to compare
+    backbones (the reference's compare_encoders.py:40-72 equivalent).
+    """
+    B, _, H, W = pixel_values.shape
+    grid = (H // cfg.patch_size, W // cfg.patch_size)
+
+    if cfg.variant == "dinov3" and rope is None:
+        cos, sin = rope_tables(cfg, *grid)
+        rope = (jnp.asarray(cos), jnp.asarray(sin))
+
+    # Run everything but the last block, then open up that block's attention.
+    dtype = pixel_values.dtype
+    if cfg.variant == "dinov2":
+        w = params["embeddings.patch_embeddings.projection.weight"]
+        bias = params["embeddings.patch_embeddings.projection.bias"]
+        layer_prefix = "encoder.layer"
+    else:
+        w = params["embeddings.patch_embeddings.weight"]
+        bias = params["embeddings.patch_embeddings.bias"]
+        layer_prefix = "layer"
+    proj = w.reshape(w.shape[0], -1).astype(dtype)
+    tokens = patchify(pixel_values, cfg.patch_size) @ proj.T + bias.astype(dtype)
+
+    cls_tok = jnp.broadcast_to(
+        params["embeddings.cls_token"].astype(dtype), (B, 1, cfg.hidden_size)
+    )
+    if cfg.variant == "dinov2":
+        x = jnp.concatenate([cls_tok, tokens], axis=1)
+        pe = pos_embed
+        if pe is None:
+            pe = resample_pos_embed(
+                np.asarray(params["embeddings.position_embeddings"], np.float32), *grid
+            )
+            pe = jnp.asarray(pe)
+        x = x + pe.astype(dtype)
+        if cfg.num_register_tokens:
+            regs = jnp.broadcast_to(
+                params["embeddings.register_tokens"].astype(dtype),
+                (B, cfg.num_register_tokens, cfg.hidden_size),
+            )
+            x = jnp.concatenate([x[:, :1], regs, x[:, 1:]], axis=1)
+    else:
+        regs = jnp.broadcast_to(
+            params["embeddings.register_tokens"].astype(dtype),
+            (B, cfg.num_register_tokens, cfg.hidden_size),
+        )
+        x = jnp.concatenate([cls_tok, regs, tokens], axis=1)
+
+    for i in range(cfg.num_layers - 1):
+        x = _block(params, f"{layer_prefix}.{i}", x, cfg, rope)
+
+    prefix = f"{layer_prefix}.{cfg.num_layers - 1}"
+    h = _ln(params, f"{prefix}.norm1", x, cfg.layer_norm_eps)
+    Hh, hd = cfg.num_heads, cfg.head_dim
+    N = h.shape[1]
+    if cfg.variant == "dinov2":
+        q = _dense(params, f"{prefix}.attention.attention.query", h)
+        k = _dense(params, f"{prefix}.attention.attention.key", h)
+    else:
+        q = _dense(params, f"{prefix}.attention.q_proj", h, cfg.query_bias)
+        k = _dense(params, f"{prefix}.attention.k_proj", h, cfg.key_bias)
+    q = q.reshape(B, N, Hh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, N, Hh, hd).transpose(0, 2, 1, 3)
+    if cfg.variant == "dinov3" and rope is not None:
+        cos, sin = rope
+        p = cfg.num_prefix_tokens
+
+        def rot_half(t):
+            t1, t2 = t[..., : hd // 2], t[..., hd // 2 :]
+            return jnp.concatenate([-t2, t1], axis=-1)
+
+        cos = cos.astype(q.dtype)
+        sin = sin.astype(q.dtype)
+        q = q.at[:, :, p:, :].set(q[:, :, p:, :] * cos + rot_half(q[:, :, p:, :]) * sin)
+        k = k.at[:, :, p:, :].set(k[:, :, p:, :] * cos + rot_half(k[:, :, p:, :]) * sin)
+
+    scores = jnp.einsum("bhd,bhkd->bhk", q[:, :, 0, :], k) * (hd ** -0.5)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    patch_attn = weights[:, :, cfg.num_prefix_tokens :].mean(axis=1)  # head-avg
+    return patch_attn.reshape(B, *grid)
 
 
 def cls_embeddings(
