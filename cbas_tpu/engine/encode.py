@@ -96,20 +96,33 @@ def encode_file(
             chunk_rows=cfg.h5_chunk_rows,
         )
         done = 0
+        # One device batch stays in flight: while chunk N computes on the TPU,
+        # chunk N+1 is transferred/dispatched and chunk N-1's rows hit disk.
+        in_flight = None  # (pending, chunk_end)
         try:
             while True:
                 item = chunk_q.get()
                 if item is _SENTINEL:
+                    if in_flight is not None:
+                        t = time.perf_counter()
+                        writer.append(encoder.to_host(in_flight[0]))
+                        if stats is not None:
+                            stats.device_s += time.perf_counter() - t
+                        done = in_flight[1]
+                        if progress_callback:
+                            progress_callback(done / video_len * 100.0)
                     break
                 start, planes = item
-                t = time.perf_counter()
-                emb = encoder.encode_planes(planes, batch=cfg.chunk_frames)
-                if stats is not None:
-                    stats.device_s += time.perf_counter() - t
-                writer.append(emb)
-                done = start + len(planes)
-                if progress_callback:
-                    progress_callback(done / video_len * 100.0)
+                pending = encoder.encode_planes_async(planes, batch=cfg.chunk_frames)
+                if in_flight is not None:
+                    t = time.perf_counter()
+                    writer.append(encoder.to_host(in_flight[0]))
+                    if stats is not None:
+                        stats.device_s += time.perf_counter() - t
+                    done = in_flight[1]
+                    if progress_callback:
+                        progress_callback(done / video_len * 100.0)
+                in_flight = (pending, start + len(planes))
             if decode_err:
                 raise decode_err[0]
             if cancel_event is not None and cancel_event.is_set() and done < video_len:

@@ -51,6 +51,10 @@ class ViTConfig:
     value_bias: bool = True
     proj_bias: bool = True
     mlp_bias: bool = True
+    # tanh-approximated GELU: ~3x cheaper on the VPU than exact erf. Off by
+    # default (HF parity); the bf16 encode path enables it — the deviation
+    # (~1e-3 relative) is below the fp16 embedding-store quantization.
+    gelu_approximate: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -250,13 +254,13 @@ def _mlp(params: Params, prefix: str, x: jnp.ndarray, cfg: ViTConfig) -> jnp.nda
             h = _dense(params, f"{prefix}.mlp.weights_in", x)
             x1, x2 = jnp.split(h, 2, axis=-1)
             return _dense(params, f"{prefix}.mlp.weights_out", jax.nn.silu(x1) * x2)
-        h = jax.nn.gelu(_dense(params, f"{prefix}.mlp.fc1", x), approximate=False)
+        h = jax.nn.gelu(_dense(params, f"{prefix}.mlp.fc1", x), approximate=cfg.gelu_approximate)
         return _dense(params, f"{prefix}.mlp.fc2", h)
     if cfg.use_gated_mlp:
-        g = jax.nn.gelu(_dense(params, f"{prefix}.mlp.gate_proj", x, cfg.mlp_bias), approximate=False)
+        g = jax.nn.gelu(_dense(params, f"{prefix}.mlp.gate_proj", x, cfg.mlp_bias), approximate=cfg.gelu_approximate)
         u = _dense(params, f"{prefix}.mlp.up_proj", x, cfg.mlp_bias)
         return _dense(params, f"{prefix}.mlp.down_proj", g * u, cfg.mlp_bias)
-    h = jax.nn.gelu(_dense(params, f"{prefix}.mlp.up_proj", x, cfg.mlp_bias), approximate=False)
+    h = jax.nn.gelu(_dense(params, f"{prefix}.mlp.up_proj", x, cfg.mlp_bias), approximate=cfg.gelu_approximate)
     return _dense(params, f"{prefix}.mlp.down_proj", h, cfg.mlp_bias)
 
 

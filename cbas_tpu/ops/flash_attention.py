@@ -32,13 +32,15 @@ _NEG_INF = -1e30
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
     # q: (1, block_q, d), k/v: (1, n_pad, d), o: (1, block_q, d)
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # Matmuls stay in the input dtype (bf16 on TPU -> full-rate MXU) with fp32
+    # accumulation; softmax statistics are fp32, matching the unfused path.
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (block_q, n_pad)
+    ) * scale  # (block_q, n_pad) fp32
 
     n_pad = k.shape[0]
     if n_valid < n_pad:  # mask padded keys (static shapes, static branch)
@@ -49,7 +51,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
     p = jnp.exp(s)
     denom = jnp.sum(p, axis=1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ) / denom
     o_ref[0] = o.astype(o_ref.dtype)
 
