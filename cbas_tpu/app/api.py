@@ -145,6 +145,12 @@ class Api:
             "queued": len(self.state.classify_tasks),
         }
 
+    def get_metrics(self) -> dict:
+        """Per-stage throughput counters (decode/encode fps, infer wps, ...)."""
+        from cbas_tpu.utils.metrics import metrics
+
+        return metrics.snapshot()
+
     def kill_all_processes(self) -> None:
         self.state.shutdown.set()
         if self.recorder:

@@ -25,6 +25,7 @@ from cbas_tpu.core.config import EncodeConfig
 from cbas_tpu.core.hdf5_store import EmbeddingWriter
 from cbas_tpu.ingest.decode import open_video
 from cbas_tpu.models.encoder import FrameEncoder
+from cbas_tpu.utils.metrics import DECODE_FRAMES, ENCODE_FRAMES, H5_ROWS, metrics
 from cbas_tpu.utils.naming import h5_path_for_video
 
 _SENTINEL = object()
@@ -78,6 +79,7 @@ def encode_file(
                     n = min(cfg.chunk_frames, video_len - start)
                     t = time.perf_counter()
                     planes = reader.read_green_batch(start, n)
+                    metrics.add(DECODE_FRAMES, len(planes), time.perf_counter() - t)
                     if stats is not None:
                         stats.decode_s += time.perf_counter() - t
                     chunk_q.put((start, planes))
@@ -113,15 +115,19 @@ def encode_file(
                             progress_callback(done / video_len * 100.0)
                     break
                 start, planes = item
+                t_enc = time.perf_counter()
                 pending = encoder.encode_planes_async(planes, batch=cfg.chunk_frames)
                 if in_flight is not None:
                     t = time.perf_counter()
-                    writer.append(encoder.to_host(in_flight[0]))
+                    emb = encoder.to_host(in_flight[0])
+                    writer.append(emb)
+                    metrics.add(H5_ROWS, emb.shape[0], time.perf_counter() - t)
                     if stats is not None:
                         stats.device_s += time.perf_counter() - t
                     done = in_flight[1]
                     if progress_callback:
                         progress_callback(done / video_len * 100.0)
+                metrics.add(ENCODE_FRAMES, len(planes), time.perf_counter() - t_enc)
                 in_flight = (pending, start + len(planes))
             if decode_err:
                 raise decode_err[0]

@@ -16,6 +16,7 @@ replicate-padded, one probability row per frame. TPU-first differences:
 from __future__ import annotations
 
 import os
+import time
 from typing import Callable, Optional
 
 import h5py
@@ -27,6 +28,7 @@ import pandas as pd
 from cbas_tpu.core.config import InferenceConfig
 from cbas_tpu.core.hdf5_store import DATASET_NAME
 from cbas_tpu.engine.classifier import ClassifierBundle
+from cbas_tpu.utils.metrics import INFER_FRAMES, INFER_WINDOWS, metrics
 from cbas_tpu.utils.naming import outputs_csv_for_h5
 
 
@@ -94,6 +96,7 @@ class InferenceSession:
             out[:] = probs[:n_targets]
             return out
         offset = 0
+        t0 = time.perf_counter()
         while offset < n_targets:
             take = min(wb, n_targets - offset)
             # Clamp the final batch so it re-reads overlapping windows instead
@@ -102,6 +105,7 @@ class InferenceSession:
             probs = np.asarray(self._program(self._params, chunk_dev, start))
             out[offset : offset + take] = probs if take == wb else probs[-take:]
             offset += take
+        metrics.add(INFER_WINDOWS, n_targets, time.perf_counter() - t0)
         return out
 
     def infer_h5(
@@ -143,6 +147,7 @@ class InferenceSession:
             print(
                 f"Warning: prediction count ({probs.shape[0]}) != frame count ({total})."
             )
+        metrics.add(INFER_FRAMES, total, 0.0)
         pd.DataFrame(probs, columns=self.bundle.behaviors).to_csv(output_csv, index=False)
         return output_csv
 

@@ -29,6 +29,7 @@ import optax
 from cbas_tpu.engine.data import BalancedSampler, SequentialSampler, WindowSource, iter_batches
 from cbas_tpu.engine.metrics import PerformanceReport, f1_of, report_and_cm
 from cbas_tpu.models.heads import DeltasHeadConfig, deltas_forward, init_deltas_params
+from cbas_tpu.utils.metrics import TRAIN_STEPS, metrics
 
 Params = dict
 
@@ -222,9 +223,10 @@ def train_head(
             if cancel_event.is_set():
                 break
             key, step_key = jax.random.split(key)
-            params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(x), jnp.asarray(y), step_key
-            )
+            with metrics.timed(TRAIN_STEPS):
+                params, opt_state, loss = step(
+                    params, opt_state, jnp.asarray(x), jnp.asarray(y), step_key
+                )
             if i % 50 == 0:
                 print(f"[Epoch {e + 1}/{epochs} Batch {i}] Loss: {float(loss):.4f}")
 
