@@ -65,14 +65,19 @@ def main(argv=None) -> None:
         print(f"Eel server starting on http://localhost:{port}")
         eel.start("index.html", port=port, block=True)
     else:
-        api.state.headless = True
-        log_message("Running headless; workers active. Ctrl-C to exit.")
+        # Built-in JSON-RPC + SSE server with the embedded control panel.
+        from cbas_tpu.app.server import RpcServer
+
+        server = RpcServer(api, port=args.port or 0)
+        port = server.start()
+        print(f"Eel server starting on http://localhost:{port}")  # shell contract
         try:
             while not api.state.shutdown.is_set():
                 time.sleep(1.0)
         except KeyboardInterrupt:
             pass
         finally:
+            server.stop()
             api.kill_all_processes()
 
 

@@ -55,18 +55,33 @@ class Callbacks:
 
     def __init__(self) -> None:
         self._fns: Dict[str, Callable] = {}
+        self._listeners: list = []  # wildcard (name, args) subscribers (SSE)
 
     def register(self, name: str, fn: Callable) -> None:
         self._fns[name] = fn
 
+    def add_listener(self, fn: Callable) -> None:
+        """Subscribe to every event as fn(name, args_tuple)."""
+        self._listeners.append(fn)
+
+    def remove_listener(self, fn: Callable) -> None:
+        try:
+            self._listeners.remove(fn)
+        except ValueError:
+            pass
+
     def emit(self, name: str, *args) -> None:
         fn = self._fns.get(name)
-        if fn is None:
-            return
-        try:
-            fn(*args)
-        except Exception as e:  # UI failures must never kill workers
-            print(f"Callback '{name}' failed: {e}")
+        if fn is not None:
+            try:
+                fn(*args)
+            except Exception as e:  # UI failures must never kill workers
+                print(f"Callback '{name}' failed: {e}")
+        for listener in list(self._listeners):
+            try:
+                listener(name, args)
+            except Exception:
+                pass
 
 
 class AppState:

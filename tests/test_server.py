@@ -1,0 +1,92 @@
+"""Built-in RPC server tests (HTTP round trips + SSE event fan-out)."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from cbas_tpu.app.api import Api
+from cbas_tpu.app.server import RpcServer
+from cbas_tpu.core.project import Project
+
+
+@pytest.fixture
+def server(tmp_path):
+    proj = Project.create_project(str(tmp_path), "p")
+    api = Api()
+    api.state.project = proj  # skip encoder bootstrapping
+    srv = RpcServer(api)
+    srv.start()
+    yield srv, api
+    srv.stop()
+
+
+def rpc(port, method, *args, **kwargs):
+    req = urllib.request.Request(
+        f"http://localhost:{port}/api/{method}",
+        data=json.dumps({"args": list(args), "kwargs": kwargs}).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read())
+
+
+def test_rpc_round_trip(server):
+    srv, api = server
+    out = rpc(srv.port, "get_cbas_status")
+    assert out["result"]["project_loaded"] is True
+    out = rpc(srv.port, "create_dataset", "d1", ["walk"], [])
+    assert out["result"] is True
+    out = rpc(srv.port, "load_dataset_configs")
+    assert "d1" in out["result"]
+
+
+def test_rpc_errors(server):
+    srv, _ = server
+    req = urllib.request.Request(
+        f"http://localhost:{srv.port}/api/no_such_method", data=b"{}", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 404
+    # Private methods are not exposed.
+    req = urllib.request.Request(
+        f"http://localhost:{srv.port}/api/_start_session", data=b"{}", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError):
+        urllib.request.urlopen(req)
+
+
+def test_index_served(server):
+    srv, _ = server
+    with urllib.request.urlopen(f"http://localhost:{srv.port}/") as resp:
+        body = resp.read().decode()
+    assert "CBAS-TPU control panel" in body
+
+
+def test_sse_receives_callbacks(server):
+    srv, api = server
+    got = []
+    done = threading.Event()
+
+    def reader():
+        req = urllib.request.Request(f"http://localhost:{srv.port}/events")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            for raw in resp:
+                line = raw.decode().strip()
+                if line.startswith("data: "):
+                    got.append(json.loads(line[6:]))
+                    if any("name" in g and g["name"] == "ping_event" for g in got):
+                        done.set()
+                        return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    import time
+
+    time.sleep(0.3)  # let the listener attach
+    api.state.callbacks.emit("ping_event", 42, "hello")
+    assert done.wait(timeout=8)
+    evt = [g for g in got if g.get("name") == "ping_event"][0]
+    assert evt["args"] == [42, "hello"]
