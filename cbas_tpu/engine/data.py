@@ -89,19 +89,38 @@ def build_manifest(
 
 
 class WindowSource:
-    """Gathers window batches for manifest indices: (B, seq_len, D) float32."""
+    """Gathers window batches for manifest indices: (B, seq_len, D) float32.
+
+    With ``preload=True`` every referenced H5 file is pulled into RAM once
+    (fp16, so a 24 h recording is ~1.3 GB) and window gathers become pure
+    memcpy — the right trade on hosts with plenty of memory, where the lazy
+    per-window HDF5 reads would otherwise bottleneck the single-CPU data path.
+    """
 
     def __init__(
         self,
         manifest: Sequence[ManifestEntry],
         seq_len: int,
         cache: Optional[HandleCache] = None,
+        preload: bool = False,
     ):
         self.manifest = list(manifest)
         self.seq_len = seq_len
         self.half = seq_len // 2
         self.cache = cache if cache is not None else global_handle_cache
         self._dim: Optional[int] = None
+        self._ram: Optional[Dict[str, np.ndarray]] = None
+        if preload:
+            self.preload_all()
+
+    def preload_all(self) -> None:
+        import h5py
+
+        ram: Dict[str, np.ndarray] = {}
+        for path in {e[0] for e in self.manifest}:
+            with h5py.File(path, "r") as f:
+                ram[path] = f[DATASET_NAME][:]
+        self._ram = ram
 
     def __len__(self) -> int:
         return len(self.manifest)
@@ -112,7 +131,10 @@ class WindowSource:
             if not self.manifest:
                 raise ValueError("empty manifest")
             path = self.manifest[0][0]
-            self._dim = int(self.cache.get(path)[DATASET_NAME].shape[1])
+            if self._ram is not None:
+                self._dim = int(self._ram[path].shape[1])
+            else:
+                self._dim = int(self.cache.get(path)[DATASET_NAME].shape[1])
         return self._dim
 
     def labels(self) -> np.ndarray:
@@ -131,9 +153,12 @@ class WindowSource:
         for row, idx in enumerate(indices):
             h5_path, center, label = self.manifest[idx]
             try:
-                window = self.cache.read_window(
-                    h5_path, center - self.half, center + self.half + 1
-                )
+                if self._ram is not None:
+                    window = self._ram[h5_path][center - self.half : center + self.half + 1]
+                else:
+                    window = self.cache.read_window(
+                        h5_path, center - self.half, center + self.half + 1
+                    )
                 if window.shape[0] != self.seq_len:
                     continue
                 out[row] = window.astype(np.float32)

@@ -129,8 +129,11 @@ def run_training_job(
                     "WARN",
                 )
                 continue
-            train_src = WindowSource(train_manifest, seq)
-            val_src = WindowSource(val_manifest, seq) if val_manifest else None
+            # Preload embeddings into RAM: gathers become memcpy instead of
+            # per-window HDF5 reads (labeled training sets are far smaller
+            # than host memory).
+            train_src = WindowSource(train_manifest, seq, preload=True)
+            val_src = WindowSource(val_manifest, seq, preload=True) if val_manifest else None
 
             weights = None
             if task.training_method == "weighted_loss":
