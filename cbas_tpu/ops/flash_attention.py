@@ -30,35 +30,78 @@ DEFAULT_BLOCK_Q = 256
 _NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
-    # q: (1, block_q, d), k/v: (1, n_pad, d), o: (1, block_q, d)
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int, gh: int):
+    # q/o: (gh, block_q, d), k/v: (gh, n_pad, d) — gh heads per program.
     # Matmuls stay in the input dtype (bf16 on TPU -> full-rate MXU) with fp32
     # accumulation; softmax statistics are fp32, matching the unfused path.
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
+    n_pad = k_ref.shape[1]
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (block_q, n_pad) fp32
+    def head(g, _):
+        # fori_loop (not unrolled) so the fp32 score buffer is allocated once
+        # and reused across heads instead of gh times on the VMEM stack.
+        q = q_ref[pl.ds(g, 1)][0]
+        k = k_ref[pl.ds(g, 1)][0]
+        v = v_ref[pl.ds(g, 1)][0]
 
-    n_pad = k.shape[0]
-    if n_valid < n_pad:  # mask padded keys (static shapes, static branch)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-        s = jnp.where(col < n_valid, s, _NEG_INF)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (block_q, n_pad) fp32
 
-    s = s - jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s)
-    denom = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / denom
-    o_ref[0] = o.astype(o_ref.dtype)
+        if n_valid < n_pad:  # mask padded keys (static shapes, static branch)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+            s_masked = jnp.where(col < n_valid, s, _NEG_INF)
+        else:
+            s_masked = s
+        s_stable = s_masked - jnp.max(s_masked, axis=1, keepdims=True)
+        p = jnp.exp(s_stable)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / denom
+        o_ref[pl.ds(g, 1)] = o.astype(o_ref.dtype)[None]
+        return 0
+
+    jax.lax.fori_loop(0, gh, head, 0)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# VMEM budget for picking tile sizes, accounting for Pallas's double
+# buffering of every in/out block plus the fp32 score tile (+bf16 p copy).
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _vmem_estimate(gh: int, block_q: int, n_pad: int, d: int, itemsize: int) -> int:
+    qo = 2 * 2 * gh * block_q * d * itemsize       # q + o, double buffered
+    kv = 2 * 2 * gh * n_pad * d * itemsize         # k + v, double buffered
+    scores = block_q * n_pad * (4 + itemsize)      # fp32 s + low-precision p
+    return qo + kv + scores
+
+
+def _choose_tiles(bh: int, n_pad: int, d: int, itemsize: int):
+    """(heads_per_program, block_q) maximizing per-program work under VMEM.
+
+    ViT attention tiles are small, so per-program launch overhead dominates
+    unless several heads run per program. block_q is drawn from divisors of
+    n_pad (no query padding waste).
+    """
+    block_qs = [b for b in range(128, n_pad + 1, 128) if n_pad % b == 0]
+    best = (1, min(128, n_pad))
+    best_work = 0
+    for block_q in block_qs:
+        for gh in (16, 12, 8, 6, 4, 3, 2, 1):
+            if bh % gh:
+                continue
+            if _vmem_estimate(gh, block_q, n_pad, d, itemsize) > _VMEM_BUDGET:
+                continue
+            work = gh * block_q
+            if work > best_work:
+                best, best_work = (gh, block_q), work
+            break  # larger gh already found for this block_q
+    return best
 
 
 def fused_attention(
@@ -66,18 +109,20 @@ def fused_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float,
-    block_q: int = DEFAULT_BLOCK_Q,
+    block_q: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Attention over (B, H, N, d) tensors; returns (B, H, N, d) in q's dtype.
 
     Pads N to the tile grid internally; padded keys are masked, padded query
-    rows are sliced away. d should be a multiple of 8 (ViT head dims are
-    64/128).
+    rows are sliced away. Several heads run per program (ViT attention tiles
+    are small, so per-program launch overhead dominates otherwise). d should
+    be a multiple of 8 (ViT head dims are 64/128).
     """
     B, H, N, d = q.shape
     n_pad = _round_up(N, 128)
-    block_q = min(block_q, n_pad)
+    gh, auto_block_q = _choose_tiles(B * H, n_pad, d, q.dtype.itemsize)
+    block_q = min(block_q or auto_block_q, n_pad)
     q_pad = _round_up(N, block_q)
 
     def pad_to(x, target):
@@ -90,18 +135,18 @@ def fused_attention(
     kf = pad_to(k, n_pad).reshape(B * H, n_pad, d)
     vf = pad_to(v, n_pad).reshape(B * H, n_pad, d)
 
-    grid = (B * H, q_pad // block_q)
+    grid = (B * H // gh, q_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, n_valid=N),
+        functools.partial(_attn_kernel, scale=scale, n_valid=N, gh=gh),
         out_shape=jax.ShapeDtypeStruct((B * H, q_pad, d), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gh, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gh, n_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gh, n_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (gh, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * q_pad * n_pad * d,
