@@ -157,6 +157,41 @@ def predict_source(
 
 
 # ---------------------------------------------------------------------------
+# Mid-training checkpointing (the reference keeps best-state in RAM only;
+# SURVEY.md §5 "no mid-training optimizer/step checkpointing")
+# ---------------------------------------------------------------------------
+
+def save_train_state(path: str, params, opt_state, meta: dict) -> None:
+    """Persist (params, optimizer state, loop metadata) atomically.
+
+    The pytrees are flattened to ordered leaves; restoring rebuilds them from
+    templates produced by the same code, so no structure serialization is
+    needed.
+    """
+    import json
+
+    leaves = jax.tree.leaves((params, opt_state))
+    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(jax.device_get(leaves))}
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, __meta__=json.dumps(meta), **arrays)
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_train_state(path: str, params_template, opt_state_template):
+    """Returns (params, opt_state, meta) matching the templates' structure."""
+    import json
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["__meta__"]))
+        leaves = [z[f"leaf_{i}"] for i in range(len(z.files) - 1)]
+    treedef = jax.tree.structure((params_template, opt_state_template))
+    params, opt_state = jax.tree.unflatten(treedef, leaves)
+    return params, opt_state, meta
+
+
+# ---------------------------------------------------------------------------
 # Training loop
 # ---------------------------------------------------------------------------
 
@@ -178,12 +213,19 @@ def train_head(
     lstm_hidden_size: int = 64,
     lstm_layers: int = 1,
     seed: int = 0,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = False,
 ) -> Tuple[Optional[dict], Optional[List[PerformanceReport]], int]:
     """Train a deltas head; returns (best params as numpy dict, reports, best_epoch).
 
     Mirrors the reference's control flow: balanced oversampled train stream,
     full train+val evaluation each epoch, best-by-val-F1 with early stopping,
     per-batch cancellation (backend/cbas.py:1274-1422).
+
+    With ``checkpoint_path`` the full train state (params + optimizer moments
+    + loop metadata) is persisted after every epoch, and ``resume=True``
+    continues an interrupted run from the last completed epoch — a durability
+    improvement over the reference, which keeps best-state in RAM only.
     """
     if len(train_source) == 0:
         return None, None, -1
@@ -211,8 +253,25 @@ def train_head(
     best_f1, best_params, best_epoch = -1.0, None, -1
     epoch_reports: List[PerformanceReport] = []
     no_improve = 0
+    start_epoch = 0
 
-    for e in range(epochs):
+    import os
+
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        params, opt_state, meta = load_train_state(checkpoint_path, params, opt_state)
+        start_epoch = int(meta["epoch"]) + 1
+        best_f1 = float(meta["best_f1"])
+        best_epoch = int(meta["best_epoch"])
+        no_improve = int(meta["no_improve"])
+        key = jax.random.key(seed + 7919 * start_epoch)  # fresh stream post-resume
+        if best_epoch >= 0:
+            best_params = params  # best weights are re-established on improvement
+        print(f"Resumed training from epoch {start_epoch} ({checkpoint_path}).")
+        # Replay the sampler so epoch streams continue where they left off.
+        for _ in range(start_epoch):
+            train_sampler.epoch_indices()
+
+    for e in range(start_epoch, epochs):
         if cancel_event.is_set():
             return (jax.device_get(best_params) if best_params is not None else None,
                     epoch_reports, best_epoch)
@@ -275,6 +334,14 @@ def train_head(
             no_improve = 0
         else:
             no_improve += 1
+
+        if checkpoint_path:
+            save_train_state(
+                checkpoint_path, params, opt_state,
+                {"epoch": e, "best_f1": best_f1, "best_epoch": best_epoch,
+                 "no_improve": no_improve, "seed": seed},
+            )
+
         if has_val and no_improve >= patience:
             print(f"Early stopping triggered at epoch {e + 1}.")
             break
