@@ -168,6 +168,52 @@ class WindowSource:
         return out, labels
 
 
+class DeviceWindowStore:
+    """All referenced embeddings stacked into one device-resident buffer.
+
+    TPU-first training data path: the fp16 embedding rows of every file in the
+    manifest live in HBM once; a window batch is described by its center-row
+    indices (a few KB H2D per step) and gathered *inside* the jitted train
+    step. Eliminates the per-batch (B, T, D) host->device transfer entirely.
+    """
+
+    def __init__(self, manifest: Sequence[ManifestEntry], seq_len: int):
+        import h5py
+        import jax
+        import jax.numpy as jnp
+
+        self.seq_len = seq_len
+        self.half = seq_len // 2
+        paths = sorted({e[0] for e in manifest})
+        offsets: Dict[str, int] = {}
+        rows = []
+        total = 0
+        for p in paths:
+            with h5py.File(p, "r") as f:
+                arr = f[DATASET_NAME][:]
+            offsets[p] = total
+            total += arr.shape[0]
+            rows.append(arr)
+        stacked = np.concatenate(rows, axis=0) if rows else np.zeros((0, 1), np.float16)
+        self.features = jax.device_put(jnp.asarray(stacked))  # (R, D) fp16
+        self.centers = np.array(
+            [offsets[p] + c for p, c, _ in manifest], np.int32
+        )
+        self.labels = np.array([l for _, _, l in manifest], np.int32)
+        self.embed_dim = int(stacked.shape[1])
+        self.nbytes = stacked.nbytes
+
+    def batch_indices(self, indices: np.ndarray, batch_size: int):
+        """(centers (B,), labels (B,)) padded with label -1 (static shapes)."""
+        n_valid = len(indices)
+        # Padded rows point at a harmless in-bounds window; label -1 masks them.
+        centers = np.full(batch_size, self.half, np.int32)
+        labels = np.full(batch_size, -1, np.int32)
+        centers[:n_valid] = self.centers[indices]
+        labels[:n_valid] = self.labels[indices]
+        return centers, labels
+
+
 class BalancedSampler:
     """Class-balanced oversampling index stream (see module docstring)."""
 

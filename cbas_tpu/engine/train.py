@@ -26,7 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from cbas_tpu.engine.data import BalancedSampler, SequentialSampler, WindowSource, iter_batches
+from cbas_tpu.engine.data import (
+    BalancedSampler,
+    DeviceWindowStore,
+    SequentialSampler,
+    WindowSource,
+    iter_batches,
+)
 from cbas_tpu.engine.metrics import PerformanceReport, f1_of, report_and_cm
 from cbas_tpu.models.heads import DeltasHeadConfig, deltas_forward, init_deltas_params
 from cbas_tpu.utils.metrics import TRAIN_STEPS, metrics
@@ -98,13 +104,28 @@ def make_optimizer(lr: float, weight_decay: float, gate_decay: float = 1e-3):
 # Compiled programs
 # ---------------------------------------------------------------------------
 
+def _gather_windows(feats: jnp.ndarray, centers: jnp.ndarray, seq_len: int) -> jnp.ndarray:
+    """(R, D) device buffer + (B,) centers -> (B, seq_len, D) fp32 windows."""
+    half = seq_len // 2
+    offsets = jnp.arange(-half, half + 1, dtype=jnp.int32)
+    return feats[centers[:, None] + offsets[None, :]].astype(jnp.float32)
+
+
 def build_train_step(
     cfg: DeltasHeadConfig,
     optimizer,
     class_weights: Optional[np.ndarray],
     label_smoothing: float,
     jit: bool = True,
+    gather_seq_len: Optional[int] = None,
 ):
+    """Compiled train step.
+
+    Two data paths: host windows (``step(params, opt, x, y, rng)`` with
+    x = (B, T, D)) or device-resident gather (``gather_seq_len`` set:
+    ``step(params, opt, feats, centers, y, rng)`` slices the windows from the
+    HBM-resident embedding buffer inside the program).
+    """
     cw = jnp.asarray(class_weights, jnp.float32) if class_weights is not None else None
 
     def loss_fn(params, x, y, rng):
@@ -114,21 +135,37 @@ def build_train_step(
         cov = covariance_loss(latent, valid)
         return ce + cov, (ce, cov)
 
-    def step(params, opt_state, x, y, rng):
-        (loss, (ce, cov)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, x, y, rng
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    if gather_seq_len is None:
+        def step(params, opt_state, x, y, rng):
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, x, y, rng
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+    else:
+        def step(params, opt_state, feats, centers, y, rng):
+            x = _gather_windows(feats, centers, gather_seq_len)
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, x, y, rng
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
 
-    return jax.jit(step) if jit else step
+    return jax.jit(step, donate_argnums=(0, 1)) if jit else step
 
 
-def build_logits_program(cfg: DeltasHeadConfig):
-    @jax.jit
-    def logits(params, x):
-        return deltas_forward(params, x, cfg, train=False)[0]
+def build_logits_program(cfg: DeltasHeadConfig, gather_seq_len: Optional[int] = None):
+    if gather_seq_len is None:
+        @jax.jit
+        def logits(params, x):
+            return deltas_forward(params, x, cfg, train=False)[0]
+    else:
+        @jax.jit
+        def logits(params, feats, centers):
+            x = _gather_windows(feats, centers, gather_seq_len)
+            return deltas_forward(params, x, cfg, train=False)[0]
 
     return logits
 
@@ -154,6 +191,49 @@ def predict_source(
     if not y_true:
         return np.array([], np.int32), np.array([], np.int32)
     return np.concatenate(y_true), np.concatenate(y_pred)
+
+
+def predict_store(
+    params,
+    logits_prog,
+    store: DeviceWindowStore,
+    sampler,
+    batch_size: int,
+    cancel_event: Optional[threading.Event] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(y_true, y_pred) with windows gathered from the device-resident store."""
+    y_true: List[np.ndarray] = []
+    y_pred: List[np.ndarray] = []
+    indices = sampler.epoch_indices()
+    for start in range(0, len(indices), batch_size):
+        if cancel_event is not None and cancel_event.is_set():
+            break
+        chunk = indices[start : start + batch_size]
+        centers, labels = store.batch_indices(chunk, batch_size)
+        logits = np.asarray(logits_prog(params, store.features, jnp.asarray(centers)))
+        keep = labels >= 0
+        y_true.append(labels[keep])
+        y_pred.append(logits.argmax(1)[keep])
+    if not y_true:
+        return np.array([], np.int32), np.array([], np.int32)
+    return np.concatenate(y_true), np.concatenate(y_pred)
+
+
+# Device-resident training data is used when the stacked embeddings fit this
+# HBM budget (v5e has 16 GB; the encoder itself is long gone during training).
+DEVICE_DATA_BUDGET_BYTES = 4 * 1024**3
+
+
+def _manifest_bytes(manifest) -> int:
+    import h5py
+
+    from cbas_tpu.core.hdf5_store import DATASET_NAME
+
+    total = 0
+    for path in {e[0] for e in manifest}:
+        with h5py.File(path, "r") as f:
+            total += int(np.prod(f[DATASET_NAME].shape)) * 2  # fp16
+    return total
 
 
 # ---------------------------------------------------------------------------
@@ -215,6 +295,7 @@ def train_head(
     seed: int = 0,
     checkpoint_path: Optional[str] = None,
     resume: bool = False,
+    device_data: bool = True,
 ) -> Tuple[Optional[dict], Optional[List[PerformanceReport]], int]:
     """Train a deltas head; returns (best params as numpy dict, reports, best_epoch).
 
@@ -242,13 +323,33 @@ def train_head(
     key, init_key = jax.random.split(key)
     params = init_deltas_params(init_key, cfg)
 
+    has_val = val_source is not None and len(val_source) > 0
+
+    # Device-resident data path: embeddings live in HBM once and windows are
+    # gathered inside the jitted step (per-batch H2D = a few KB of indices).
+    train_store = val_store = None
+    if device_data:
+        try:
+            total = _manifest_bytes(train_source.manifest)
+            if has_val:
+                total += _manifest_bytes(val_source.manifest)
+            if total <= DEVICE_DATA_BUDGET_BYTES:
+                train_store = DeviceWindowStore(train_source.manifest, seq_len)
+                if has_val:
+                    val_store = DeviceWindowStore(val_source.manifest, seq_len)
+        except Exception as e:
+            print(f"Device-data path unavailable ({e}); using host windows.")
+            train_store = val_store = None
+    gather = seq_len if train_store is not None else None
+
     optimizer = make_optimizer(lr, weight_decay)
     opt_state = optimizer.init(params)
-    step = build_train_step(cfg, optimizer, class_weights, label_smoothing)
-    logits_prog = build_logits_program(cfg)
+    step = build_train_step(
+        cfg, optimizer, class_weights, label_smoothing, gather_seq_len=gather
+    )
+    logits_prog = build_logits_program(cfg, gather_seq_len=gather)
 
     train_sampler = BalancedSampler(train_source.manifest, len(behaviors), seed=seed)
-    has_val = val_source is not None and len(val_source) > 0
 
     best_f1, best_params, best_epoch = -1.0, None, -1
     epoch_reports: List[PerformanceReport] = []
@@ -265,7 +366,8 @@ def train_head(
         no_improve = int(meta["no_improve"])
         key = jax.random.key(seed + 7919 * start_epoch)  # fresh stream post-resume
         if best_epoch >= 0:
-            best_params = params  # best weights are re-established on improvement
+            # Copy: the donated step invalidates the restored buffers.
+            best_params = jax.tree.map(lambda a: a.copy(), params)
         print(f"Resumed training from epoch {start_epoch} ({checkpoint_path}).")
         # Replay the sampler so epoch streams continue where they left off.
         for _ in range(start_epoch):
@@ -278,24 +380,46 @@ def train_head(
         if progress_callback:
             progress_callback(f"Training Epoch {e + 1}/{epochs}...")
 
-        for i, (x, y, _) in enumerate(iter_batches(train_source, train_sampler, batch_size)):
-            if cancel_event.is_set():
-                break
-            key, step_key = jax.random.split(key)
-            with metrics.timed(TRAIN_STEPS):
-                params, opt_state, loss = step(
-                    params, opt_state, jnp.asarray(x), jnp.asarray(y), step_key
+        if train_store is not None:
+            epoch_idx = train_sampler.epoch_indices()
+            for i, start in enumerate(range(0, len(epoch_idx), batch_size)):
+                if cancel_event.is_set():
+                    break
+                centers, labels = train_store.batch_indices(
+                    epoch_idx[start : start + batch_size], batch_size
                 )
-            if i % 50 == 0:
-                print(f"[Epoch {e + 1}/{epochs} Batch {i}] Loss: {float(loss):.4f}")
+                key, step_key = jax.random.split(key)
+                with metrics.timed(TRAIN_STEPS):
+                    params, opt_state, loss = step(
+                        params, opt_state, train_store.features,
+                        jnp.asarray(centers), jnp.asarray(labels), step_key,
+                    )
+                if i % 50 == 0:
+                    print(f"[Epoch {e + 1}/{epochs} Batch {i}] Loss: {float(loss):.4f}")
+        else:
+            for i, (x, y, _) in enumerate(iter_batches(train_source, train_sampler, batch_size)):
+                if cancel_event.is_set():
+                    break
+                key, step_key = jax.random.split(key)
+                with metrics.timed(TRAIN_STEPS):
+                    params, opt_state, loss = step(
+                        params, opt_state, jnp.asarray(x), jnp.asarray(y), step_key
+                    )
+                if i % 50 == 0:
+                    print(f"[Epoch {e + 1}/{epochs} Batch {i}] Loss: {float(loss):.4f}")
 
         # Per-epoch evaluation (balanced train stream + sequential val).
         eval_sampler = BalancedSampler(
             train_source.manifest, len(behaviors), seed=seed + 1000 + e
         )
-        t_true, t_pred = predict_source(
-            params, logits_prog, train_source, eval_sampler, batch_size, cancel_event
-        )
+        if train_store is not None:
+            t_true, t_pred = predict_store(
+                params, logits_prog, train_store, eval_sampler, batch_size, cancel_event
+            )
+        else:
+            t_true, t_pred = predict_source(
+                params, logits_prog, train_source, eval_sampler, batch_size, cancel_event
+            )
         if t_true.size == 0:
             no_improve += 1
             if no_improve >= patience:
@@ -305,14 +429,20 @@ def train_head(
 
         val_report, val_cm = {}, np.array([])
         if has_val:
-            v_true, v_pred = predict_source(
-                params,
-                logits_prog,
-                val_source,
-                SequentialSampler(len(val_source)),
-                batch_size,
-                cancel_event,
-            )
+            if val_store is not None:
+                v_true, v_pred = predict_store(
+                    params, logits_prog, val_store,
+                    SequentialSampler(len(val_source)), batch_size, cancel_event,
+                )
+            else:
+                v_true, v_pred = predict_source(
+                    params,
+                    logits_prog,
+                    val_source,
+                    SequentialSampler(len(val_source)),
+                    batch_size,
+                    cancel_event,
+                )
             if v_true.size:
                 val_report, val_cm = report_and_cm(v_true, v_pred, behaviors)
 
