@@ -395,6 +395,11 @@ class Api:
         dump_yaml(ds.config, ds.config_path)
         return True
 
+    def reveal_dataset_files(self, dataset_name: str) -> Optional[str]:
+        """Path of the dataset folder (the UI opens it in the file manager)."""
+        ds = self.state.project.datasets.get(dataset_name) if self.state.project else None
+        return ds.path if ds else None
+
     def recalculate_dataset_stats(self, dataset_name: str) -> bool:
         ds = self.state.project.datasets.get(dataset_name) if self.state.project else None
         if ds is None:
