@@ -39,14 +39,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch_jit(fn, mesh: Mesh, axis: str = "data"):
     """jit ``fn(params, batch)`` with params replicated and batch split on ICI.
 
-    XLA inserts the (trivial) collectives; each chip runs the encoder on its
-    batch shard. Batch sizes must divide the mesh size — callers pad.
+    Uses ``shard_map`` rather than sharding annotations: the encoder contains
+    a Pallas custom call, which GSPMD cannot auto-partition — with shard_map
+    each chip runs the complete program on its batch shard (the correct
+    layout for pure data parallelism) and no collectives are needed. Batch
+    sizes must divide the mesh size — callers pad.
     """
-    return jax.jit(
+    mapped = jax.shard_map(
         fn,
-        in_shardings=(replicated(mesh), batch_sharding(mesh, axis)),
-        out_shardings=batch_sharding(mesh, axis),
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
     )
+    return jax.jit(mapped)
 
 
 def pad_to_multiple(n: int, multiple: int) -> int:
