@@ -198,54 +198,87 @@ def patchify(x: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(B, hp * wp, C * patch * patch)
 
 
+def _rot_half(t: jnp.ndarray) -> jnp.ndarray:
+    hd = t.shape[-1]
+    return jnp.concatenate([-t[..., hd // 2 :], t[..., : hd // 2]], axis=-1)
+
+
+def _full_rope_tables(
+    rope: Tuple[jnp.ndarray, jnp.ndarray], n_prefix: int, n_tokens: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Extend patch-only cos/sin to full token length: identity rows for the
+    CLS/register prefix (and zero rows for any model-level padding), so RoPE
+    becomes one elementwise expression with no scatter."""
+    cos, sin = rope
+    hd = cos.shape[-1]
+    cos_full = jnp.concatenate(
+        [jnp.ones((n_prefix, hd), cos.dtype), cos], axis=0
+    )
+    sin_full = jnp.concatenate(
+        [jnp.zeros((n_prefix, hd), sin.dtype), sin], axis=0
+    )
+    extra = n_tokens - cos_full.shape[0]
+    if extra > 0:
+        cos_full = jnp.pad(cos_full, ((0, extra), (0, 0)))
+        sin_full = jnp.pad(sin_full, ((0, extra), (0, 0)))
+    return cos_full, sin_full
+
+
 def _attention(
     params: Params,
     prefix: str,
     x: jnp.ndarray,
     cfg: ViTConfig,
     rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    n_valid: Optional[int] = None,
 ) -> jnp.ndarray:
     B, N, D = x.shape
     H, hd = cfg.num_heads, cfg.head_dim
     if cfg.variant == "dinov2":
-        q = _dense(params, f"{prefix}.attention.attention.query", x)
-        k = _dense(params, f"{prefix}.attention.attention.key", x)
-        v = _dense(params, f"{prefix}.attention.attention.value", x)
+        names = [f"{prefix}.attention.attention.{p}" for p in ("query", "key", "value")]
+        biases = [True, True, True]
         out_name = f"{prefix}.attention.output.dense"
         out_bias = True
     else:
-        q = _dense(params, f"{prefix}.attention.q_proj", x, cfg.query_bias)
-        k = _dense(params, f"{prefix}.attention.k_proj", x, cfg.key_bias)
-        v = _dense(params, f"{prefix}.attention.v_proj", x, cfg.value_bias)
+        names = [f"{prefix}.attention.{p}" for p in ("q_proj", "k_proj", "v_proj")]
+        biases = [cfg.query_bias, cfg.key_bias, cfg.value_bias]
         out_name = f"{prefix}.attention.o_proj"
         out_bias = cfg.proj_bias
 
-    q = q.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+    def proj_heads(name: str, has_bias: bool) -> jnp.ndarray:
+        # Project straight into (B, H, N, d): the layout change folds into the
+        # matmul output instead of a separate HBM transpose.
+        w = params[f"{name}.weight"].astype(x.dtype).reshape(H, hd, D)
+        y = jnp.einsum("bnD,hdD->bhnd", x, w)
+        if has_bias:
+            y = y + params[f"{name}.bias"].astype(x.dtype).reshape(H, hd)[None, :, None, :]
+        return y
+
+    q = proj_heads(names[0], biases[0])
+    k = proj_heads(names[1], biases[1])
+    v = proj_heads(names[2], biases[2])
 
     if rope is not None:
-        cos, sin = rope  # (num_patches, hd)
-        p = cfg.num_prefix_tokens
-
-        def rot_half(t):
-            t1, t2 = t[..., : hd // 2], t[..., hd // 2 :]
-            return jnp.concatenate([-t2, t1], axis=-1)
-
-        cos = cos.astype(q.dtype)
-        sin = sin.astype(q.dtype)
-        q = q.at[:, :, p:, :].set(q[:, :, p:, :] * cos + rot_half(q[:, :, p:, :]) * sin)
-        k = k.at[:, :, p:, :].set(k[:, :, p:, :] * cos + rot_half(k[:, :, p:, :]) * sin)
+        cos, sin = _full_rope_tables(rope, cfg.num_prefix_tokens, N)
+        cos = cos.astype(q.dtype)[None, None]
+        sin = sin.astype(q.dtype)[None, None]
+        q = q * cos + _rot_half(q) * sin
+        k = k * cos + _rot_half(k) * sin
 
     scale = hd ** -0.5
     from cbas_tpu.ops import flash_attention as fa
 
     if use_fused_attention():
-        ctx = fa.fused_attention(q, k, v, scale)
+        ctx = fa.fused_attention(q, k, v, scale, n_valid=n_valid)
     else:
         ctx = fa.reference_attention(q, k, v, scale)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, D)
-    return _dense(params, out_name, ctx, out_bias)
+
+    # Fold the inverse layout change into the output projection.
+    wo = params[f"{out_name}.weight"].astype(x.dtype).reshape(D, H, hd)
+    out = jnp.einsum("bhnd,Dhd->bnD", ctx, wo)
+    if out_bias:
+        out = out + params[f"{out_name}.bias"].astype(x.dtype)
+    return out
 
 
 def _mlp(params: Params, prefix: str, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
@@ -270,9 +303,10 @@ def _block(
     x: jnp.ndarray,
     cfg: ViTConfig,
     rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    n_valid: Optional[int] = None,
 ) -> jnp.ndarray:
     h = _ln(params, f"{prefix}.norm1", x, cfg.layer_norm_eps)
-    h = _attention(params, prefix, h, cfg, rope)
+    h = _attention(params, prefix, h, cfg, rope, n_valid=n_valid)
     x = x + h * params[f"{prefix}.layer_scale1.lambda1"].astype(x.dtype)
     h = _ln(params, f"{prefix}.norm2", x, cfg.layer_norm_eps)
     h = _mlp(params, prefix, h, cfg)
@@ -375,10 +409,20 @@ def vit_forward_from_tokens(
             raise ValueError("dinov3 requires rope tables (see rope_tables())")
         block_rope = rope
 
-    for i in range(cfg.num_layers):
-        x = _block(params, f"{layer_prefix}.{i}", x, cfg, block_rope)
+    # Model-level token padding: pad once to the kernel tile multiple so no
+    # per-layer pad/slice copies are needed; padded rows are masked as
+    # attention keys and sliced away at the end.
+    n_valid = x.shape[1]
+    if use_fused_attention():
+        n_pad = -(-n_valid // 128) * 128
+        if n_pad != n_valid:
+            x = jnp.pad(x, ((0, 0), (0, n_pad - n_valid), (0, 0)))
 
-    return _ln(params, final_ln, x, cfg.layer_norm_eps)
+    for i in range(cfg.num_layers):
+        x = _block(params, f"{layer_prefix}.{i}", x, cfg, block_rope, n_valid=n_valid)
+
+    x = _ln(params, final_ln, x, cfg.layer_norm_eps)
+    return x[:, :n_valid]
 
 
 def vit_forward(

@@ -19,6 +19,7 @@ available for any differentiable use.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -111,8 +112,12 @@ def fused_attention(
     scale: float,
     block_q: int = 0,
     interpret: bool = False,
+    n_valid: Optional[int] = None,
 ) -> jnp.ndarray:
     """Attention over (B, H, N, d) tensors; returns (B, H, N, d) in q's dtype.
+
+    ``n_valid`` masks trailing key rows when the caller pre-padded the token
+    dimension (model-level padding).
 
     Pads N to the tile grid internally; padded keys are masked, padded query
     rows are sliced away. Several heads run per program (ViT attention tiles
@@ -120,6 +125,10 @@ def fused_attention(
     be a multiple of 8 (ViT head dims are 64/128).
     """
     B, H, N, d = q.shape
+    if jax.default_backend() == "cpu":
+        interpret = True  # Mosaic kernels only compile for TPU
+    if n_valid is None:
+        n_valid = N
     n_pad = _round_up(N, 128)
     gh, auto_block_q = _choose_tiles(B * H, n_pad, d, q.dtype.itemsize)
     block_q = min(block_q or auto_block_q, n_pad)
@@ -137,7 +146,7 @@ def fused_attention(
 
     grid = (B * H // gh, q_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, n_valid=N, gh=gh),
+        functools.partial(_attn_kernel, scale=scale, n_valid=n_valid, gh=gh),
         out_shape=jax.ShapeDtypeStruct((B * H, q_pad, d), q.dtype),
         grid=grid,
         in_specs=[
@@ -165,3 +174,5 @@ def reference_attention(q, k, v, scale):
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
     w = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
