@@ -258,19 +258,24 @@ def _attention(
     k = proj_heads(names[1], biases[1])
     v = proj_heads(names[2], biases[2])
 
-    if rope is not None:
-        cos, sin = _full_rope_tables(rope, cfg.num_prefix_tokens, N)
-        cos = cos.astype(q.dtype)[None, None]
-        sin = sin.astype(q.dtype)[None, None]
-        q = q * cos + _rot_half(q) * sin
-        k = k * cos + _rot_half(k) * sin
-
     scale = hd ** -0.5
     from cbas_tpu.ops import flash_attention as fa
 
     if use_fused_attention():
-        ctx = fa.fused_attention(q, k, v, scale, n_valid=n_valid)
+        cos_full = sin_full = None
+        if rope is not None:
+            cos_full, sin_full = _full_rope_tables(rope, cfg.num_prefix_tokens, N)
+        # RoPE happens inside the kernel: roped q/k never round-trip to HBM.
+        ctx = fa.fused_attention(
+            q, k, v, scale, n_valid=n_valid, rope_cos=cos_full, rope_sin=sin_full
+        )
     else:
+        if rope is not None:
+            cos, sin = _full_rope_tables(rope, cfg.num_prefix_tokens, N)
+            cos = cos.astype(q.dtype)[None, None]
+            sin = sin.astype(q.dtype)[None, None]
+            q = q * cos + _rot_half(q) * sin
+            k = k * cos + _rot_half(k) * sin
         ctx = fa.reference_attention(q, k, v, scale)
 
     # Fold the inverse layout change into the output projection.

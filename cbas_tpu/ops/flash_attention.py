@@ -31,11 +31,18 @@ DEFAULT_BLOCK_Q = 256
 _NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int, gh: int):
+def _attn_kernel(
+    q_ref, k_ref, v_ref, cosq_ref, sinq_ref, cosk_ref, sink_ref, o_ref,
+    *, scale: float, n_valid: int, gh: int, use_rope: bool,
+):
     # q/o: (gh, block_q, d), k/v: (gh, n_pad, d) — gh heads per program.
     # Matmuls stay in the input dtype (bf16 on TPU -> full-rate MXU) with fp32
     # accumulation; softmax statistics are fp32, matching the unfused path.
     n_pad = k_ref.shape[1]
+    d = q_ref.shape[-1]
+
+    def rot_half(t):
+        return jnp.concatenate([-t[:, d // 2 :], t[:, : d // 2]], axis=1)
 
     def head(g, _):
         # fori_loop (not unrolled) so the fp32 score buffer is allocated once
@@ -43,6 +50,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int, gh: 
         q = q_ref[pl.ds(g, 1)][0]
         k = k_ref[pl.ds(g, 1)][0]
         v = v_ref[pl.ds(g, 1)][0]
+        if use_rope:
+            # RoPE applied on-chip: the roped q/k never round-trip to HBM.
+            q = q * cosq_ref[...].astype(q.dtype) + rot_half(q) * sinq_ref[...].astype(q.dtype)
+            k = k * cosk_ref[...].astype(k.dtype) + rot_half(k) * sink_ref[...].astype(k.dtype)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -113,11 +124,15 @@ def fused_attention(
     block_q: int = 0,
     interpret: bool = False,
     n_valid: Optional[int] = None,
+    rope_cos: Optional[jnp.ndarray] = None,
+    rope_sin: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Attention over (B, H, N, d) tensors; returns (B, H, N, d) in q's dtype.
 
     ``n_valid`` masks trailing key rows when the caller pre-padded the token
-    dimension (model-level padding).
+    dimension (model-level padding). ``rope_cos``/``rope_sin`` are full-length
+    (N, d) tables (identity rows for prefix tokens) applied to q and k inside
+    the kernel — the roped tensors never materialize in HBM.
 
     Pads N to the tile grid internally; padded keys are masked, padded query
     rows are sliced away. Several heads run per program (ViT attention tiles
@@ -144,15 +159,38 @@ def fused_attention(
     kf = pad_to(k, n_pad).reshape(B * H, n_pad, d)
     vf = pad_to(v, n_pad).reshape(B * H, n_pad, d)
 
+    use_rope = rope_cos is not None
+    if use_rope:
+        def pad_rows(t, target):
+            return t if t.shape[0] == target else jnp.pad(
+                t, ((0, target - t.shape[0]), (0, 0))
+            )
+
+        cos_q = pad_rows(rope_cos.astype(jnp.float32), q_pad)
+        sin_q = pad_rows(rope_sin.astype(jnp.float32), q_pad)
+        cos_k = pad_rows(rope_cos.astype(jnp.float32), n_pad)
+        sin_k = pad_rows(rope_sin.astype(jnp.float32), n_pad)
+    else:
+        cos_q = jnp.ones((q_pad, d), jnp.float32)
+        sin_q = jnp.zeros((q_pad, d), jnp.float32)
+        cos_k = jnp.ones((n_pad, d), jnp.float32)
+        sin_k = jnp.zeros((n_pad, d), jnp.float32)
+
     grid = (B * H // gh, q_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, n_valid=n_valid, gh=gh),
+        functools.partial(
+            _attn_kernel, scale=scale, n_valid=n_valid, gh=gh, use_rope=use_rope
+        ),
         out_shape=jax.ShapeDtypeStruct((B * H, q_pad, d), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((gh, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gh, n_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gh, n_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, d), lambda b, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, d), lambda b, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, d), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, d), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (gh, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -163,7 +201,7 @@ def fused_attention(
             transcendentals=B * H * q_pad * n_pad,
         ),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(qf, kf, vf, cos_q, sin_q, cos_k, sin_k)
 
     out = out.reshape(B, H, q_pad, d)
     return out[:, :, :N, :]
