@@ -26,6 +26,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from cbas_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from cbas_tpu.models.encoder import FrameEncoder
     from cbas_tpu.models.vit import PRESETS
 

@@ -40,6 +40,10 @@ def main(argv=None) -> None:
     parser.add_argument("--headless", action="store_true")
     args = parser.parse_args(argv)
 
+    from cbas_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
     api = Api()
     if args.project:
         result = api.load_project(args.project)
