@@ -14,13 +14,19 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 SRC = os.path.join(HERE, "decoder.cpp")
-LIB = os.path.join(HERE, "libcbasdecoder.so")
+BUILD_DIR = os.path.join(HERE, "_build")
+LIB = os.path.join(BUILD_DIR, "libcbasdecoder.so")
 
 LIBS = ["-lavformat", "-lavcodec", "-lavutil", "-lswscale"]
 
 
 def build(force: bool = False) -> str:
-    """Compile decoder.cpp -> libcbasdecoder.so; returns the library path."""
+    """Compile decoder.cpp -> _build/libcbasdecoder.so; returns the path.
+
+    The library lives outside the package's importable namespace (pkgutil
+    walkers would otherwise try to import it as an extension module).
+    """
+    os.makedirs(BUILD_DIR, exist_ok=True)
     if not force and os.path.exists(LIB) and os.path.getmtime(LIB) >= os.path.getmtime(SRC):
         return LIB
     cmd = [
