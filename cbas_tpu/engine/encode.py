@@ -115,6 +115,7 @@ def encode_file(
                             progress_callback(done / video_len * 100.0)
                     break
                 start, planes = item
+                was_warm = encoder.is_warm(cfg.chunk_frames, *planes.shape[1:])
                 t_enc = time.perf_counter()
                 pending = encoder.encode_planes_async(planes, batch=cfg.chunk_frames)
                 if in_flight is not None:
@@ -127,7 +128,8 @@ def encode_file(
                     done = in_flight[1]
                     if progress_callback:
                         progress_callback(done / video_len * 100.0)
-                metrics.add(ENCODE_FRAMES, len(planes), time.perf_counter() - t_enc)
+                if was_warm:  # exclude one-time XLA compilation from the meter
+                    metrics.add(ENCODE_FRAMES, len(planes), time.perf_counter() - t_enc)
                 in_flight = (pending, start + len(planes))
             if decode_err:
                 raise decode_err[0]

@@ -184,6 +184,11 @@ class FrameEncoder:
             self._geometry_cache[key] = prog
         return prog
 
+    def is_warm(self, batch: int, height: int, width: int) -> bool:
+        """Whether a program for this geometry has already been requested
+        (first use pays XLA compilation; callers can exclude it from meters)."""
+        return (batch, height, width) in self._geometry_cache
+
     # -- public API -----------------------------------------------------------
 
     def encode_planes_async(self, planes_u8: np.ndarray, batch: Optional[int] = None):
