@@ -25,7 +25,13 @@ from cbas_tpu.core.config import EncodeConfig
 from cbas_tpu.core.hdf5_store import EmbeddingWriter
 from cbas_tpu.ingest.decode import open_video
 from cbas_tpu.models.encoder import FrameEncoder
-from cbas_tpu.utils.metrics import DECODE_FRAMES, ENCODE_FRAMES, H5_ROWS, metrics
+from cbas_tpu.utils.metrics import (
+    DECODE_FRAMES,
+    ENCODE_FRAMES,
+    ENCODE_FRAMES_COLD,
+    H5_ROWS,
+    metrics,
+)
 from cbas_tpu.utils.naming import h5_path_for_video
 
 _SENTINEL = object()
@@ -115,9 +121,9 @@ def encode_file(
                             progress_callback(done / video_len * 100.0)
                     break
                 start, planes = item
-                was_warm = encoder.is_warm(cfg.chunk_frames, *planes.shape[1:])
                 t_enc = time.perf_counter()
                 pending = encoder.encode_planes_async(planes, batch=cfg.chunk_frames)
+                was_warm = pending[2]  # decided inside the encoder's program cache
                 if in_flight is not None:
                     t = time.perf_counter()
                     emb = encoder.to_host(in_flight[0])
@@ -128,8 +134,10 @@ def encode_file(
                     done = in_flight[1]
                     if progress_callback:
                         progress_callback(done / video_len * 100.0)
-                if was_warm:  # exclude one-time XLA compilation from the meter
-                    metrics.add(ENCODE_FRAMES, len(planes), time.perf_counter() - t_enc)
+                # Compile-tainted batches go to their own meter so steady-state
+                # throughput stays honest and short videos still show activity.
+                meter = ENCODE_FRAMES if was_warm else ENCODE_FRAMES_COLD
+                metrics.add(meter, len(planes), time.perf_counter() - t_enc)
                 in_flight = (pending, start + len(planes))
             if decode_err:
                 raise decode_err[0]

@@ -177,37 +177,36 @@ class FrameEncoder:
         return fn
 
     def _program(self, batch: int, height: int, width: int):
+        """Returns (program, was_cached); the first request per geometry pays
+        XLA compilation (unless the persistent cache already holds it)."""
         key = (batch, height, width)
         prog = self._geometry_cache.get(key)
         if prog is None:
             prog = self._build(batch, height, width)
             self._geometry_cache[key] = prog
-        return prog
-
-    def is_warm(self, batch: int, height: int, width: int) -> bool:
-        """Whether a program for this geometry has already been requested
-        (first use pays XLA compilation; callers can exclude it from meters)."""
-        return (batch, height, width) in self._geometry_cache
+            return prog, False
+        return prog, True
 
     # -- public API -----------------------------------------------------------
 
     def encode_planes_async(self, planes_u8: np.ndarray, batch: Optional[int] = None):
-        """Dispatch without synchronizing: returns (device_array, n_valid).
+        """Dispatch without synchronizing: (device_array, n_valid, was_warm).
 
-        Lets callers keep a batch in flight while decoding/writing the
-        neighbors; resolve with :meth:`to_host`.
+        ``was_warm`` is False when this call built/compiled the program for a
+        new geometry. Lets callers keep a batch in flight while
+        decoding/writing the neighbors; resolve with :meth:`to_host`.
         """
         n, h, w = planes_u8.shape
         compiled_batch = batch or n
-        prog = self._program(compiled_batch, h, w)
+        prog, was_warm = self._program(compiled_batch, h, w)
         if n < compiled_batch:
             pad = np.zeros((compiled_batch - n, h, w), np.uint8)
             planes_u8 = np.concatenate([planes_u8, pad], axis=0)
-        return prog(self._device_params, jnp.asarray(planes_u8)), n
+        return prog(self._device_params, jnp.asarray(planes_u8)), n, was_warm
 
     @staticmethod
     def to_host(pending) -> np.ndarray:
-        out, n = pending
+        out, n, _ = pending
         return np.asarray(jax.device_get(out))[:n]
 
     def encode_planes(self, planes_u8: np.ndarray, batch: Optional[int] = None) -> np.ndarray:

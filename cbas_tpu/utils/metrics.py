@@ -76,7 +76,8 @@ metrics = MetricsRegistry()
 
 # Canonical stage names used across the pipeline.
 DECODE_FRAMES = "decode_frames"          # host video decode
-ENCODE_FRAMES = "encode_frames"          # frames through the ViT
+ENCODE_FRAMES = "encode_frames"          # frames through the ViT (warm programs)
+ENCODE_FRAMES_COLD = "encode_frames_cold"  # batches that paid XLA compilation
 INFER_WINDOWS = "infer_windows"          # sliding windows through the head
 INFER_FRAMES = "infer_frames"            # frames with predictions written
 TRAIN_STEPS = "train_steps"              # optimizer steps

@@ -41,7 +41,12 @@ def test_pipeline_reports_metrics(tmp_path):
     from cbas_tpu.models.encoder import FrameEncoder
     from cbas_tpu.models.heads import DeltasHeadConfig, init_deltas_params
     from cbas_tpu.models.vit import ViTConfig, init_vit_params
-    from cbas_tpu.utils.metrics import DECODE_FRAMES, ENCODE_FRAMES, INFER_WINDOWS
+    from cbas_tpu.utils.metrics import (
+        DECODE_FRAMES,
+        ENCODE_FRAMES,
+        ENCODE_FRAMES_COLD,
+        INFER_WINDOWS,
+    )
 
     metrics.reset()
     video = str(tmp_path / "v.mp4")
@@ -68,7 +73,9 @@ def test_pipeline_reports_metrics(tmp_path):
 
     snap = metrics.snapshot()
     assert snap[DECODE_FRAMES]["units"] == 30
-    # The first (cold, compiling) chunk is excluded from the encode meter.
+    # The first (cold, compiling) chunk lands on the cold meter; warm batches
+    # carry steady-state throughput.
     assert snap[ENCODE_FRAMES]["units"] == 14
+    assert snap[ENCODE_FRAMES_COLD]["units"] == 16
     assert snap[INFER_WINDOWS]["units"] == 30
     assert snap[DECODE_FRAMES]["rate"] > 0
