@@ -102,6 +102,7 @@ class Api:
         if st.encoder is not None:
             sweep_stale_embeddings(st)
         self.start_recording_watcher()
+        st.shutdown.clear()  # a prior kill_all_processes must not gate new workers
         if self._workers is None:
             self._workers = start_workers(st)
             self.train_worker = self._workers[2]
@@ -293,6 +294,8 @@ class Api:
         out: Dict[str, Dict[str, List[dict]]] = {}
         if not self.state.project:
             return out
+        labeled = self._labeled_video_set()
+        root = self.state.project.path
         for session, subjects in self.state.project.recordings.items():
             out[session] = {}
             for name, rec in subjects.items():
@@ -300,7 +303,7 @@ class Api:
                     {
                         "path": v,
                         "encoded": os.path.exists(h5_path_for_video(v)),
-                        "has_labels": self.video_has_labels(v),
+                        "has_labels": os.path.relpath(v, root).replace("\\", "/") in labeled,
                     }
                     for v in rec.video_files
                     if not is_aug_video(v)
@@ -407,15 +410,22 @@ class Api:
         ds.update_instance_counts_in_config()
         return True
 
+    def _labeled_video_set(self) -> set:
+        """Relative paths of every labeled video, one pass over all datasets."""
+        out = set()
+        if not self.state.project:
+            return out
+        for ds in self.state.project.datasets.values():
+            for insts in ds.labels.get("labels", {}).values():
+                for i in insts:
+                    out.add(str(i.get("video", "")).replace("\\", "/"))
+        return out
+
     def video_has_labels(self, video_path: str) -> bool:
         if not self.state.project:
             return False
         rel = os.path.relpath(video_path, self.state.project.path).replace("\\", "/")
-        for ds in self.state.project.datasets.values():
-            for insts in ds.labels.get("labels", {}).values():
-                if any(str(i.get("video", "")).replace("\\", "/") == rel for i in insts):
-                    return True
-        return False
+        return rel in self._labeled_video_set()
 
     def get_label_coverage_report(self, dataset_name: str) -> dict:
         ds = self.state.project.datasets.get(dataset_name) if self.state.project else None
@@ -549,9 +559,18 @@ class Api:
     def session(self) -> Optional[LabelingSession]:
         return self.state.labeling_session
 
+    def _abs_video(self, video_path: str) -> str:
+        """Accept both absolute paths (reference UI convention) and
+        project-relative paths (the labels.yaml convention)."""
+        if not os.path.isabs(video_path) and self.state.project is not None:
+            return os.path.join(self.state.project.path, video_path)
+        return video_path
+
     def start_labeling(self, dataset_name: str, video_path: str,
                        filter_for_behavior: Optional[str] = None) -> bool:
-        return self._start_session(dataset_name, video_path, None, filter_for_behavior)
+        return self._start_session(
+            dataset_name, self._abs_video(video_path), None, filter_for_behavior
+        )
 
     def start_labeling_with_preload(
         self, dataset_name: str, model_name: str, video_path: str, smoothing_window: int
@@ -561,6 +580,7 @@ class Api:
         proj = self.state.project
         if proj is None:
             return False
+        video_path = self._abs_video(video_path)
         model = proj.models.get(model_name)
         if model is None:
             return False

@@ -105,7 +105,9 @@ function acto(){
 const log=document.getElementById('log');
 const es=new EventSource('/events');
 es.onmessage=e=>{const d=JSON.parse(e.data);
-  log.textContent=(d.name?('['+d.name+'] '+JSON.stringify(d.args).slice(0,200)):d.line)+'\\n'+log.textContent;
+  const line = d.name==='log_line' ? d.args[0]
+             : '['+d.name+'] '+JSON.stringify(d.args).slice(0,200);
+  log.textContent=line+'\\n'+log.textContent;
   log.textContent=log.textContent.split('\\n').slice(0,200).join('\\n');};
 call('get_cbas_status').then(show('status'));
 </script></body></html>
@@ -162,14 +164,10 @@ class RpcServer:
                 outer.api.state.callbacks.add_listener(listener)
                 try:
                     while not outer.api.state.shutdown.is_set():
-                        # Interleave callback events and log lines.
                         try:
                             item = q.get(timeout=0.5)
                         except queue.Empty:
-                            try:
-                                item = {"line": log_queue.get_nowait()}
-                            except queue.Empty:
-                                continue
+                            continue
                         data = json.dumps(item)
                         self.wfile.write(f"data: {data}\n\n".encode())
                         self.wfile.flush()
@@ -200,9 +198,21 @@ class RpcServer:
         self.port = self._httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
 
+    def _log_broadcaster(self) -> None:
+        """Fan log lines out through the callback bus so every SSE client
+        receives every line (per-client drains of the single log_queue would
+        deliver each line to only one client)."""
+        while not self.api.state.shutdown.is_set():
+            try:
+                line = log_queue.get(timeout=0.5)
+            except queue.Empty:
+                continue
+            self.api.state.callbacks.emit("log_line", line)
+
     def start(self) -> int:
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
+        threading.Thread(target=self._log_broadcaster, daemon=True).start()
         log_message(f"CBAS-TPU server listening on http://localhost:{self.port}")
         return self.port
 

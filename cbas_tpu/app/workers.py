@@ -194,6 +194,10 @@ class TrainWorker(threading.Thread):
                 st.callbacks.emit("refreshAllDatasets")
             else:
                 progress("Training failed or cancelled.")
+            # Cancellation applies to the job that was running; clear it so
+            # remaining queued tasks still execute.
+            if st.training_cancel.is_set():
+                st.training_cancel.clear()
             return True
         except Exception as e:
             log_message(f"Critical error during training for {task.name}: {e}", "ERROR")

@@ -63,6 +63,8 @@ def encode_file(
     """
     cfg = config or EncodeConfig()
     reader = open_video(path)
+    abort = threading.Event()  # consumer-side failure -> stop the decode thread
+    t_decode = None
     try:
         video_len = len(reader)
         if video_len == 0:
@@ -80,7 +82,9 @@ def encode_file(
         def decode_worker() -> None:
             try:
                 for start in range(0, video_len, cfg.chunk_frames):
-                    if cancel_event is not None and cancel_event.is_set():
+                    if abort.is_set() or (
+                        cancel_event is not None and cancel_event.is_set()
+                    ):
                         break
                     n = min(cfg.chunk_frames, video_len - start)
                     t = time.perf_counter()
@@ -88,11 +92,23 @@ def encode_file(
                     metrics.add(DECODE_FRAMES, len(planes), time.perf_counter() - t)
                     if stats is not None:
                         stats.decode_s += time.perf_counter() - t
-                    chunk_q.put((start, planes))
+                    while not abort.is_set():
+                        try:
+                            chunk_q.put((start, planes), timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
             except Exception as e:  # surfaced by the consumer
                 decode_err.append(e)
             finally:
-                chunk_q.put(_SENTINEL)
+                # The sentinel must reach the consumer or it blocks forever in
+                # get(); retry while it still listens (abort set = it stopped).
+                while not abort.is_set():
+                    try:
+                        chunk_q.put(_SENTINEL, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
 
         t_decode = threading.Thread(target=decode_worker, daemon=True)
         t_decode.start()
@@ -153,4 +169,15 @@ def encode_file(
             stats.wall_s += time.perf_counter() - t0
         return result
     finally:
+        # The decode thread may be mid-read; closing the decoder under it is a
+        # use-after-free. Signal it, drain the queue so a blocked put wakes,
+        # and join before releasing the reader.
+        abort.set()
+        if t_decode is not None:
+            while t_decode.is_alive():
+                try:
+                    chunk_q.get_nowait()
+                except queue.Empty:
+                    pass
+                t_decode.join(timeout=0.2)
         reader.close()

@@ -81,12 +81,15 @@ class InferenceSession:
             return np.zeros((0, len(self.bundle.behaviors)), np.float32)
 
         wb = self.cfg.window_batch
-        if n_targets < wb:
-            # Tiny chunk: replicate the last row so one full window batch fits;
-            # the surplus windows are dropped below.
-            extra = wb - n_targets
+        # Pad to one fixed device shape so every chunk of every file reuses
+        # the same compiled program (a varying tail shape would otherwise pay
+        # an XLA recompile per distinct video length).
+        fixed_rows = max(self.cfg.chunk_frames, wb) + 2 * h
+        if features.shape[0] < fixed_rows:
             features = np.concatenate(
-                [features, np.repeat(features[-1:], extra, axis=0)], axis=0
+                [features,
+                 np.repeat(features[-1:], fixed_rows - features.shape[0], axis=0)],
+                axis=0,
             )
         chunk_dev = jax.device_put(jnp.asarray(features))
 

@@ -106,6 +106,7 @@ def run_training_job(
     best_run_history = None
     split_assignments: dict = {}
     last_val_insts: List[dict] = []
+    best_train_insts: List[dict] = []
 
     try:
         for run in range(task.num_runs):
@@ -220,6 +221,7 @@ def run_training_job(
                     "test_groups": sorted(test_subj),
                 }
                 last_val_insts = val_insts
+                best_train_insts = train_insts
 
         if cancel_event.is_set():
             log_message(f"Training for '{task.name}' cancelled.", "WARN")
@@ -228,7 +230,7 @@ def run_training_job(
             log_message(f"Training failed for '{task.name}': no valid model.", "ERROR")
             return None
 
-        return _save_results(
+        model_dir = _save_results(
             project,
             task,
             dataset,
@@ -240,6 +242,13 @@ def run_training_job(
             output_dir=output_dir,
             plot_suffix=plot_suffix,
         )
+        if model_dir and generate_disagreements and best_train_insts:
+            try:
+                bundle = ClassifierBundle.load(model_dir)
+                generate_disagreement_report(project, task, bundle, best_train_insts)
+            except Exception as e:
+                log_message(f"Disagreement report failed: {e}", "WARN")
+        return model_dir
     finally:
         global_handle_cache.close_all()
 

@@ -54,7 +54,8 @@ def plot_epoch_metric(
     colors = plt.get_cmap("tab10", len(behaviors))
 
     def series(getter):
-        return [getter(r) or np.nan for r in reports]
+        # 0.0 is a real score; only a missing metric becomes NaN.
+        return [v if (v := getter(r)) is not None else np.nan for r in reports]
 
     for i, b in enumerate(behaviors):
         train = series(lambda r: r.train_report.get(b, {}).get(metric))

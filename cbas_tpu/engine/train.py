@@ -241,16 +241,17 @@ def _manifest_bytes(manifest) -> int:
 # SURVEY.md §5 "no mid-training optimizer/step checkpointing")
 # ---------------------------------------------------------------------------
 
-def save_train_state(path: str, params, opt_state, meta: dict) -> None:
-    """Persist (params, optimizer state, loop metadata) atomically.
+def save_train_state(path: str, params, opt_state, best_params, meta: dict) -> None:
+    """Persist (params, optimizer state, best-so-far weights, metadata) atomically.
 
     The pytrees are flattened to ordered leaves; restoring rebuilds them from
     templates produced by the same code, so no structure serialization is
-    needed.
+    needed. ``best_params`` may equal ``params`` when no improvement happened
+    yet.
     """
     import json
 
-    leaves = jax.tree.leaves((params, opt_state))
+    leaves = jax.tree.leaves((params, opt_state, best_params))
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(jax.device_get(leaves))}
     tmp = path + ".tmp.npz"
     np.savez(tmp, __meta__=json.dumps(meta), **arrays)
@@ -260,15 +261,17 @@ def save_train_state(path: str, params, opt_state, meta: dict) -> None:
 
 
 def load_train_state(path: str, params_template, opt_state_template):
-    """Returns (params, opt_state, meta) matching the templates' structure."""
+    """Returns (params, opt_state, best_params, meta) per the templates."""
     import json
 
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
         leaves = [z[f"leaf_{i}"] for i in range(len(z.files) - 1)]
-    treedef = jax.tree.structure((params_template, opt_state_template))
-    params, opt_state = jax.tree.unflatten(treedef, leaves)
-    return params, opt_state, meta
+    treedef = jax.tree.structure(
+        (params_template, opt_state_template, params_template)
+    )
+    params, opt_state, best_params = jax.tree.unflatten(treedef, leaves)
+    return params, opt_state, best_params, meta
 
 
 # ---------------------------------------------------------------------------
@@ -359,15 +362,18 @@ def train_head(
     import os
 
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
-        params, opt_state, meta = load_train_state(checkpoint_path, params, opt_state)
+        params, opt_state, ckpt_best, meta = load_train_state(
+            checkpoint_path, params, opt_state
+        )
         start_epoch = int(meta["epoch"]) + 1
         best_f1 = float(meta["best_f1"])
         best_epoch = int(meta["best_epoch"])
         no_improve = int(meta["no_improve"])
         key = jax.random.key(seed + 7919 * start_epoch)  # fresh stream post-resume
         if best_epoch >= 0:
-            # Copy: the donated step invalidates the restored buffers.
-            best_params = jax.tree.map(lambda a: a.copy(), params)
+            # The checkpointed best weights, not the last epoch's. Copy: the
+            # donated step invalidates restored buffers.
+            best_params = jax.tree.map(lambda a: a.copy(), ckpt_best)
         print(f"Resumed training from epoch {start_epoch} ({checkpoint_path}).")
         # Replay the sampler so epoch streams continue where they left off.
         for _ in range(start_epoch):
@@ -468,6 +474,7 @@ def train_head(
         if checkpoint_path:
             save_train_state(
                 checkpoint_path, params, opt_state,
+                best_params if best_params is not None else params,
                 {"epoch": e, "best_f1": best_f1, "best_epoch": best_epoch,
                  "no_improve": no_improve, "seed": seed},
             )

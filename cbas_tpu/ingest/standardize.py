@@ -71,37 +71,58 @@ def standardize_video(
 ) -> str:
     """Re-time to ``fps`` and re-frame to a square; frame selection uses
     timestamp rounding (the same frames ffmpeg's fps filter picks)."""
-    with open_video(src_path) as reader:
-        src_fps = reader.fps or fps
-        n = reader.frame_count
-        duration = n / src_fps if src_fps > 0 else 0
-        out_frames = max(1, int(round(duration * fps))) if duration else n
-        writer = _writer(dst_path + ".tmp.mp4", fps, (resolution, resolution))
-        try:
-            chunk = 64
-            # Map each output timestamp to the nearest source frame.
-            src_indices = np.minimum(
-                (np.arange(out_frames) * (src_fps / fps)).round().astype(int), n - 1
+    tmp_path = dst_path + ".tmp.mp4"
+    written = 0
+    try:
+        with open_video(src_path) as reader:
+            src_fps = reader.fps or fps
+            n = reader.frame_count
+            duration = n / src_fps if src_fps > 0 else 0
+            out_frames = max(1, int(round(duration * fps))) if duration else n
+            writer = _writer(tmp_path, fps, (resolution, resolution))
+            try:
+                chunk = 64
+                # Map each output timestamp to the nearest source frame.
+                src_indices = np.minimum(
+                    (np.arange(out_frames) * (src_fps / fps)).round().astype(int), n - 1
+                )
+                pos = 0
+                truncated = False
+                while pos < out_frames and not truncated:
+                    take = src_indices[pos : pos + chunk]
+                    lo, hi = int(take[0]), int(take[-1]) + 1
+                    batch = reader.read_batch(lo, hi - lo)
+                    avail_end = lo + batch.shape[0]
+                    for idx in take:
+                        if idx >= avail_end:
+                            # The decoder returned fewer frames than the
+                            # container promised — stop, don't replicate.
+                            truncated = True
+                            break
+                        frame = batch[idx - lo]
+                        if crop is not None:
+                            frame = crop_fractional(frame, crop)
+                        frame = fit_square(frame, resolution, stretch)
+                        writer.write(frame[:, :, ::-1])  # RGB -> BGR for cv2
+                        written += 1
+                        pos += 1
+                    if progress_callback:
+                        progress_callback(min(100.0, pos / out_frames * 100.0))
+            finally:
+                writer.release()
+        if written < out_frames:
+            raise IOError(
+                f"decode stopped early: wrote {written}/{out_frames} frames of "
+                f"{src_path} — refusing to commit a truncated standardization"
             )
-            pos = 0
-            while pos < out_frames:
-                take = src_indices[pos : pos + chunk]
-                lo, hi = int(take[0]), int(take[-1]) + 1
-                batch = reader.read_batch(lo, hi - lo)
-                if batch.shape[0] == 0:
-                    break
-                for idx in take:
-                    frame = batch[min(idx - lo, batch.shape[0] - 1)]
-                    if crop is not None:
-                        frame = crop_fractional(frame, crop)
-                    frame = fit_square(frame, resolution, stretch)
-                    writer.write(frame[:, :, ::-1])  # RGB -> BGR for cv2
-                pos += len(take)
-                if progress_callback:
-                    progress_callback(min(100.0, pos / out_frames * 100.0))
-        finally:
-            writer.release()
-    os.replace(dst_path + ".tmp.mp4", dst_path)
+    except BaseException:
+        if os.path.exists(tmp_path):
+            try:
+                os.remove(tmp_path)
+            except OSError:
+                pass
+        raise
+    os.replace(tmp_path, dst_path)
     return dst_path
 
 

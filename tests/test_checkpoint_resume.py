@@ -26,13 +26,15 @@ def test_state_roundtrip(tmp_path):
     params = init_deltas_params(jax.random.key(0), cfg)
     opt = make_optimizer(1e-3, 1e-4)
     opt_state = opt.init(params)
+    best = init_deltas_params(jax.random.key(1), cfg)  # distinct best weights
     path = str(tmp_path / "state.npz")
-    save_train_state(path, params, opt_state, {"epoch": 3, "best_f1": 0.5,
-                                               "best_epoch": 2, "no_improve": 1})
-    p2, o2, meta = load_train_state(path, params, opt_state)
+    save_train_state(path, params, opt_state, best,
+                     {"epoch": 3, "best_f1": 0.5, "best_epoch": 2, "no_improve": 1})
+    p2, o2, b2, meta = load_train_state(path, params, opt_state)
     assert meta["epoch"] == 3 and meta["best_f1"] == 0.5
     for k in params:
         np.testing.assert_array_equal(np.asarray(params[k]), np.asarray(p2[k]))
+        np.testing.assert_array_equal(np.asarray(best[k]), np.asarray(b2[k]))
     # Optimizer moments restored leaf-for-leaf.
     for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(o2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
