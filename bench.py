@@ -42,7 +42,7 @@ def main() -> None:
         random_init=True,  # weights don't affect throughput
         compute_dtype=jnp.bfloat16,
     )
-    prog = enc._program(batch, height, width)
+    prog, _ = enc._program(batch, height, width)
 
     rng = np.random.default_rng(0)
     planes = [

@@ -19,6 +19,7 @@ available for any differentiable use.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -140,8 +141,11 @@ def fused_attention(
     be a multiple of 8 (ViT head dims are 64/128).
     """
     B, H, N, d = q.shape
-    if jax.default_backend() == "cpu":
-        interpret = True  # Mosaic kernels only compile for TPU
+    if jax.default_backend() == "cpu" or os.environ.get("CBAS_PALLAS_INTERPRET"):
+        # Mosaic kernels only compile for TPU. The env override covers mixed
+        # environments where the default backend is TPU but the program is
+        # being lowered for CPU devices (e.g. the virtual-mesh dry run).
+        interpret = True
     if n_valid is None:
         n_valid = N
     n_pad = _round_up(N, 128)
