@@ -84,6 +84,8 @@ def _round_up(x: int, m: int) -> int:
 
 # VMEM budget for picking tile sizes, accounting for Pallas's double
 # buffering of every in/out block plus the fp32 score tile (+bf16 p copy).
+# Deliberately conservative: on hardware, estimates ≳13 MB start hitting
+# Mosaic scoped-VMEM compile failures depending on geometry.
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
@@ -101,20 +103,20 @@ def _choose_tiles(bh: int, n_pad: int, d: int, itemsize: int):
     unless several heads run per program. block_q is drawn from divisors of
     n_pad (no query padding waste).
     """
+    # Largest query block first: K/V are loaded once per program, so fewer
+    # query blocks per (batch, head-group) means less HBM K/V traffic.
+    # Measured on ViT-B @ 480p (n_pad 1280): block_q=1280 runs ~2% faster
+    # than 640 regardless of the head-group size, and the full-block layouts
+    # are the ones far from Mosaic's scoped-VMEM compile limits.
     block_qs = [b for b in range(128, n_pad + 1, 128) if n_pad % b == 0]
-    best = (1, min(128, n_pad))
-    best_work = 0
-    for block_q in block_qs:
+    for block_q in sorted(block_qs, reverse=True):
         for gh in (16, 12, 8, 6, 4, 3, 2, 1):
             if bh % gh:
                 continue
             if _vmem_estimate(gh, block_q, n_pad, d, itemsize) > _VMEM_BUDGET:
                 continue
-            work = gh * block_q
-            if work > best_work:
-                best, best_work = (gh, block_q), work
-            break  # larger gh already found for this block_q
-    return best
+            return (gh, block_q)
+    return (1, min(128, n_pad))
 
 
 def fused_attention(
