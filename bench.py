@@ -34,7 +34,10 @@ def main() -> None:
     from cbas_tpu.models.vit import PRESETS
 
     height, width = 480, 640  # 480p per BASELINE.json config 1
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    # 320 beats power-of-two batches by ~10% at this geometry (HBM stride
+    # pathology on pow2 batch x 1205-token buffers); throughput is flat
+    # across 160-352 and within ~2% of peak from 96 up.
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 320
 
     enc = FrameEncoder(
         "facebook/dinov3-vitb16",
