@@ -83,9 +83,22 @@ class Api:
             return {"success": False, "message": str(e)}
 
         try:
+            from cbas_tpu.parallel.mesh import runtime_mesh
+
+            st.mesh = runtime_mesh()
+            if st.mesh is not None:
+                log_message(
+                    f"Data-parallel mesh over {st.mesh.devices.size} devices "
+                    f"({dict(st.mesh.shape)})."
+                )
+        except Exception as e:
+            log_message(f"Mesh construction failed ({e}); using one device.", "WARN")
+            st.mesh = None
+
+        try:
             from cbas_tpu.models.encoder import FrameEncoder
 
-            st.encoder = FrameEncoder(st.project.encoder_model_identifier)
+            st.encoder = FrameEncoder(st.project.encoder_model_identifier, mesh=st.mesh)
             log_message(f"Encoder ready: {st.project.encoder_model_identifier}")
         except Exception as e:
             log_message(
@@ -597,7 +610,7 @@ class Api:
         h5 = h5_path_for_video(video_path)
         csv = outputs_csv_for_h5(h5, model_name)
         if not os.path.exists(csv):
-            csv = InferenceSession(bundle).infer_h5(h5, output_csv=csv)
+            csv = InferenceSession(bundle, mesh=self.state.mesh).infer_h5(h5, output_csv=csv)
             if csv is None:
                 return False
         df = pd.read_csv(csv)
@@ -819,3 +832,34 @@ def bind_eel(api: Api) -> bool:
         if callable(fn):
             eel._expose(name, fn)
     return True
+
+
+def bridge_callbacks_to_eel(api: Api, eel_module=None):
+    """Forward every worker Callbacks emission to the JS side.
+
+    The reference workers call ``eel.<jsFunc>(args)()`` directly
+    (backend/workthreads.py, backend/label_train_page.py); here the workers
+    emit through the transport-agnostic ``Callbacks`` fan-out, and this
+    listener completes the bridge so the reference ``frontend/js/*`` pages —
+    which register their receivers via JS-side ``eel.expose`` — receive the
+    same ``update_global_encoding_progress`` / ``updateLabelImageSrc`` / ...
+    calls unchanged. Returns the registered listener (callers can
+    ``callbacks.remove_listener`` it).
+    """
+    if eel_module is None:
+        import eel as eel_module
+
+    def forward(name: str, args: tuple) -> None:
+        js_fn = getattr(eel_module, name, None)
+        if js_fn is None:
+            return  # not a JS-exposed function (e.g. server-internal event)
+        try:
+            # eel.<fn>(*args) returns a handle; calling it dispatches without
+            # waiting for a JS return value (fire-and-forget, like the
+            # reference's ``eel.updateLabelImageSrc(blob)()``).
+            js_fn(*args)()
+        except Exception as e:  # a dead websocket must never kill a worker
+            print(f"Eel callback '{name}' failed: {e}")
+
+    api.state.callbacks.add_listener(forward)
+    return forward

@@ -90,6 +90,7 @@ class AppState:
     def __init__(self) -> None:
         self.project = None  # cbas_tpu.core.project.Project
         self.encoder = None  # cbas_tpu.models.encoder.FrameEncoder
+        self.mesh = None     # jax.sharding.Mesh when >1 device (parallel/mesh.py)
         self.headless = False
 
         self.encode_tasks = TaskQueue()

@@ -106,7 +106,7 @@ class ClassifyWorker(threading.Thread):
                     bundle = ClassifierBundle.load(
                         model.path, expected_encoder=st.project.encoder_model_identifier
                     )
-                    self._session = InferenceSession(bundle, self.config)
+                    self._session = InferenceSession(bundle, self.config, mesh=st.mesh)
                     log_message(f"Model '{name}' loaded for live inference.")
                 except Exception as e:
                     log_message(f"Error loading model bundle '{name}': {e}", "ERROR")
@@ -188,6 +188,7 @@ class TrainWorker(threading.Thread):
                 st.project, task,
                 cancel_event=st.training_cancel,
                 progress_callback=progress,
+                mesh=st.mesh,
             )
             if model_dir:
                 progress("Training complete.")

@@ -177,7 +177,7 @@ class DeviceWindowStore:
     step. Eliminates the per-batch (B, T, D) host->device transfer entirely.
     """
 
-    def __init__(self, manifest: Sequence[ManifestEntry], seq_len: int):
+    def __init__(self, manifest: Sequence[ManifestEntry], seq_len: int, sharding=None):
         import h5py
         import jax
         import jax.numpy as jnp
@@ -195,7 +195,8 @@ class DeviceWindowStore:
             total += arr.shape[0]
             rows.append(arr)
         stacked = np.concatenate(rows, axis=0) if rows else np.zeros((0, 1), np.float16)
-        self.features = jax.device_put(jnp.asarray(stacked))  # (R, D) fp16
+        # (R, D) fp16 in HBM; replicated over the mesh when one is configured.
+        self.features = jax.device_put(jnp.asarray(stacked), sharding)
         self.centers = np.array(
             [offsets[p] + c for p, c, _ in manifest], np.int32
         )

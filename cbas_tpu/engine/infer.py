@@ -32,11 +32,16 @@ from cbas_tpu.utils.metrics import INFER_FRAMES, INFER_WINDOWS, metrics
 from cbas_tpu.utils.naming import outputs_csv_for_h5
 
 
-def _window_program(bundle: ClassifierBundle, window_batch: int):
+def _window_program(bundle: ClassifierBundle, window_batch: int, mesh=None):
     """Build fn(params, chunk (M, D), offset) -> probs (window_batch, C).
 
     ``chunk`` holds seq_len-1 halo rows beyond the targets; window i covers
     rows [offset+i, offset+i+seq_len).
+
+    With a mesh, the window batch is split on the "data" axis: params and the
+    chunk are replicated (the chunk is tens of MB; the halo overlap between
+    neighboring windows makes row-sharding it pointless) and GSPMD propagates
+    the batch sharding backwards from the output through the head forward.
     """
     seq_len = bundle.seq_len
     probs = bundle.probs_fn()
@@ -48,17 +53,48 @@ def _window_program(bundle: ClassifierBundle, window_batch: int):
         windows = rows[idx]  # (window_batch, seq_len, D) static gather
         return probs(params, windows.astype(jnp.float32))
 
-    return jax.jit(fn)
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        fn,
+        in_shardings=(repl, repl, repl),
+        out_shardings=NamedSharding(mesh, P("data", None)),
+    )
 
 
 class InferenceSession:
-    """Reusable compiled inference pipeline for one model bundle."""
+    """Reusable compiled inference pipeline for one model bundle.
 
-    def __init__(self, bundle: ClassifierBundle, config: Optional[InferenceConfig] = None):
+    ``mesh``: optional multi-chip data-parallel mesh (parallel/mesh.py); the
+    window batch is padded to a mesh multiple and split over the "data" axis.
+    """
+
+    def __init__(
+        self,
+        bundle: ClassifierBundle,
+        config: Optional[InferenceConfig] = None,
+        mesh=None,
+    ):
         self.bundle = bundle
         self.cfg = config or InferenceConfig()
+        self.mesh = mesh
+        self._chunk_sharding = None
+        wb = self.cfg.window_batch
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from cbas_tpu.parallel.mesh import pad_to_multiple
+
+            wb = pad_to_multiple(wb, mesh.devices.size)
+            self._chunk_sharding = NamedSharding(mesh, P())
+        self._window_batch = wb
         self._params = bundle.jax_params()
-        self._program = _window_program(bundle, self.cfg.window_batch)
+        if self._chunk_sharding is not None:
+            self._params = jax.device_put(self._params, self._chunk_sharding)
+        self._program = _window_program(bundle, wb, mesh)
 
     def predict_frames(self, features: np.ndarray, pad_front: int, pad_back: int) -> np.ndarray:
         """Probabilities for every target frame of one halo-extended chunk.
@@ -80,7 +116,7 @@ class InferenceSession:
         if n_targets <= 0:
             return np.zeros((0, len(self.bundle.behaviors)), np.float32)
 
-        wb = self.cfg.window_batch
+        wb = self._window_batch
         # Pad to one fixed device shape so every chunk of every file reuses
         # the same compiled program (a varying tail shape would otherwise pay
         # an XLA recompile per distinct video length).
@@ -91,7 +127,10 @@ class InferenceSession:
                  np.repeat(features[-1:], fixed_rows - features.shape[0], axis=0)],
                 axis=0,
             )
-        chunk_dev = jax.device_put(jnp.asarray(features))
+        if self._chunk_sharding is not None:
+            chunk_dev = jax.device_put(jnp.asarray(features), self._chunk_sharding)
+        else:
+            chunk_dev = jax.device_put(jnp.asarray(features))
 
         out = np.empty((n_targets, len(self.bundle.behaviors)), np.float32)
         if n_targets <= wb:
@@ -161,6 +200,9 @@ def infer_file(
     output_csv: Optional[str] = None,
     config: Optional[InferenceConfig] = None,
     progress_callback: Optional[Callable[[float], None]] = None,
+    mesh=None,
 ) -> Optional[str]:
     """One-shot convenience wrapper (reference API: cbas.infer_file)."""
-    return InferenceSession(bundle, config).infer_h5(h5_path, output_csv, progress_callback)
+    return InferenceSession(bundle, config, mesh=mesh).infer_h5(
+        h5_path, output_csv, progress_callback
+    )

@@ -76,6 +76,7 @@ def run_training_job(
     progress_callback: Optional[Callable[[str], None]] = None,
     seed: Optional[int] = None,
     generate_disagreements: bool = False,
+    mesh=None,
 ) -> Optional[str]:
     """Execute a full training task; returns the saved model dir or None."""
     cancel_event = cancel_event or threading.Event()
@@ -172,6 +173,7 @@ def run_training_job(
                     lstm_hidden_size=task.lstm_hidden_size,
                     lstm_layers=task.lstm_layers,
                     seed=(seed or 0) + run * 1000 + trial,
+                    mesh=mesh,
                 )
                 if params is None or not reports or best_epoch < 0:
                     continue

@@ -111,6 +111,16 @@ def _gather_windows(feats: jnp.ndarray, centers: jnp.ndarray, seq_len: int) -> j
     return feats[centers[:, None] + offsets[None, :]].astype(jnp.float32)
 
 
+def _dp_shardings(mesh, n_batch_args: int):
+    """(in_shardings, repl) for a step whose last ``n_batch_args`` array args
+    (before the rng key) are batch-sharded; everything else is replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P("data"))
+    return repl, bsh
+
+
 def build_train_step(
     cfg: DeltasHeadConfig,
     optimizer,
@@ -118,6 +128,7 @@ def build_train_step(
     label_smoothing: float,
     jit: bool = True,
     gather_seq_len: Optional[int] = None,
+    mesh=None,
 ):
     """Compiled train step.
 
@@ -125,6 +136,11 @@ def build_train_step(
     x = (B, T, D)) or device-resident gather (``gather_seq_len`` set:
     ``step(params, opt, feats, centers, y, rng)`` slices the windows from the
     HBM-resident embedding buffer inside the program).
+
+    With a mesh, the batch args are sharded on the "data" axis and params /
+    optimizer state are replicated; GSPMD auto-inserts the gradient psum, so
+    the math keeps global-batch semantics — numerically the single-device
+    program (modulo reduction order).
     """
     cw = jnp.asarray(class_weights, jnp.float32) if class_weights is not None else None
 
@@ -153,21 +169,39 @@ def build_train_step(
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-    return jax.jit(step, donate_argnums=(0, 1)) if jit else step
-
-
-def build_logits_program(cfg: DeltasHeadConfig, gather_seq_len: Optional[int] = None):
+    if not jit:
+        return step
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+    repl, bsh = _dp_shardings(mesh, 2)
     if gather_seq_len is None:
-        @jax.jit
+        in_sh = (repl, repl, bsh, bsh, repl)
+    else:
+        in_sh = (repl, repl, repl, bsh, bsh, repl)
+    return jax.jit(
+        step,
+        donate_argnums=(0, 1),
+        in_shardings=in_sh,
+        out_shardings=(repl, repl, repl),
+    )
+
+
+def build_logits_program(
+    cfg: DeltasHeadConfig, gather_seq_len: Optional[int] = None, mesh=None
+):
+    if gather_seq_len is None:
         def logits(params, x):
             return deltas_forward(params, x, cfg, train=False)[0]
     else:
-        @jax.jit
         def logits(params, feats, centers):
             x = _gather_windows(feats, centers, gather_seq_len)
             return deltas_forward(params, x, cfg, train=False)[0]
 
-    return logits
+    if mesh is None:
+        return jax.jit(logits)
+    repl, bsh = _dp_shardings(mesh, 1)
+    in_sh = (repl, bsh) if gather_seq_len is None else (repl, repl, bsh)
+    return jax.jit(logits, in_shardings=in_sh, out_shardings=bsh)
 
 
 def predict_source(
@@ -299,6 +333,7 @@ def train_head(
     checkpoint_path: Optional[str] = None,
     resume: bool = False,
     device_data: bool = True,
+    mesh=None,
 ) -> Tuple[Optional[dict], Optional[List[PerformanceReport]], int]:
     """Train a deltas head; returns (best params as numpy dict, reports, best_epoch).
 
@@ -315,6 +350,16 @@ def train_head(
         return None, None, -1
 
     cancel_event = cancel_event or threading.Event()
+    repl_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cbas_tpu.parallel.mesh import pad_to_multiple
+
+        # Fixed-shape batches must divide the mesh; round the batch size up
+        # (iter_batches / batch_indices already pad partial batches).
+        batch_size = pad_to_multiple(batch_size, mesh.devices.size)
+        repl_sharding = NamedSharding(mesh, P())
     cfg = DeltasHeadConfig(
         in_features=train_source.embed_dim,
         out_features=len(behaviors),
@@ -337,9 +382,13 @@ def train_head(
             if has_val:
                 total += _manifest_bytes(val_source.manifest)
             if total <= DEVICE_DATA_BUDGET_BYTES:
-                train_store = DeviceWindowStore(train_source.manifest, seq_len)
+                train_store = DeviceWindowStore(
+                    train_source.manifest, seq_len, sharding=repl_sharding
+                )
                 if has_val:
-                    val_store = DeviceWindowStore(val_source.manifest, seq_len)
+                    val_store = DeviceWindowStore(
+                        val_source.manifest, seq_len, sharding=repl_sharding
+                    )
         except Exception as e:
             print(f"Device-data path unavailable ({e}); using host windows.")
             train_store = val_store = None
@@ -348,9 +397,9 @@ def train_head(
     optimizer = make_optimizer(lr, weight_decay)
     opt_state = optimizer.init(params)
     step = build_train_step(
-        cfg, optimizer, class_weights, label_smoothing, gather_seq_len=gather
+        cfg, optimizer, class_weights, label_smoothing, gather_seq_len=gather, mesh=mesh
     )
-    logits_prog = build_logits_program(cfg, gather_seq_len=gather)
+    logits_prog = build_logits_program(cfg, gather_seq_len=gather, mesh=mesh)
 
     train_sampler = BalancedSampler(train_source.manifest, len(behaviors), seed=seed)
 

@@ -57,3 +57,29 @@ def shard_batch_jit(fn, mesh: Mesh, axis: str = "data"):
 
 def pad_to_multiple(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
+
+
+def runtime_mesh(runtime_config=None) -> Optional[Mesh]:
+    """The production mesh, from :class:`core.config.RuntimeConfig`.
+
+    Returns ``None`` (plain single-device jit) when only one device is
+    visible and no explicit shape was configured — so single-chip
+    deployments never pay sharding overheads, and multi-chip slices get
+    batch-dim data parallelism over ICI automatically (SURVEY.md §2.7).
+    """
+    devices = jax.devices()
+    shape = getattr(runtime_config, "mesh_shape", None)
+    axis_names = tuple(getattr(runtime_config, "mesh_axis_names", None) or ("data",))
+    if shape is None:
+        if len(devices) < 2:
+            return None
+        shape = (len(devices),)
+        axis_names = ("data",)
+    n = int(np.prod(shape))
+    if n == 1:
+        return None
+    if n > len(devices):
+        raise ValueError(
+            f"mesh shape {tuple(shape)} needs {n} devices, have {len(devices)}"
+        )
+    return make_mesh(tuple(shape), axis_names, devices[:n])

@@ -59,7 +59,7 @@ def api(tmp_path, monkeypatch):
 
     def fake_encoder(identifier, **kw):
         return FrameEncoder(identifier, params=params, cfg=SMALL_CFG,
-                            compute_dtype=jnp.float32)
+                            compute_dtype=jnp.float32, mesh=kw.get("mesh"))
 
     monkeypatch.setattr("cbas_tpu.models.encoder.FrameEncoder", fake_encoder)
 

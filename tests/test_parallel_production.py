@@ -1,0 +1,188 @@
+"""Multi-device data parallelism through the PRODUCTION entry points.
+
+VERDICT.md (round 1) flagged that the mesh existed only as library code plus
+a bespoke dry-run demo. These tests drive the real ``encode_file``,
+``InferenceSession.infer_h5`` and ``train_head`` paths over the virtual
+8-device CPU mesh (conftest.py) and require numerical agreement with the
+single-device programs. Reference scope: SURVEY.md §2.7 ("DP via
+pjit/shard_map over ICI ... encode, infer and train batches").
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax
+import jax.numpy as jnp
+
+from cbas_tpu.core import hdf5_store
+from cbas_tpu.core.config import EncodeConfig, InferenceConfig
+from cbas_tpu.engine.classifier import ClassifierBundle
+from cbas_tpu.engine.encode import encode_file
+from cbas_tpu.engine.infer import InferenceSession
+from cbas_tpu.engine.train import train_head
+from cbas_tpu.engine.data import WindowSource
+from cbas_tpu.models.encoder import FrameEncoder
+from cbas_tpu.models.heads import DeltasHeadConfig, init_deltas_params
+from cbas_tpu.models.vit import ViTConfig, init_vit_params
+from cbas_tpu.parallel.mesh import make_mesh, runtime_mesh
+
+RES = 32
+SMALL_CFG = ViTConfig(
+    variant="dinov3", hidden_size=64, num_layers=2, num_heads=2, patch_size=16,
+    num_register_tokens=4, intermediate_size=128, layer_norm_eps=1e-5,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provision 8 CPU devices"
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def video_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vids") / "subj_00001.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (RES, RES))
+    rng = np.random.default_rng(7)
+    for i in range(90):
+        frame = rng.integers(0, 256, (RES, RES, 3), np.uint8)
+        frame[:, :, 1] = (np.arange(RES)[None, :] * 5 + i * 3) % 256
+        w.write(frame)
+    w.release()
+    return path
+
+
+def test_runtime_mesh_uses_all_devices():
+    m = runtime_mesh()
+    assert m is not None and m.devices.size == 8 and m.axis_names == ("data",)
+
+
+def test_encode_file_dp_matches_single_device(video_path, mesh, tmp_path):
+    params = jax.device_get(init_vit_params(jax.random.key(0), SMALL_CFG))
+    enc_1 = FrameEncoder("e", params=params, cfg=SMALL_CFG, compute_dtype=jnp.float32)
+    enc_dp = FrameEncoder(
+        "e", params=params, cfg=SMALL_CFG, compute_dtype=jnp.float32, mesh=mesh
+    )
+
+    # chunk 40 is NOT a multiple of 8: the encoder must round the compiled
+    # batch up to a mesh multiple and slice the padding back off.
+    cfg = EncodeConfig(chunk_frames=40)
+    out = encode_file(enc_1, video_path, config=cfg)
+    single = hdf5_store.read_all(out)
+    os.remove(out)
+    out = encode_file(enc_dp, video_path, config=cfg)
+    dp = hdf5_store.read_all(out)
+
+    assert dp.shape == single.shape == (90, 64)
+    np.testing.assert_allclose(
+        dp.astype(np.float32), single.astype(np.float32), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    cfg = DeltasHeadConfig(in_features=64, out_features=3, seq_len=7, lstm_hidden_size=16)
+    params = jax.device_get(init_deltas_params(jax.random.key(3), cfg))
+    b = ClassifierBundle(
+        name="dpmodel", behaviors=["a", "b", "c"], seq_len=7,
+        params={k: np.asarray(v) for k, v in params.items()},
+        lstm_hidden_size=16, lstm_layers=1, temperature=1.2,
+        encoder_identifier="e",
+    )
+    d = str(tmp_path_factory.mktemp("m") / "dpmodel")
+    b.save(d)
+    return ClassifierBundle.load(d)
+
+
+def test_infer_h5_dp_matches_single_device(bundle, mesh, tmp_path):
+    rng = np.random.default_rng(11)
+    feats = rng.normal(size=(150, 64)).astype(np.float16)
+    h5 = str(tmp_path / "x_cls.h5")
+    with hdf5_store.EmbeddingWriter(h5, encoder_identifier="e", embed_dim=64) as w:
+        w.append(feats)
+
+    # window_batch 20 is not a mesh multiple: the session must pad it.
+    cfg = InferenceConfig(chunk_frames=60, window_batch=20)
+    csv_1 = InferenceSession(bundle, cfg).infer_h5(h5, output_csv=str(tmp_path / "s.csv"))
+    csv_dp = InferenceSession(bundle, cfg, mesh=mesh).infer_h5(
+        h5, output_csv=str(tmp_path / "dp.csv")
+    )
+    single = pd.read_csv(csv_1).to_numpy()
+    dp = pd.read_csv(csv_dp).to_numpy()
+    assert dp.shape == single.shape == (150, 3)
+    np.testing.assert_allclose(dp, single, rtol=1e-5, atol=1e-6)
+
+
+def _make_sources(tmp_path, seq_len=7, n_frames=400):
+    rng = np.random.default_rng(5)
+    h5 = str(tmp_path / "train_cls.h5")
+    with hdf5_store.EmbeddingWriter(h5, encoder_identifier="e", embed_dim=32) as w:
+        # Two separable behavior clusters so one epoch actually learns.
+        feats = rng.normal(size=(n_frames, 32)).astype(np.float16)
+        feats[: n_frames // 2, :4] += 3.0
+        w.append(feats)
+    half = seq_len // 2
+    manifest = [
+        (h5, c, 0 if c < n_frames // 2 else 1)
+        for c in range(half, n_frames - half)
+    ]
+    train = WindowSource(manifest[::2], seq_len)
+    val = WindowSource(manifest[1::2], seq_len)
+    return train, val
+
+
+@pytest.mark.parametrize("device_data", [True, False])
+def test_train_head_dp_matches_single_device(mesh, tmp_path, device_data):
+    train, val = _make_sources(tmp_path)
+    # Same batch size on both sides (a non-multiple would be rounded up under
+    # the mesh, changing batch boundaries and thus the trajectory).
+    kw = dict(
+        seq_len=7, behaviors=["a", "b"], batch_size=48,
+        lr=1e-3, epochs=2, patience=5, lstm_hidden_size=8, seed=0,
+        device_data=device_data,
+    )
+    p1, rep1, be1 = train_head(train, val, **kw)
+    pdp, repdp, bedp = train_head(train, val, **kw, mesh=mesh)
+    assert p1 is not None and pdp is not None
+    assert be1 == bedp and len(rep1) == len(repdp)
+    for k in p1:
+        np.testing.assert_allclose(
+            pdp[k], p1[k], rtol=5e-4, atol=5e-5,
+            err_msg=f"param {k} diverged between single-device and DP training",
+        )
+
+
+def test_train_head_dp_rounds_batch_to_mesh_multiple(mesh, tmp_path):
+    train, val = _make_sources(tmp_path, n_frames=120)
+    p, reports, be = train_head(
+        train, val, seq_len=7, behaviors=["a", "b"], batch_size=52,
+        lr=1e-3, epochs=1, patience=5, lstm_hidden_size=8, seed=0, mesh=mesh,
+    )
+    assert p is not None and reports
+
+
+def test_api_load_project_builds_mesh(tmp_path, monkeypatch):
+    from cbas_tpu.app.api import Api
+    from cbas_tpu.core.project import Project
+
+    proj = Project.create_project(str(tmp_path), "p")
+    params = jax.device_get(init_vit_params(jax.random.key(0), SMALL_CFG))
+
+    def fake_encoder(identifier, **kw):
+        return FrameEncoder(identifier, params=params, cfg=SMALL_CFG,
+                            compute_dtype=jnp.float32, mesh=kw.get("mesh"))
+
+    monkeypatch.setattr("cbas_tpu.models.encoder.FrameEncoder", fake_encoder)
+    api = Api()
+    try:
+        assert api.load_project(proj.path)["success"]
+        st = api.state
+        assert st.mesh is not None and st.mesh.devices.size == 8
+        assert st.encoder.mesh is st.mesh
+    finally:
+        api.kill_all_processes()
