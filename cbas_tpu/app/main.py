@@ -15,7 +15,7 @@ import argparse
 import sys
 import time
 
-from cbas_tpu.app.api import Api, bind_eel
+from cbas_tpu.app.api import Api, bind_eel, bridge_callbacks_to_eel
 from cbas_tpu.utils.logging import log_message
 
 
@@ -58,6 +58,7 @@ def main(argv=None) -> None:
 
             eel.init(args.frontend)
             bind_eel(api)
+            bridge_callbacks_to_eel(api)
             use_eel = True
         except Exception as e:
             log_message(f"Eel unavailable ({e}); running headless.", "WARN")

@@ -198,6 +198,12 @@ class FrameEncoder:
         """
         n, h, w = planes_u8.shape
         compiled_batch = batch or n
+        if self.mesh is not None:
+            from cbas_tpu.parallel.mesh import pad_to_multiple
+
+            # shard_map splits the batch dim across the mesh; the compiled
+            # batch must divide it (padding rows are sliced off by to_host).
+            compiled_batch = pad_to_multiple(compiled_batch, self.mesh.devices.size)
         prog, was_warm = self._program(compiled_batch, h, w)
         if n < compiled_batch:
             pad = np.zeros((compiled_batch - n, h, w), np.uint8)

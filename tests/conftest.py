@@ -26,6 +26,10 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test (full-size parity, subprocess)")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
