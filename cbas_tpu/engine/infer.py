@@ -96,6 +96,17 @@ class InferenceSession:
             self._params = jax.device_put(self._params, self._chunk_sharding)
         self._program = _window_program(bundle, wb, mesh)
 
+    def _bucket_rows(self, n_targets: int) -> int:
+        """Device rows for a chunk with ``n_targets`` target frames: the
+        smallest doubling bucket of targets (window_batch, 2*window_batch, ...,
+        chunk_frames) that fits, plus the 2*(seq_len//2) halo rows."""
+        halo = 2 * (self.bundle.seq_len // 2)
+        cap = max(self.cfg.chunk_frames, self._window_batch)
+        bucket = self._window_batch
+        while bucket < min(n_targets, cap):
+            bucket = min(bucket * 2, cap)
+        return bucket + halo
+
     def predict_frames(self, features: np.ndarray, pad_front: int, pad_back: int) -> np.ndarray:
         """Probabilities for every target frame of one halo-extended chunk.
 
@@ -117,10 +128,14 @@ class InferenceSession:
             return np.zeros((0, len(self.bundle.behaviors)), np.float32)
 
         wb = self._window_batch
-        # Pad to one fixed device shape so every chunk of every file reuses
-        # the same compiled program (a varying tail shape would otherwise pay
-        # an XLA recompile per distinct video length).
-        fixed_rows = max(self.cfg.chunk_frames, wb) + 2 * h
+        # Pad to a geometry bucket so device bytes stay proportional to file
+        # size: short segments (10-min recordings are ~6k frames vs the 20k
+        # chunk) would otherwise pay a full chunk_frames-row device_put
+        # (~30 MB) per file. Buckets double from window_batch up to
+        # chunk_frames, so every chunk of every file hits one of O(log)
+        # compiled shapes, and the common cases (full chunks, uniform segment
+        # lengths) reuse their program across files.
+        fixed_rows = self._bucket_rows(n_targets)
         if features.shape[0] < fixed_rows:
             features = np.concatenate(
                 [features,

@@ -188,6 +188,35 @@ def test_infer_matches_reference_algorithm(bundle, tmp_path, total):
     np.testing.assert_allclose(got.to_numpy().sum(1), 1.0, rtol=1e-5)
 
 
+def test_small_file_geometry_buckets(bundle, tmp_path):
+    """Short files pad to a doubling bucket, not the full chunk geometry
+    (VERDICT r1 Weak #7: 6000-frame segments paid a chunk_frames-row pad)."""
+    session = InferenceSession(
+        bundle, InferenceConfig(chunk_frames=20000, window_batch=512)
+    )
+    halo = 2 * (bundle.seq_len // 2)
+    assert session._bucket_rows(3) == 512 + halo
+    assert session._bucket_rows(512) == 512 + halo
+    assert session._bucket_rows(513) == 1024 + halo
+    assert session._bucket_rows(6000) == 8192 + halo  # 10-min segment @ 10fps
+    assert session._bucket_rows(20000) == 20000 + halo  # full chunk unchanged
+    assert session._bucket_rows(99999) == 20000 + halo
+
+    # End-to-end: a short file still matches the reference algorithm.
+    rng = np.random.default_rng(6)
+    features = rng.normal(size=(70, 64)).astype(np.float16)
+    h5 = str(tmp_path / "short_cls.h5")
+    with hdf5_store.EmbeddingWriter(h5, encoder_identifier="test-enc", embed_dim=64) as w:
+        w.append(features)
+    small = InferenceSession(bundle, InferenceConfig(chunk_frames=4096, window_batch=32))
+    got = pd.read_csv(small.infer_h5(h5))
+    want = _reference_infer(
+        bundle.params, features, bundle.behaviors, bundle.seq_len,
+        bundle.lstm_hidden_size, bundle.lstm_layers, bundle.temperature,
+    )
+    np.testing.assert_allclose(got.to_numpy(), want, rtol=1e-4, atol=1e-4)
+
+
 def test_inference_session_reuse_compiles_once(bundle, tmp_path):
     session = InferenceSession(bundle, InferenceConfig(chunk_frames=50, window_batch=32))
     rng = np.random.default_rng(5)
