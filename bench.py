@@ -1,29 +1,128 @@
 """Benchmark: DINOv3 ViT-B/16 frame-encode throughput per chip at 480p.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Baseline: the reference publishes no numbers (BASELINE.md); the north star is
 >10x realtime DINOv3 encode per chip at 480p. Realtime = 10 FPS (the standard
 CBAS recording rate), so baseline = 100 frames/s/chip and
 vs_baseline = fps / 100.
 
-The benched program is the production encode path: uint8 green planes ->
-normalize -> patchify -> ViT-B/16 (bf16, Pallas fused attention) -> fp16 CLS.
-Inputs rotate across pre-staged device buffers: in production H2D (PCIe)
-overlaps compute via the encode pipeline's prefetch double-buffering; in this
-sandbox the host->device path is a ~55 MB/s loopback tunnel that is an
-artifact of the test harness, so it is excluded from the measured program.
+Two numbers are measured:
+
+- ``value`` (the headline): the device encode program — uint8 green planes ->
+  normalize -> patchify -> ViT-B/16 (bf16, Pallas fused attention) -> fp16
+  CLS — over pre-staged device buffers. This is the chip's sustained rate.
+- ``end_to_end_fps``: ``encode_file()`` wall-clock on a real H.264 480p video
+  (C++ libav decode -> H2D -> device -> HDF5), i.e. the production path.
+
+In this sandbox the host is 1 vCPU and the TPU sits behind a loopback relay
+that sustains ~40 MB/s synchronized H2D (measured; reported as ``h2d_mb_s``),
+which caps end-to-end 480p at ~130 fps regardless of chip speed — an artifact
+of the harness, not the framework. ``decode_fps`` isolates the host decode
+stage so each component is visible. On a real TPU VM (PCIe H2D, multi-core
+host) the device program is the binding stage.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+BENCH_VIDEO = os.path.expanduser("~/.cache/cbas_tpu/bench480.mp4")
+N_FRAMES = 2000
+
+
+def ensure_bench_video() -> str:
+    """Synthesize a structured (moving gradient + noise) 480p H.264-class
+    clip once; cached across runs."""
+    if os.path.exists(BENCH_VIDEO):
+        return BENCH_VIDEO
+    import cv2
+
+    os.makedirs(os.path.dirname(BENCH_VIDEO), exist_ok=True)
+    tmp = BENCH_VIDEO + ".tmp.mp4"
+    rng = np.random.default_rng(0)
+    w = cv2.VideoWriter(tmp, cv2.VideoWriter_fourcc(*"mp4v"), 10, (640, 480))
+    yy, xx = np.mgrid[0:480, 0:640]
+    for t in range(N_FRAMES):
+        base = ((xx + 2 * t) % 256 + (yy + t) % 128).astype(np.uint16)
+        frame = (base % 256).astype(np.uint8)
+        noise = rng.integers(0, 30, (480, 640), np.uint8)
+        w.write(cv2.merge([frame, cv2.add(frame, noise), frame]))
+    w.release()
+    os.replace(tmp, BENCH_VIDEO)
+    return BENCH_VIDEO
+
+
+def bench_device_program(enc, batch: int, height: int, width: int, n_iters: int = 10):
+    """Sustained device fps over pre-staged inputs (compute-only)."""
+    import jax
+    import jax.numpy as jnp
+
+    prog, _ = enc._program(batch, height, width)
+    rng = np.random.default_rng(0)
+    planes = [
+        jax.device_put(jnp.asarray(rng.integers(0, 256, (batch, height, width), np.uint8)))
+        for _ in range(3)
+    ]
+    for p in planes[:2]:  # warmup: compile + cache
+        jax.block_until_ready(prog(enc._device_params, p))
+    t0 = time.perf_counter()
+    out = None
+    for i in range(n_iters):
+        out = prog(enc._device_params, planes[i % len(planes)])
+    jax.block_until_ready(out)
+    return n_iters * batch / (time.perf_counter() - t0)
+
+
+def bench_decode(path: str) -> float:
+    """Host green-plane decode fps (the C++ libav path when built)."""
+    from cbas_tpu.ingest.decode import open_video
+
+    r = open_video(path)
+    try:
+        r.read_green_batch(0, 64)  # warm
+        t0 = time.perf_counter()
+        n = 0
+        for start in range(64, min(len(r), 1984), 320):
+            n += len(r.read_green_batch(start, 320))
+        return n / (time.perf_counter() - t0)
+    finally:
+        r.close()
+
+
+def bench_h2d() -> float:
+    """Synchronized H2D MB/s (a D2H first defeats async-queue illusions)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(0).integers(0, 256, (320, 480, 640), np.uint8)
+    d = jax.device_put(x)
+    jax.device_get(d)  # force a real sync round-trip
+    s = jax.jit(lambda a: jnp.sum(a, dtype=jnp.int32))
+    int(s(d))  # compile
+    t0 = time.perf_counter()
+    int(s(jax.device_put(x)))
+    return x.nbytes / 1e6 / (time.perf_counter() - t0)
+
+
+def bench_end_to_end(enc, path: str, batch: int) -> float:
+    """encode_file() wall-clock fps: decode + H2D + device + HDF5 append."""
+    from cbas_tpu.core.config import EncodeConfig
+    from cbas_tpu.engine.encode import EncodeStats, encode_file
+
+    # chunk_frames == the already-compiled device batch: no extra compile.
+    cfg = EncodeConfig(chunk_frames=batch)
+    st = EncodeStats()
+    out = encode_file(enc, path, config=cfg, stats=st)
+    if out:
+        os.remove(out)
+    return st.fps
+
 
 def main() -> None:
-    import jax
     import jax.numpy as jnp
 
     from cbas_tpu.utils.jax_setup import enable_compilation_cache
@@ -45,27 +144,18 @@ def main() -> None:
         random_init=True,  # weights don't affect throughput
         compute_dtype=jnp.bfloat16,
     )
-    prog, _ = enc._program(batch, height, width)
 
-    rng = np.random.default_rng(0)
-    planes = [
-        jax.device_put(jnp.asarray(rng.integers(0, 256, (batch, height, width), np.uint8)))
-        for _ in range(3)
-    ]
+    fps = bench_device_program(enc, batch, height, width)
 
-    # Warmup (compile + cache).
-    for p in planes[:2]:
-        jax.block_until_ready(prog(enc._device_params, p))
+    extras = {}
+    try:
+        video = ensure_bench_video()
+        extras["decode_fps"] = round(bench_decode(video), 1)
+        extras["h2d_mb_s"] = round(bench_h2d(), 1)
+        extras["end_to_end_fps"] = round(bench_end_to_end(enc, video, batch), 1)
+    except Exception as e:  # end-to-end extras must never sink the headline
+        extras["end_to_end_error"] = f"{type(e).__name__}: {e}"
 
-    n_iters = 10
-    t0 = time.perf_counter()
-    out = None
-    for i in range(n_iters):
-        out = prog(enc._device_params, planes[i % len(planes)])
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    fps = n_iters * batch / dt
     print(
         json.dumps(
             {
@@ -73,6 +163,7 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 100.0, 3),
+                **extras,
             }
         )
     )

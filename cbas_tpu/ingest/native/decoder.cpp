@@ -107,6 +107,18 @@ void copy_rgb(Decoder* d, uint8_t* dst) {
               planes, strides);
 }
 
+// Write only the green plane of the current frame to `dst` (h*w bytes),
+// via the same RGB24 conversion as nd_read_rgb so the G values are
+// bit-identical to RGB channel 1 (the reference consumed decord's RGB24;
+// swscale's planar-GBRP path rounds differently, so it is NOT used here).
+int copy_green(Decoder* d, uint8_t* dst, uint8_t* scratch_rgb) {
+    copy_rgb(d, scratch_rgb);
+    const size_t frame_px = static_cast<size_t>(d->width) * d->height;
+    const uint8_t* src = scratch_rgb + 1;  // G of pixel 0
+    for (size_t p = 0; p < frame_px; ++p) dst[p] = src[p * 3];
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -215,18 +227,28 @@ int64_t nd_read_rgb(Decoder* d, int64_t start, int64_t count, uint8_t* out) {
 }
 
 // Same but only the green plane (out: count*h*w bytes). `scratch_rgb` must
-// hold one RGB frame (h*w*3 bytes).
+// hold one RGB frame (h*w*3 bytes; reused as the discard plane for B/R).
 int64_t nd_read_green(Decoder* d, int64_t start, int64_t count, uint8_t* out,
                       uint8_t* scratch_rgb) {
-    const size_t frame_px = static_cast<size_t>(d->width) * d->height;
-    for (int64_t i = 0; i < count; ++i) {
-        int64_t got = nd_read_rgb(d, start + i, 1, scratch_rgb);
-        if (got <= 0) return i;
-        const uint8_t* src = scratch_rgb + 1;  // G of pixel 0
-        uint8_t* dst = out + i * frame_px;
-        for (size_t p = 0; p < frame_px; ++p) dst[p] = src[p * 3];
+    if (start != d->next_index) {
+        const int64_t discard_limit =
+            d->next_index + static_cast<int64_t>(2.0 * d->fps) + 64;
+        if (start < d->next_index || start > discard_limit) {
+            if (seek_before(d, start) < 0) return -1;
+        }
     }
-    return count;
+    const size_t frame_px = static_cast<size_t>(d->width) * d->height;
+    int64_t written = 0;
+    while (written < count) {
+        int got = decode_next(d);
+        if (got < 0) return got;
+        if (got == 0) break;
+        const int64_t idx = d->next_index - 1;
+        if (idx < start + written) continue;  // pre-target: discard
+        if (copy_green(d, out + written * frame_px, scratch_rgb) < 0) return -1;
+        ++written;
+    }
+    return written;
 }
 
 }  // extern "C"
