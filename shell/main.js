@@ -1,0 +1,121 @@
+// CBAS-TPU desktop shell.
+//
+// Electron wrapper that owns the Python backend's lifecycle, mirroring the
+// reference shell's contract (reference: main.js:22-55,87,168-195):
+//   1. spawn the backend (python -m cbas_tpu.app.main)
+//   2. scrape its stdout for "Eel server starting on http://localhost:<port>"
+//   3. load that URL into the window
+//   4. take the whole process tree down with the window
+//
+// The backend prints that exact line whether it is serving Eel or the plain
+// JSON-RPC/SSE server, so this shell works against either mode.
+
+const { app, BrowserWindow, dialog, ipcMain } = require('electron');
+const { spawn } = require('child_process');
+const path = require('path');
+
+const READY_RE = /Eel server starting on (http:\/\/localhost:\d+)/;
+const BACKEND_ARGS = ['-m', 'cbas_tpu.app.main', '--port', '0'];
+
+let pythonProc = null;
+let mainWindow = null;
+let quitting = false;
+
+function pythonExecutable() {
+  // Prefer a sibling venv (like the reference's hardcoded venv path, but
+  // discovered rather than assumed); fall back to PATH.
+  const repoRoot = path.join(__dirname, '..');
+  const candidates = process.platform === 'win32'
+    ? [path.join(repoRoot, 'venv', 'Scripts', 'python.exe')]
+    : [path.join(repoRoot, 'venv', 'bin', 'python')];
+  for (const c of candidates) {
+    try { require('fs').accessSync(c); return c; } catch (_) {}
+  }
+  return process.platform === 'win32' ? 'python' : 'python3';
+}
+
+function startBackend(onReady) {
+  pythonProc = spawn(pythonExecutable(), BACKEND_ARGS, {
+    cwd: path.join(__dirname, '..'),
+    env: { ...process.env, PYTHONUNBUFFERED: '1' },
+  });
+
+  let readyFired = false;
+  pythonProc.stdout.on('data', (data) => {
+    const text = data.toString();
+    process.stdout.write(`[backend] ${text}`);
+    const m = text.match(READY_RE);
+    if (m && !readyFired) {
+      readyFired = true;
+      onReady(m[1]);
+    }
+  });
+  pythonProc.stderr.on('data', (d) => process.stderr.write(`[backend] ${d}`));
+  pythonProc.on('exit', (code) => {
+    pythonProc = null;
+    if (!quitting) {
+      dialog.showErrorBox(
+        'CBAS backend exited',
+        `The Python backend stopped unexpectedly (code ${code}). ` +
+        'Check the terminal output, then restart the app.'
+      );
+      app.quit();
+    }
+  });
+}
+
+function stopBackend() {
+  if (!pythonProc) return;
+  // Kill the whole tree: the backend may own ffmpeg recorder children.
+  if (process.platform === 'win32') {
+    spawn('taskkill', ['/pid', String(pythonProc.pid), '/f', '/t']);
+  } else {
+    try { process.kill(-pythonProc.pid, 'SIGTERM'); } catch (_) {
+      try { pythonProc.kill('SIGTERM'); } catch (_) {}
+    }
+  }
+  pythonProc = null;
+}
+
+function createWindow() {
+  mainWindow = new BrowserWindow({
+    width: 1400,
+    height: 900,
+    show: false,
+    webPreferences: {
+      preload: path.join(__dirname, 'preload.js'),
+      contextIsolation: true,
+      nodeIntegration: false,
+    },
+  });
+  mainWindow.loadFile(path.join(__dirname, 'splash.html'));
+  mainWindow.once('ready-to-show', () => mainWindow.show());
+  mainWindow.on('closed', () => { mainWindow = null; });
+}
+
+// Native file dialogs for the frontend (reference main.js:108-159).
+ipcMain.handle('dialog:openDirectory', async () => {
+  const r = await dialog.showOpenDialog(mainWindow, { properties: ['openDirectory'] });
+  return r.canceled ? null : r.filePaths[0];
+});
+ipcMain.handle('dialog:openFiles', async (_e, filters) => {
+  const r = await dialog.showOpenDialog(mainWindow, {
+    properties: ['openFile', 'multiSelections'],
+    filters: filters || [{ name: 'Videos', extensions: ['mp4', 'avi', 'mov', 'mkv'] }],
+  });
+  return r.canceled ? [] : r.filePaths;
+});
+ipcMain.handle('dialog:saveFile', async (_e, defaultName) => {
+  const r = await dialog.showSaveDialog(mainWindow, { defaultPath: defaultName });
+  return r.canceled ? null : r.filePath;
+});
+
+app.whenReady().then(() => {
+  createWindow();
+  startBackend((url) => {
+    if (mainWindow) mainWindow.loadURL(url);
+  });
+});
+
+app.on('before-quit', () => { quitting = true; stopBackend(); });
+app.on('window-all-closed', () => app.quit());
