@@ -18,7 +18,12 @@ import pandas as pd
 
 from cbas_tpu.app import visualize
 from cbas_tpu.app.labeling import LabelingSession
-from cbas_tpu.app.media import LivePreview, grab_frame, video_thumbnail
+from cbas_tpu.app.media import (
+    LivePreview,
+    grab_frame,
+    grab_frames_parallel,
+    video_thumbnail,
+)
 from cbas_tpu.app.preflight import (
     check_dataset_files_ready,
     get_disagreement_playlist,
@@ -233,7 +238,18 @@ class Api:
         return grab_frame(cam.rtsp_url, resize=(cam.resolution, cam.resolution))
 
     def fetch_specific_thumbnails(self, names: List[str]) -> Dict[str, Optional[str]]:
-        return {n: self.get_single_camera_thumbnail(n) for n in names}
+        """Grab many camera thumbnails concurrently (worker pool, see
+        media.grab_frames_parallel) — serial RTSP grabs scale O(N) on
+        many-camera rigs (reference: record_page.py:23-152)."""
+        cams = self.state.project.cameras if self.state.project else {}
+        sources = {
+            n: (cams[n].rtsp_url, (cams[n].resolution, cams[n].resolution))
+            for n in names
+            if n in cams and cams[n].rtsp_url
+        }
+        out: Dict[str, Optional[str]] = {n: None for n in names}
+        out.update(grab_frames_parallel(sources))
+        return out
 
     def start_camera_stream(self, name: str, session_name: str) -> bool:
         cam = self.state.project.cameras.get(name) if self.state.project else None

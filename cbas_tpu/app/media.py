@@ -53,6 +53,35 @@ def video_thumbnail(video_path: str, size: int = 256) -> Optional[str]:
     return grab_frame(video_path, frame_index=0, resize=(size, size))
 
 
+def grab_frames_parallel(
+    sources: "dict[str, tuple]",
+    max_workers: int = 8,
+    timeout_s: float = 10.0,
+) -> "dict[str, Optional[str]]":
+    """Thumbnail many sources concurrently: {name: (source, resize)} ->
+    {name: b64 | None}.
+
+    Many-camera rigs grab N RTSP streams at once; each grab blocks on network
+    I/O for up to ``timeout_s``, so serial grabs scale O(N) in wall clock
+    (the reference parallelized this with gevent/multiprocessing workers,
+    record_page.py:23-152). A bounded thread pool keeps the worst case at
+    O(N/max_workers) without per-request process spawns.
+    """
+    if not sources:
+        return {}
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(item):
+        name, (source, resize) = item
+        try:
+            return name, grab_frame(source, resize=resize, timeout_s=timeout_s)
+        except Exception:
+            return name, None
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(sources))) as pool:
+        return dict(pool.map(one, sources.items()))
+
+
 class LivePreview(threading.Thread):
     """Streams JPEG frames from an RTSP/camera source to a callback.
 

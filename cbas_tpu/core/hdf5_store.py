@@ -120,7 +120,15 @@ def is_stamp_valid(h5_path: str, expected_encoder: str) -> bool:
             if DATASET_NAME not in f:
                 return False
             stamp = f.attrs.get("encoder_model_identifier")
-            return stamp is not None and str(stamp) == expected_encoder
+            if stamp is None:
+                return False
+            from cbas_tpu.utils.naming import canonical_encoder_identity
+
+            # Compare machine-independent identities: stamps written against
+            # a project-local encoder must survive the project moving hosts.
+            return canonical_encoder_identity(str(stamp)) == canonical_encoder_identity(
+                expected_encoder
+            )
     except Exception:
         return False
 

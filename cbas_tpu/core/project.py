@@ -178,19 +178,31 @@ class Project:
         for d in (self.cameras_dir, self.recordings_dir, self.models_dir, self.datasets_dir):
             os.makedirs(d, exist_ok=True)
 
+        self.reload_settings()
+        self.reload()
+
+    def reload_settings(self) -> None:
+        """(Re-)read cbas_config.yaml (e.g. after switching encoders)."""
         self.settings = ProjectSettings()
-        cfg_path = os.path.join(path, "cbas_config.yaml")
+        cfg_path = os.path.join(self.path, "cbas_config.yaml")
         if os.path.exists(cfg_path):
             try:
                 self.settings = ProjectSettings.from_dict(load_yaml(cfg_path))
             except Exception as e:  # malformed config falls back to defaults
                 print(f"WARNING: could not parse cbas_config.yaml ({e}); using defaults.")
 
-        self.reload()
-
     @property
     def encoder_model_identifier(self) -> str:
-        return self.settings.encoder_model_identifier
+        """The configured encoder. A relative path naming a checkpoint
+        directory inside the project resolves against the project root, so
+        projects that ship their own encoder (see examples/demo_project) stay
+        portable across machines."""
+        ident = self.settings.encoder_model_identifier
+        if not os.path.isabs(ident):
+            local = os.path.join(self.path, ident)
+            if os.path.isdir(local):
+                return local
+        return ident
 
     # -- scanning ----------------------------------------------------------
 

@@ -112,8 +112,15 @@ class ClassifierBundle:
                 "hyperparameters": dict(config or {}),
             }
 
+        from cbas_tpu.utils.naming import canonical_encoder_identity
+
         model_encoder = meta.get("encoder_model_identifier")
-        if expected_encoder and model_encoder and model_encoder != expected_encoder:
+        if (
+            expected_encoder
+            and model_encoder
+            and canonical_encoder_identity(model_encoder)
+            != canonical_encoder_identity(expected_encoder)
+        ):
             raise ValueError(
                 f"Encoder mismatch: project uses '{expected_encoder}' but model "
                 f"was trained with '{model_encoder}'. Re-encode videos or switch encoders."

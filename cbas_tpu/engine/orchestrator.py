@@ -40,6 +40,7 @@ from cbas_tpu.engine.plots import (
     save_confusion_matrix_plot,
 )
 from cbas_tpu.engine.train import train_head
+from cbas_tpu.utils.naming import canonical_encoder_identity
 from cbas_tpu.utils.logging import log_message
 
 
@@ -302,7 +303,7 @@ def _save_results(
         lstm_hidden_size=task.lstm_hidden_size,
         lstm_layers=task.lstm_layers,
         temperature=temperature,
-        encoder_identifier=project.encoder_model_identifier,
+        encoder_identifier=canonical_encoder_identity(project.encoder_model_identifier),
     )
     bundle.save(
         model_dir,

@@ -105,7 +105,11 @@ class FrameEncoder:
         mesh=None,
         fast_gelu: Optional[bool] = None,
     ):
-        self.identifier = identifier
+        from cbas_tpu.utils.naming import canonical_encoder_identity
+
+        # The stamped identity is machine-independent (basename for local
+        # checkpoint dirs); weight loading below uses the raw identifier.
+        self.identifier = canonical_encoder_identity(identifier)
         self.cfg = cfg or config_for_identifier(identifier)
         # tanh-GELU on the bf16 production path: ~3x cheaper on the VPU; the
         # deviation (~1e-3 rel) sits below the fp16 embedding quantization.

@@ -131,8 +131,50 @@ PRESETS: Dict[str, ViTConfig] = {
 }
 
 
+def _config_from_local_json(identifier: str) -> Optional[ViTConfig]:
+    """A local checkpoint directory with an HF-style ``config.json`` fully
+    describes its own architecture (portable projects ship their encoder
+    this way — see examples/demo_project)."""
+    import json
+    import os
+
+    path = os.path.join(identifier, "config.json")
+    if not os.path.isdir(identifier) or not os.path.exists(path):
+        return None
+    with open(path) as f:
+        c = json.load(f)
+    common = dict(
+        hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"],
+        num_heads=c["num_attention_heads"],
+        patch_size=c["patch_size"],
+        num_register_tokens=c.get("num_register_tokens", 0),
+        layer_norm_eps=c.get("layer_norm_eps", 1e-6),
+    )
+    if "dinov3" in c.get("model_type", ""):
+        return ViTConfig(
+            variant="dinov3",
+            intermediate_size=c["intermediate_size"],
+            rope_theta=c.get("rope_theta", 100.0),
+            use_gated_mlp=c.get("use_gated_mlp", False),
+            **common,
+        )
+    return ViTConfig(
+        variant="dinov2",
+        intermediate_size=c.get(
+            "intermediate_size", c["hidden_size"] * c.get("mlp_ratio", 4)
+        ),
+        image_size=c.get("image_size", 518),
+        **common,
+    )
+
+
 def config_for_identifier(identifier: str) -> ViTConfig:
-    """Resolve an HF-style model identifier to a ViTConfig preset."""
+    """Resolve a model identifier to a ViTConfig: a local directory's own
+    config.json wins; otherwise HF-style preset names."""
+    local = _config_from_local_json(identifier)
+    if local is not None:
+        return local
     name = identifier.split("/")[-1].lower()
     for key, cfg in PRESETS.items():
         if key in name:

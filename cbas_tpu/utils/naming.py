@@ -29,6 +29,20 @@ def outputs_csv_for_h5(h5_path: str, model_name: str) -> str:
     return h5_path.replace(H5_SUFFIX, f"_{model_name}{OUTPUTS_SUFFIX}")
 
 
+def canonical_encoder_identity(identifier: str) -> str:
+    """Machine-independent identity of an encoder identifier.
+
+    HF-style ids ("facebook/dinov3-vitb16") are their own identity. Local
+    checkpoint paths reduce to their directory/file basename so H5 stamps and
+    model-bundle encoder guards written on one machine still match after the
+    project moves (a project-local encoder resolves to a different absolute
+    path on every host — see core/project.py encoder_model_identifier)."""
+    s = identifier.rstrip("/\\")
+    if os.path.isabs(s) or os.path.isdir(s) or os.path.isfile(s):
+        return os.path.basename(s)
+    return s
+
+
 def outputs_csv_for_video(video_path: str, model_name: str) -> str:
     return os.path.splitext(video_path)[0] + f"_{model_name}{OUTPUTS_SUFFIX}"
 

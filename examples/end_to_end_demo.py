@@ -54,15 +54,44 @@ def main(root: str) -> None:
     proj.reload()
 
     print("== 2. Encode with a small random ViT (stands in for DINOv3) ==")
+    # The encoder ships INSIDE the project (safetensors + HF-style
+    # config.json) and cbas_config.yaml points at it by relative path, so the
+    # project is fully portable — the identifier resolution machinery
+    # (models/vit.py config_for_identifier, core/project.py) does the rest.
     cfg = ViTConfig(
         variant="dinov3", hidden_size=128, num_layers=2, num_heads=2, patch_size=16,
         num_register_tokens=4, intermediate_size=256, layer_norm_eps=1e-5,
     )
     params = jax.device_get(init_vit_params(jax.random.key(0), cfg))
-    encoder = FrameEncoder(
-        proj.encoder_model_identifier, params=params, cfg=cfg,
-        compute_dtype=jnp.float32,
-    )
+    enc_dir = os.path.join(proj.path, "demo_encoder")
+    os.makedirs(enc_dir, exist_ok=True)
+    from safetensors.numpy import save_file
+
+    save_file({k: np.asarray(v) for k, v in params.items()},
+              os.path.join(enc_dir, "model.safetensors"))
+    import json
+
+    with open(os.path.join(enc_dir, "config.json"), "w") as f:
+        json.dump(
+            {
+                "model_type": "dinov3_vit",
+                "hidden_size": cfg.hidden_size,
+                "num_hidden_layers": cfg.num_layers,
+                "num_attention_heads": cfg.num_heads,
+                "patch_size": cfg.patch_size,
+                "num_register_tokens": cfg.num_register_tokens,
+                "intermediate_size": cfg.intermediate_size,
+                "layer_norm_eps": cfg.layer_norm_eps,
+            },
+            f,
+            indent=2,
+        )
+    from cbas_tpu.core.config import dump_yaml
+
+    dump_yaml({"encoder_model_identifier": "demo_encoder"},
+              os.path.join(proj.path, "cbas_config.yaml"))
+    proj.reload_settings()
+    encoder = FrameEncoder(proj.encoder_model_identifier, compute_dtype=jnp.float32)
     for v in videos:
         out = encode_file(encoder, v, config=EncodeConfig(chunk_frames=64))
         print("   encoded:", os.path.basename(out))

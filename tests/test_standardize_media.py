@@ -123,3 +123,18 @@ def test_thumbnail_and_grab(tmp_path):
     raw = base64.b64decode(thumb)
     assert raw[:2] == b"\xff\xd8"  # JPEG SOI
     assert grab_frame(str(tmp_path / "missing.mp4")) is None
+
+
+def test_grab_frames_parallel(tmp_path):
+    from cbas_tpu.app.media import grab_frames_parallel
+
+    sources = {}
+    for i in range(4):
+        sources[f"cam{i}"] = (write_video(str(tmp_path / f"v{i}.mp4"), n=3), (32, 32))
+    sources["dead"] = (str(tmp_path / "missing.mp4"), (32, 32))
+    out = grab_frames_parallel(sources, max_workers=3)
+    assert set(out) == set(sources)
+    assert out["dead"] is None
+    for i in range(4):
+        assert base64.b64decode(out[f"cam{i}"])[:2] == b"\xff\xd8"
+    assert grab_frames_parallel({}) == {}
