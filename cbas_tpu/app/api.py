@@ -757,7 +757,7 @@ class Api:
         if not os.path.exists(csv):
             return None
         df = pd.read_csv(csv)
-        return {"columns": list(df.columns), "rows": len(df)}
+        return {"columns": list(df.columns), "rows": len(df), "csv_path": csv}
 
     def generate_actograms(
         self,

@@ -73,7 +73,13 @@ def main(argv=None) -> None:
         # Built-in JSON-RPC + SSE server with the embedded control panel.
         from cbas_tpu.app.server import RpcServer
 
-        server = RpcServer(api, port=args.port or 0)
+        import os
+
+        server = RpcServer(
+            api,
+            port=args.port or 0,
+            frontend_dir=args.frontend if os.path.isdir(args.frontend) else None,
+        )
         port = server.start()
         print(f"Eel server starting on http://localhost:{port}")  # shell contract
         try:

@@ -16,6 +16,7 @@ emit (progress, notifications) is fanned out to all connected SSE clients.
 from __future__ import annotations
 
 import json
+import os
 import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -114,11 +115,40 @@ call('get_cbas_status').then(show('status'));
 """
 
 
-class RpcServer:
-    """Threaded HTTP server exposing one Api instance."""
+_MIME = {
+    ".html": "text/html; charset=utf-8",
+    ".js": "text/javascript; charset=utf-8",
+    ".css": "text/css; charset=utf-8",
+    ".png": "image/png",
+    ".jpg": "image/jpeg",
+    ".svg": "image/svg+xml",
+    ".ico": "image/x-icon",
+}
 
-    def __init__(self, api: Api, host: str = "localhost", port: int = 0):
+
+class RpcServer:
+    """Threaded HTTP server exposing one Api instance.
+
+    ``frontend_dir``: directory of static UI assets (the full five-page app
+    in ``frontend/``). When absent, the embedded single-page control panel
+    above is served at ``/`` so the API is always browsable.
+    """
+
+    def __init__(
+        self,
+        api: Api,
+        host: str = "localhost",
+        port: int = 0,
+        frontend_dir: Optional[str] = None,
+    ):
         self.api = api
+        if frontend_dir is None:
+            candidate = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                "frontend",
+            )
+            frontend_dir = candidate if os.path.isdir(candidate) else None
+        self.frontend_dir = frontend_dir
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -136,17 +166,43 @@ class RpcServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path == "/" or self.path == "/index.html":
+                if self.path == "/events":
+                    self._serve_events()
+                    return
+                path = self.path.split("?", 1)[0]
+                if path == "/":
+                    path = "/index.html"
+                if outer.frontend_dir is not None and self._serve_static(path):
+                    return
+                if path == "/index.html":
                     body = INDEX_HTML.encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html; charset=utf-8")
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)
-                elif self.path == "/events":
-                    self._serve_events()
                 else:
                     self._send_json({"error": "not found"}, 404)
+
+            def _serve_static(self, path: str) -> bool:
+                root = os.path.realpath(outer.frontend_dir)
+                target = os.path.realpath(os.path.join(root, path.lstrip("/")))
+                # Containment check: reject traversal outside the asset dir.
+                if not (target == root or target.startswith(root + os.sep)):
+                    return False
+                if not os.path.isfile(target):
+                    return False
+                with open(target, "rb") as f:
+                    body = f.read()
+                ext = os.path.splitext(target)[1].lower()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", _MIME.get(ext, "application/octet-stream")
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return True
 
             def _serve_events(self):
                 self.send_response(200)

@@ -1,0 +1,140 @@
+// Core plumbing: JSON-RPC helper, SSE callback bus, navigation, log panel,
+// global encode overlay, project startup page.
+"use strict";
+
+// ---- RPC -------------------------------------------------------------
+async function rpc(method, ...args) {
+  const resp = await fetch("/api/" + method, {
+    method: "POST",
+    body: JSON.stringify({ args }),
+  });
+  const j = await resp.json();
+  if (j.error) throw new Error(j.error);
+  return j.result;
+}
+async function rpcKw(method, args, kwargs) {
+  const resp = await fetch("/api/" + method, {
+    method: "POST",
+    body: JSON.stringify({ args, kwargs }),
+  });
+  const j = await resp.json();
+  if (j.error) throw new Error(j.error);
+  return j.result;
+}
+
+// ---- SSE callback bus -------------------------------------------------
+// Worker callbacks (cbas_tpu/app/workers.py docstring) arrive as
+// {name, args}; pages register handlers by callback name.
+const bus = {
+  handlers: {},
+  on(name, fn) { (this.handlers[name] = this.handlers[name] || []).push(fn); },
+  emit(name, args) { (this.handlers[name] || []).forEach((f) => f(...args)); },
+};
+const es = new EventSource("/events");
+es.onmessage = (e) => {
+  const d = JSON.parse(e.data);
+  bus.emit(d.name, d.args || []);
+};
+
+// ---- log panel ---------------------------------------------------------
+const logPanel = document.getElementById("log-panel");
+bus.on("log_line", (line) => {
+  const lines = (line + "\n" + logPanel.textContent).split("\n").slice(0, 300);
+  logPanel.textContent = lines.join("\n");
+});
+
+// ---- global encode overlay ----------------------------------------------
+const overlay = document.getElementById("encode-overlay");
+const overlayFill = document.getElementById("encode-bar-fill");
+const overlayText = document.getElementById("encode-overlay-text");
+bus.on("update_global_encoding_progress", (done, total, pct) => {
+  if (done >= total) {
+    overlay.classList.add("hidden");
+    return;
+  }
+  overlay.classList.remove("hidden");
+  overlayFill.style.width = pct + "%";
+  overlayText.textContent = `encoding ${done + 1}/${total} (${pct.toFixed(0)}%)`;
+});
+
+// ---- navigation ----------------------------------------------------------
+const pages = ["startup", "record", "label", "infer", "visualize"];
+function showPage(name) {
+  pages.forEach((p) => {
+    document.getElementById("page-" + p).classList.toggle("hidden", p !== name);
+  });
+  document.querySelectorAll("#nav button[data-page]").forEach((b) => {
+    b.classList.toggle("active", b.dataset.page === name);
+  });
+  document.dispatchEvent(new CustomEvent("page:" + name));
+}
+document.querySelectorAll("#nav button[data-page]").forEach((b) => {
+  b.onclick = () => showPage(b.dataset.page);
+});
+
+// ---- startup page ---------------------------------------------------------
+const $ = (id) => document.getElementById(id);
+
+async function refreshStatus() {
+  try {
+    const s = await rpc("get_cbas_status");
+    $("su-status").textContent = JSON.stringify(s, null, 1);
+    const root = await rpc("get_project_root");
+    $("nav-status").textContent = root
+      ? `${root} · encoder ${s.encoder_ready ? "ready" : "…"}`
+      : "no project";
+    return s;
+  } catch (e) {
+    $("su-status").textContent = String(e);
+  }
+}
+
+function recentProjects() {
+  try { return JSON.parse(localStorage.getItem("cbas_recent") || "[]"); }
+  catch (_) { return []; }
+}
+function rememberProject(path) {
+  const rec = [path, ...recentProjects().filter((p) => p !== path)].slice(0, 6);
+  localStorage.setItem("cbas_recent", JSON.stringify(rec));
+  renderRecent();
+}
+function renderRecent() {
+  const div = $("su-recent");
+  div.innerHTML = "";
+  recentProjects().forEach((p) => {
+    const b = document.createElement("button");
+    b.textContent = p;
+    b.onclick = () => { $("su-path").value = p; openProject(p); };
+    div.appendChild(b);
+  });
+}
+
+async function openProject(path) {
+  $("su-status").textContent = "loading (encoder weights + stale sweep)…";
+  try {
+    const r = await rpc("load_project", path);
+    if (!r.success) throw new Error(r.message || "load failed");
+    rememberProject(path);
+    await refreshStatus();
+    document.dispatchEvent(new CustomEvent("project:loaded"));
+  } catch (e) {
+    $("su-status").textContent = String(e);
+  }
+}
+
+$("su-open").onclick = () => openProject($("su-path").value.trim());
+$("su-create").onclick = async () => {
+  try {
+    const r = await rpc("create_project", $("su-parent").value.trim(), $("su-name").value.trim());
+    if (r.success && r.path) openProject(r.path);
+    else $("su-status").textContent = JSON.stringify(r);
+  } catch (e) {
+    $("su-status").textContent = String(e);
+  }
+};
+
+renderRecent();
+refreshStatus().then((s) => {
+  if (s && s.project_loaded) document.dispatchEvent(new CustomEvent("project:loaded"));
+});
+setInterval(refreshStatus, 15000);

@@ -1,0 +1,287 @@
+// Label/Train page: dataset cards, the keyboard-driven labeling UI, label
+// hygiene tools, and the training dialog. Mirrors the reference page's
+// behavior (dataset cards with metric tables, two-press labeling, scrub
+// speed doubling, review-and-correct preload) against this backend's API.
+"use strict";
+(() => {
+  const $ = (id) => document.getElementById(id);
+  let session = null; // latest updateLabelImageSrc payload
+  let scrubSpeed = 1;
+
+  // ---------- dataset cards ----------
+  async function refreshDatasets() {
+    const [configs, models] = await Promise.all([
+      rpc("load_dataset_configs"),
+      rpc("get_available_models"),
+    ]);
+    const cards = $("lt-cards");
+    cards.innerHTML = "";
+    const dsSelects = [$("lt-ds-select"), $("tr-ds")];
+    dsSelects.forEach((s) => (s.innerHTML = ""));
+    Object.entries(configs).forEach(([name, cfg]) => {
+      cards.appendChild(datasetCard(name, cfg));
+      dsSelects.forEach((s) => s.appendChild(new Option(name, name)));
+    });
+    const ms = $("lt-model-select");
+    ms.innerHTML = "";
+    models.forEach((m) => ms.appendChild(new Option(m, m)));
+    refreshVideoList();
+  }
+
+  function datasetCard(name, cfg) {
+    const card = document.createElement("div");
+    card.className = "card";
+    const behaviors = cfg.behaviors || [];
+    const metrics = cfg.metrics || {};
+    const cols = ["Train Inst (Frames)", "Test Inst (Frames)", "F1 Score", "Precision", "Recall"];
+    let rows = behaviors
+      .map((b) => {
+        const m = metrics[b] || {};
+        return `<tr><td>${b}</td>${cols
+          .map((c) => `<td>${m[c] !== undefined ? m[c] : "–"}</td>`)
+          .join("")}</tr>`;
+      })
+      .join("");
+    card.innerHTML = `
+      <h3>${name}</h3>
+      <table class="metrics">
+        <tr><th></th><th>Train</th><th>Test</th><th>F1</th><th>P</th><th>R</th></tr>
+        ${rows}
+      </table>
+      <div class="formrow">
+        <button data-act="recalc">Recount</button>
+        <button data-act="del" class="danger">Delete</button>
+      </div>`;
+    card.querySelector('[data-act="recalc"]').onclick = async () => {
+      await rpc("recalculate_dataset_stats", name);
+      refreshDatasets();
+    };
+    card.querySelector('[data-act="del"]').onclick = async () => {
+      if (confirm(`Delete dataset ${name}? Labels will be lost.`)) {
+        await rpc("delete_dataset", name);
+        refreshDatasets();
+      }
+    };
+    return card;
+  }
+
+  async function refreshVideoList() {
+    const tree = await rpc("get_hierarchical_video_list");
+    const sel = [$("lt-video-select"), $("vz-video")];
+    sel.forEach((s) => (s.innerHTML = ""));
+    Object.entries(tree).forEach(([sess, subjects]) => {
+      Object.entries(subjects).forEach(([subj, vids]) => {
+        vids.forEach((v) => {
+          const label = `${sess}/${subj}/${v.path.split("/").pop()}` +
+            (v.has_labels ? " ✓" : "") + (v.encoded ? "" : " (not encoded)");
+          sel.forEach((s) => s.appendChild(new Option(label, v.path)));
+        });
+      });
+    });
+  }
+
+  // ---------- labeling ----------
+  bus.on("buildLabelingUI", () => {
+    $("lt-labeling").classList.remove("hidden");
+    $("lt-frame").focus();
+  });
+  bus.on("setLabelingModeUI", (mode, model) => {
+    $("lt-mode-badge").textContent = mode === "review" ? `review: ${model}` : "from scratch";
+  });
+  bus.on("showErrorOnLabelTrainPage", (msg) => {
+    const pre = $("lt-report");
+    pre.classList.remove("hidden");
+    pre.textContent = "ERROR: " + msg;
+  });
+  bus.on("refreshAllDatasets", refreshDatasets);
+  bus.on("updateConfidenceBadge", (conf) => {
+    $("lt-conf-badge").textContent =
+      conf === null || conf === undefined ? "" : `instance confidence: ${(conf * 100).toFixed(0)}%`;
+  });
+  bus.on("highlightBehaviorRow", (idx) => {
+    document.querySelectorAll("#lt-behavior-table tr").forEach((tr, i) => {
+      tr.classList.toggle("hl", i - 1 === idx); // row 0 is the header
+    });
+  });
+  bus.on("update_augmentation_progress", (pct, msg) => {
+    const pre = $("lt-report");
+    pre.classList.remove("hidden");
+    pre.textContent = `augmenting: ${pct}% ${msg || ""}`;
+  });
+
+  bus.on("updateLabelImageSrc", (payload) => {
+    session = payload;
+    if (payload.frame) $("lt-frame").src = "data:image/jpeg;base64," + payload.frame;
+    $("lt-frameinfo").textContent =
+      `frame ${payload.frame_index + 1}/${payload.total_frames}` +
+      (payload.pending && payload.pending.type !== null && payload.pending.type !== undefined
+        ? ` · pending ${payload.behaviors[payload.pending.type]} from ${payload.pending.start}`
+        : "") + ` · speed ×${scrubSpeed}`;
+    drawTimeline(payload);
+    drawBehaviorTable(payload);
+  });
+
+  function drawTimeline(p) {
+    const cv = $("lt-timeline");
+    const ctx = cv.getContext("2d");
+    const W = cv.width, H = cv.height;
+    ctx.fillStyle = "#111";
+    ctx.fillRect(0, 0, W, H);
+    const raster = p.timeline || [];
+    const n = raster.length || 1;
+    for (let i = 0; i < raster.length; i++) {
+      if (raster[i] < 0) continue;
+      ctx.fillStyle = cssColor(p.colors[raster[i]]);
+      ctx.fillRect((i * W) / n, 6, W / n + 1, H - 18);
+    }
+    // selection box
+    if (p.selected) {
+      const x0 = (p.selected.start / p.total_frames) * W;
+      const x1 = ((p.selected.end + 1) / p.total_frames) * W;
+      ctx.strokeStyle = "#fff";
+      ctx.lineWidth = 2;
+      ctx.strokeRect(x0, 4, Math.max(2, x1 - x0), H - 14);
+    }
+    // playhead
+    const x = (p.frame_index / p.total_frames) * W;
+    ctx.fillStyle = "#ff5252";
+    ctx.fillRect(x - 1, 0, 2, H);
+  }
+
+  function cssColor(c) {
+    if (Array.isArray(c)) return `rgb(${c[2]},${c[1]},${c[0]})`; // BGR (OpenCV) -> CSS
+    return c || "#888";
+  }
+
+  function drawBehaviorTable(p) {
+    const t = $("lt-behavior-table");
+    const counts = p.counts || {};
+    t.innerHTML =
+      "<tr><th>key</th><th>behavior</th><th>frames</th></tr>" +
+      p.behaviors
+        .map(
+          (b, i) =>
+            `<tr><td>${i + 1}</td><td><span class="swatch" style="background:${cssColor(
+              p.colors[i]
+            )}"></span>${b}</td><td>${counts[b] || 0}</td></tr>`
+        )
+        .join("");
+  }
+
+  // keyboard map (reference: frontend/js/label_train_page.js keydown handler)
+  document.addEventListener("keydown", async (e) => {
+    if ($("lt-labeling").classList.contains("hidden")) return;
+    if (document.activeElement && /INPUT|TEXTAREA|SELECT/.test(document.activeElement.tagName)) return;
+    const k = e.key;
+    if (e.ctrlKey && k.toLowerCase() === "s") {
+      e.preventDefault();
+      return saveLabels();
+    }
+    if (e.ctrlKey && k.toLowerCase() === "z") {
+      e.preventDefault();
+      return rpc("pop_instance_from_buffer");
+    }
+    if (/^[1-9]$/.test(k)) return rpc("label_frame", parseInt(k, 10) - 1);
+    if (k === "ArrowRight") { e.preventDefault(); return rpc("next_frame", scrubSpeed); }
+    if (k === "ArrowLeft") { e.preventDefault(); return rpc("next_frame", -scrubSpeed); }
+    if (k === "ArrowUp") { e.preventDefault(); scrubSpeed = Math.min(scrubSpeed * 2, 128); return refreshInfo(); }
+    if (k === "ArrowDown") { e.preventDefault(); scrubSpeed = Math.max(1, scrubSpeed / 2); return refreshInfo(); }
+    if (k === "Tab") { e.preventDefault(); return rpc("jump_to_instance", e.shiftKey ? -1 : 1); }
+    if (k === "[") return rpc("update_instance_boundary", "start");
+    if (k === "]") return rpc("update_instance_boundary", "end");
+    if (k === "Enter") return rpc("confirm_selected_instance");
+    if (k === "Delete" || k === "Backspace") return rpc("delete_instance_from_buffer");
+  });
+
+  function refreshInfo() {
+    if (session) bus.emit("updateLabelImageSrc", [session]);
+  }
+
+  $("lt-frame").onclick = (e) => {
+    const r = e.target.getBoundingClientRect();
+    rpc("handle_click_on_label_image",
+        Math.round(((e.clientX - r.left) / r.width) * 500),
+        Math.round(((e.clientY - r.top) / r.height) * 500));
+  };
+  $("lt-timeline").onclick = (e) => {
+    if (!session) return;
+    const r = e.target.getBoundingClientRect();
+    const frac = (e.clientX - r.left) / r.width;
+    rpc("jump_to_frame", Math.floor(frac * session.total_frames));
+  };
+
+  async function saveLabels() {
+    await rpc("stage_for_commit");
+    const r = await rpc("save_session_labels");
+    const pre = $("lt-report");
+    pre.classList.remove("hidden");
+    pre.textContent = "saved: " + JSON.stringify(r);
+    refreshDatasets();
+  }
+  $("lt-save").onclick = saveLabels;
+  $("lt-close").onclick = () => $("lt-labeling").classList.add("hidden");
+  $("lt-refilter").onclick = () =>
+    rpc("refilter_instances", parseInt($("lt-filter-thr").value, 10));
+
+  $("lt-start").onclick = () =>
+    rpc("start_labeling", $("lt-ds-select").value, $("lt-video-select").value);
+  $("lt-start-review").onclick = () =>
+    rpc("start_labeling_with_preload",
+        $("lt-ds-select").value, $("lt-model-select").value,
+        $("lt-video-select").value, parseInt($("lt-smooth").value, 10));
+
+  // hygiene tools
+  const report = (r) => {
+    const pre = $("lt-report");
+    pre.classList.remove("hidden");
+    pre.textContent = typeof r === "string" ? r : JSON.stringify(r, null, 1);
+  };
+  $("lt-coverage").onclick = () =>
+    rpc("get_label_coverage_report", $("lt-ds-select").value).then(report);
+  $("lt-conflicts").onclick = () =>
+    rpc("analyze_label_conflicts", $("lt-ds-select").value).then(report);
+  $("lt-clean").onclick = () =>
+    rpc("clean_and_sort_labels", $("lt-ds-select").value).then(() => report("labels cleaned"));
+  $("lt-augment").onclick = () => {
+    const src = $("lt-ds-select").value;
+    rpc("create_augmented_dataset", src, src + "_aug").then(() => report("augmentation started"));
+  };
+  $("lt-create").onclick = async () => {
+    const name = $("lt-new-name").value.trim();
+    const behaviors = $("lt-new-behaviors").value.split(",").map((s) => s.trim()).filter(Boolean);
+    if (!name || !behaviors.length) return;
+    await rpc("create_dataset", name, behaviors, []);
+    $("lt-new-name").value = "";
+    refreshDatasets();
+  };
+  $("lt-refresh").onclick = refreshDatasets;
+
+  // ---------- training ----------
+  bus.on("updateTrainingStatusOnUI", (dataset, message) => {
+    $("tr-status").textContent = `[${dataset}] ${message}`;
+  });
+  $("tr-train").onclick = async () => {
+    const kw = {
+      sequence_length: parseInt($("tr-seq").value, 10),
+      batch_size: parseInt($("tr-batch").value, 10),
+      learning_rate: parseFloat($("tr-lr").value),
+      epochs: parseInt($("tr-epochs").value, 10),
+      patience: parseInt($("tr-patience").value, 10),
+      lstm_hidden_size: parseInt($("tr-hidden").value, 10),
+      lstm_layers: parseInt($("tr-layers").value, 10),
+      weight_decay: parseFloat($("tr-wd").value),
+      label_smoothing: parseFloat($("tr-smooth").value),
+      num_runs: parseInt($("tr-runs").value, 10),
+      num_trials: parseInt($("tr-trials").value, 10),
+      test_split: parseFloat($("tr-test").value),
+      use_test: $("tr-usetest").checked,
+      training_method: $("tr-method").value,
+    };
+    const ok = await rpcKw("train_model", [$("tr-ds").value], kw);
+    $("tr-status").textContent = ok ? "queued…" : "could not queue (files ready?)";
+  };
+  $("tr-cancel").onclick = () => rpc("cancel_training_task", $("tr-ds").value);
+
+  document.addEventListener("page:label", refreshDatasets);
+  document.addEventListener("project:loaded", refreshDatasets);
+})();

@@ -1,0 +1,114 @@
+// Visualize page: actograms (stale-task-suppressed), binned CSV export,
+// single-video ethograms.
+"use strict";
+(() => {
+  const $ = (id) => document.getElementById(id);
+  let taskCounter = 0;
+
+  async function refresh() {
+    const models = await rpc("get_available_models");
+    const sel = $("vz-model");
+    const cur = sel.value;
+    sel.innerHTML = "";
+    models.forEach((m) => sel.appendChild(new Option(m, m)));
+    if (models.includes(cur)) sel.value = cur;
+    await refreshSessions();
+  }
+
+  async function refreshSessions() {
+    const model = $("vz-model").value;
+    if (!model) return;
+    const tree = await rpc("get_classified_video_tree", model);
+    const s = $("vz-session");
+    s.innerHTML = "";
+    Object.keys(tree).forEach((sess) => s.appendChild(new Option(sess, sess)));
+    await refreshSubjects(tree);
+  }
+
+  async function refreshSubjects(tree) {
+    const model = $("vz-model").value;
+    tree = tree || (await rpc("get_classified_video_tree", model));
+    const subjects = Object.keys(tree[$("vz-session").value] || {});
+    const s = $("vz-subject");
+    s.innerHTML = "";
+    subjects.forEach((x) => s.appendChild(new Option(x, x)));
+  }
+
+  $("vz-model").onchange = refreshSessions;
+  $("vz-session").onchange = () => refreshSubjects();
+  $("vz-refresh").onclick = refresh;
+
+  bus.on("updateActogramDisplay", (results) => {
+    const div = $("vz-actograms");
+    div.innerHTML = "";
+    Object.entries(results || {}).forEach(([behavior, b64]) => {
+      const card = document.createElement("div");
+      card.className = "card";
+      card.style.maxWidth = "620px";
+      card.innerHTML = `<h3>${behavior}</h3>`;
+      const img = document.createElement("img");
+      img.src = "data:image/png;base64," + b64;
+      card.appendChild(img);
+      div.appendChild(card);
+    });
+  });
+
+  async function behaviorsArg() {
+    const raw = $("vz-behaviors").value.split(",").map((s) => s.trim()).filter(Boolean);
+    if (raw.length) return raw;
+    const configs = await rpc("get_model_configs");
+    const cfg = configs[$("vz-model").value];
+    return (cfg && cfg.behaviors) || [];
+  }
+
+  $("vz-generate").onclick = async () => {
+    const root = (await rpc("get_project_root")) + "/recordings/" + $("vz-session").value;
+    $("vz-actograms").innerHTML = '<span class="muted">generating…</span>';
+    await rpc(
+      "generate_actograms",
+      root,
+      $("vz-subject").value,
+      $("vz-model").value,
+      await behaviorsArg(),
+      parseFloat($("vz-fps").value),
+      parseInt($("vz-bin").value, 10),
+      parseFloat($("vz-start").value),
+      parseFloat($("vz-thr").value),
+      $("vz-cycle").value,
+      $("vz-acro").checked,
+      ++taskCounter
+    );
+  };
+
+  $("vz-export").onclick = async () => {
+    const root = (await rpc("get_project_root")) + "/recordings/" + $("vz-session").value;
+    const path = await rpc(
+      "generate_and_save_data",
+      root,
+      $("vz-subject").value,
+      $("vz-model").value,
+      await behaviorsArg(),
+      parseFloat($("vz-fps").value),
+      parseInt($("vz-bin").value, 10),
+      parseFloat($("vz-thr").value)
+    );
+    alert(path ? "wrote " + path : "no data for selection");
+  };
+
+  $("vz-ethogram").onclick = async () => {
+    const video = $("vz-video").value;
+    const model = $("vz-model").value;
+    const preds = await rpc("get_predictions_for_video", video, model);
+    if (!preds || !preds.csv_path) {
+      $("vz-etho").innerHTML = '<span class="muted">no predictions CSV for this video/model</span>';
+      return;
+    }
+    const b64 = await rpc("generate_ethogram", preds.csv_path, parseFloat($("vz-fps").value));
+    $("vz-etho").innerHTML = b64
+      ? `<img src="data:image/png;base64,${b64}">`
+      : '<span class="muted">ethogram failed</span>';
+  };
+
+  document.addEventListener("page:visualize", refresh);
+  document.addEventListener("project:loaded", refresh);
+})();

@@ -1,0 +1,111 @@
+"""Frontend <-> backend lockstep checks.
+
+The five-page UI (frontend/) talks to the Api exclusively through
+``rpc("method", ...)`` / ``rpcKw("method", ...)`` calls and SSE callback
+names. These tests parse the JS and assert every referenced method exists on
+the Api and every callback name the JS listens for is one the backend emits,
+so the two sides cannot drift. Plus static-file serving with traversal
+protection.
+"""
+
+import json
+import os
+import re
+import urllib.request
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FRONTEND = os.path.join(REPO, "frontend")
+
+
+def _js_sources():
+    out = {}
+    for root, _, files in os.walk(FRONTEND):
+        for f in files:
+            if f.endswith(".js"):
+                p = os.path.join(root, f)
+                out[p] = open(p).read()
+    assert out, "frontend/js must exist"
+    return out
+
+
+def test_all_rpc_methods_exist_on_api():
+    from cbas_tpu.app.api import Api
+
+    called = set()
+    for src in _js_sources().values():
+        called |= set(re.findall(r"rpc(?:Kw)?\(\s*[\"']([a-zA-Z_0-9]+)[\"']", src))
+    assert called, "no rpc() calls found in frontend JS"
+    missing = {m for m in called if not hasattr(Api, m)}
+    assert not missing, f"frontend calls unknown Api methods: {sorted(missing)}"
+
+
+def test_all_subscribed_callbacks_are_emitted():
+    emitted = set()
+    for root, _, files in os.walk(os.path.join(REPO, "cbas_tpu")):
+        for f in files:
+            if f.endswith(".py"):
+                src = open(os.path.join(root, f)).read()
+                # \s* spans newlines: emits are often wrapped across lines
+                emitted |= set(re.findall(r"emit\(\s*\"([a-zA-Z_]+)\"", src))
+    subscribed = set()
+    for src in _js_sources().values():
+        subscribed |= set(re.findall(r"bus\.on\(\s*[\"']([a-zA-Z_]+)[\"']", src))
+    assert subscribed
+    missing = subscribed - emitted
+    assert not missing, f"frontend listens for callbacks nothing emits: {sorted(missing)}"
+
+
+@pytest.fixture()
+def server():
+    from cbas_tpu.app.api import Api
+    from cbas_tpu.app.server import RpcServer
+
+    api = Api()
+    srv = RpcServer(api, port=0)
+    port = srv.start()
+    yield f"http://localhost:{port}"
+    srv.stop()
+    api.state.shutdown.set()
+
+
+def _get(url):
+    req = urllib.request.Request(url)
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_static_serving_and_traversal_guard(server):
+    status, body = _get(server + "/")
+    assert status == 200 and b"CBAS-TPU" in body
+    for path in ("/css/app.css", "/js/app.js", "/js/label_train.js",
+                 "/js/record.js", "/js/inference.js", "/js/visualize.js"):
+        status, _ = _get(server + path)
+        assert status == 200, path
+    # Traversal attempts must 404, encoded or not.
+    for path in ("/js/%2e%2e/%2e%2e/cbas_tpu/app/api.py", "/..%2fpyproject.toml"):
+        status, _ = _get(server + path)
+        assert status == 404, path
+
+
+def test_training_dialog_covers_all_hyperparams():
+    """Every TrainingConfig hyperparameter a user tunes is settable from the
+    training dialog (the reference exposes all 17, label_train_page.js)."""
+    src = open(os.path.join(FRONTEND, "js", "label_train.js")).read()
+    m = re.search(r"const kw = \{(.*?)\};", src, re.S)
+    assert m
+    exposed = set(re.findall(r"(\w+):", m.group(1)))
+    import dataclasses
+
+    from cbas_tpu.core.config import TrainingConfig
+
+    fields = {f.name for f in dataclasses.fields(TrainingConfig)}
+    # name/behaviors come from the dataset; custom_weights and the
+    # optimization target are sweep-level knobs, not dialog fields.
+    tunable = fields - {"name", "behaviors", "custom_weights", "optimization_target"}
+    assert tunable <= exposed, f"dialog missing: {sorted(tunable - exposed)}"
+    assert exposed <= fields, f"dialog invents: {sorted(exposed - fields)}"
