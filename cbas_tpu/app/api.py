@@ -90,7 +90,7 @@ class Api:
         try:
             from cbas_tpu.parallel.mesh import runtime_mesh
 
-            st.mesh = runtime_mesh()
+            st.mesh = runtime_mesh(st.project.settings.runtime)
             if st.mesh is not None:
                 log_message(
                     f"Data-parallel mesh over {st.mesh.devices.size} devices "

@@ -94,9 +94,26 @@ class CameraSettings:
 
 @dataclass
 class ProjectSettings:
-    """Project-level config (``cbas_config.yaml``; reference: backend/cbas.py:1020-1033)."""
+    """Project-level config (``cbas_config.yaml``; reference: backend/cbas.py:1020-1033).
+
+    ``runtime`` carries the device-layout knobs (mesh shape/axes), so a
+    project can opt into DP or DP x TP multi-chip layouts from its YAML with
+    no code changes, e.g.::
+
+        encoder_model_identifier: facebook/dinov3-vitl16
+        runtime:
+          mesh_shape: [4, 2]
+          mesh_axis_names: [data, model]
+    """
 
     encoder_model_identifier: str = DEFAULT_ENCODER
+    runtime: "RuntimeConfig" = None  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if self.runtime is None:
+            self.runtime = RuntimeConfig()
+        elif isinstance(self.runtime, dict):
+            self.runtime = _from_dict(RuntimeConfig, self.runtime)
 
     @classmethod
     def from_dict(cls, data: Optional[Dict[str, Any]]) -> "ProjectSettings":

@@ -139,11 +139,27 @@ class FrameEncoder:
             self._patch_bias_key = "embeddings.patch_embeddings.bias"
         self._plane_kernel = fold_channels_into_patch_kernel(conv_w)
 
-        self._device_params = jax.tree.map(
-            lambda a: jnp.asarray(a, self.compute_dtype if a.dtype == np.float32 else None),
-            self._params_np,
-        )
+        cast = {
+            k: a.astype(self.compute_dtype) if a.dtype == np.float32 else a
+            for k, a in self._params_np.items()
+        }
+        if self._tp_size() > 1:
+            # 2-D (data, model) mesh: place parameters tensor-parallel-sharded
+            # (parallel/tp.py rules) so each chip holds only its head/
+            # intermediate shard of the large backbone.
+            from cbas_tpu.parallel.tp import vit_param_shardings
+
+            self._device_params = jax.device_put(
+                cast, vit_param_shardings(cast, self.mesh, self.cfg.head_dim)
+            )
+        else:
+            self._device_params = jax.tree.map(jnp.asarray, cast)
         self._geometry_cache: dict = {}
+
+    def _tp_size(self) -> int:
+        if self.mesh is None:
+            return 1
+        return int(self.mesh.shape.get("model", 1))
 
     # -- device program -----------------------------------------------------
 
@@ -173,12 +189,17 @@ class FrameEncoder:
             hidden = vit_forward_from_tokens(params, tokens, cfg, pos_embed, rope)
             return hidden[:, 0, :].astype(jnp.float16)
 
-        fn = jax.jit(encode)
-        if self.mesh is not None:
-            from cbas_tpu.parallel.mesh import shard_batch_jit
+        if self.mesh is None:
+            return jax.jit(encode)
+        if self._tp_size() > 1:
+            from cbas_tpu.parallel.mesh import shard_batch_jit_2d
 
-            fn = shard_batch_jit(encode, self.mesh)
-        return fn
+            return shard_batch_jit_2d(
+                encode, self.mesh, self._params_np, head_dim=self.cfg.head_dim
+            )
+        from cbas_tpu.parallel.mesh import shard_batch_jit
+
+        return shard_batch_jit(encode, self.mesh)
 
     def _program(self, batch: int, height: int, width: int):
         """Returns (program, was_cached); the first request per geometry pays
@@ -203,11 +224,11 @@ class FrameEncoder:
         n, h, w = planes_u8.shape
         compiled_batch = batch or n
         if self.mesh is not None:
-            from cbas_tpu.parallel.mesh import pad_to_multiple
+            from cbas_tpu.parallel.mesh import data_axis_size, pad_to_multiple
 
-            # shard_map splits the batch dim across the mesh; the compiled
-            # batch must divide it (padding rows are sliced off by to_host).
-            compiled_batch = pad_to_multiple(compiled_batch, self.mesh.devices.size)
+            # shard_map splits the batch dim across the data axis; the
+            # compiled batch must divide it (padding sliced off by to_host).
+            compiled_batch = pad_to_multiple(compiled_batch, data_axis_size(self.mesh))
         prog, was_warm = self._program(compiled_batch, h, w)
         if n < compiled_batch:
             pad = np.zeros((compiled_batch - n, h, w), np.uint8)

@@ -30,6 +30,37 @@ import numpy as np
 
 Params = Dict[str, jnp.ndarray]
 
+# Tensor-parallel reduction axis (set by parallel/mesh.py's 2-D shard_map
+# wrapper while tracing the forward). When set, _attention/_mlp psum their
+# out-projection partials over this mesh axis iff their weights arrived
+# sharded (detected from the weight shapes vs the config's full dims), so the
+# same forward code serves single-chip, DP, and DPxTP layouts.
+_TP_AXIS: Optional[str] = None
+
+
+class tp_psum_axis:
+    """Context manager enabling TP partial-sum reductions over ``axis``."""
+
+    def __init__(self, axis: Optional[str]):
+        self.axis = axis
+        self._prev: Optional[str] = None
+
+    def __enter__(self):
+        global _TP_AXIS
+        self._prev = _TP_AXIS
+        _TP_AXIS = self.axis
+        return self
+
+    def __exit__(self, *exc):
+        global _TP_AXIS
+        _TP_AXIS = self._prev
+
+
+def _maybe_psum(y: jnp.ndarray, is_partial: bool) -> jnp.ndarray:
+    if _TP_AXIS is not None and is_partial:
+        return jax.lax.psum(y, _TP_AXIS)
+    return y
+
 
 @dataclass(frozen=True)
 class ViTConfig:
@@ -289,11 +320,14 @@ def _attention(
 
     def proj_heads(name: str, has_bias: bool) -> jnp.ndarray:
         # Project straight into (B, H, N, d): the layout change folds into the
-        # matmul output instead of a separate HBM transpose.
-        w = params[f"{name}.weight"].astype(x.dtype).reshape(H, hd, D)
-        y = jnp.einsum("bnD,hdD->bhnd", x, w)
+        # matmul output instead of a separate HBM transpose. The head count is
+        # read off the weight, not the config — under tensor parallelism each
+        # shard holds (H/tp)*hd output rows and computes only its own heads.
+        w = params[f"{name}.weight"].astype(x.dtype)
+        h_local = w.shape[0] // hd
+        y = jnp.einsum("bnD,hdD->bhnd", x, w.reshape(h_local, hd, D))
         if has_bias:
-            y = y + params[f"{name}.bias"].astype(x.dtype).reshape(H, hd)[None, :, None, :]
+            y = y + params[f"{name}.bias"].astype(x.dtype).reshape(h_local, hd)[None, :, None, :]
         return y
 
     q = proj_heads(names[0], biases[0])
@@ -320,28 +354,50 @@ def _attention(
             k = k * cos + _rot_half(k) * sin
         ctx = fa.reference_attention(q, k, v, scale)
 
-    # Fold the inverse layout change into the output projection.
-    wo = params[f"{out_name}.weight"].astype(x.dtype).reshape(D, H, hd)
-    out = jnp.einsum("bhnd,Dhd->bnD", ctx, wo)
+    # Fold the inverse layout change into the output projection. Under TP the
+    # contraction runs over local heads only: psum the partial before the
+    # (replicated) bias so it is added exactly once.
+    wo = params[f"{out_name}.weight"].astype(x.dtype)
+    h_local = wo.shape[1] // hd
+    out = jnp.einsum("bhnd,Dhd->bnD", ctx, wo.reshape(D, h_local, hd))
+    out = _maybe_psum(out, h_local < H)
     if out_bias:
         out = out + params[f"{out_name}.bias"].astype(x.dtype)
     return out
 
 
+def _dense_reduce(
+    params: Params, name: str, x: jnp.ndarray, bias: bool, full_in: int
+) -> jnp.ndarray:
+    """Down-projection whose input dim may be TP-sharded: matmul over the
+    local columns, psum the partial iff the weight is a shard of ``full_in``,
+    then add the replicated bias exactly once."""
+    w = params[f"{name}.weight"]
+    y = x @ w.T.astype(x.dtype)
+    y = _maybe_psum(y, w.shape[1] < full_in)
+    if bias:
+        y = y + params[f"{name}.bias"].astype(x.dtype)
+    return y
+
+
 def _mlp(params: Params, prefix: str, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
+    inter = cfg.intermediate_size
     if cfg.variant == "dinov2":
         if cfg.use_swiglu_ffn:
+            # SwiGLU packs [x1; x2] along the out dim of weights_in, which an
+            # out-dim shard would split incorrectly — TP rules keep these
+            # replicated (parallel/tp.py), so no psum path here.
             h = _dense(params, f"{prefix}.mlp.weights_in", x)
             x1, x2 = jnp.split(h, 2, axis=-1)
             return _dense(params, f"{prefix}.mlp.weights_out", jax.nn.silu(x1) * x2)
         h = jax.nn.gelu(_dense(params, f"{prefix}.mlp.fc1", x), approximate=cfg.gelu_approximate)
-        return _dense(params, f"{prefix}.mlp.fc2", h)
+        return _dense_reduce(params, f"{prefix}.mlp.fc2", h, True, inter)
     if cfg.use_gated_mlp:
         g = jax.nn.gelu(_dense(params, f"{prefix}.mlp.gate_proj", x, cfg.mlp_bias), approximate=cfg.gelu_approximate)
         u = _dense(params, f"{prefix}.mlp.up_proj", x, cfg.mlp_bias)
-        return _dense(params, f"{prefix}.mlp.down_proj", g * u, cfg.mlp_bias)
+        return _dense_reduce(params, f"{prefix}.mlp.down_proj", g * u, cfg.mlp_bias, inter)
     h = jax.nn.gelu(_dense(params, f"{prefix}.mlp.up_proj", x, cfg.mlp_bias), approximate=cfg.gelu_approximate)
-    return _dense(params, f"{prefix}.mlp.down_proj", h, cfg.mlp_bias)
+    return _dense_reduce(params, f"{prefix}.mlp.down_proj", h, cfg.mlp_bias, inter)
 
 
 def _block(

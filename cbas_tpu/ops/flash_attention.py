@@ -42,6 +42,16 @@ def _attn_kernel(
     n_pad = k_ref.shape[1]
     d = q_ref.shape[-1]
 
+    if n_valid < n_pad:
+        # Padded-key mask as a (1, n_pad) additive bias row, computed once per
+        # program and broadcast into the score add — versus an iota+compare+
+        # select over the whole (block_q, n_pad) tile per head, which costs
+        # 2-3 extra VPU passes on the kernel's dominant buffer.
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+        key_bias = jnp.where(col < n_valid, 0.0, _NEG_INF).astype(jnp.float32)
+    else:
+        key_bias = None
+
     def rot_half(t):
         return jnp.concatenate([-t[:, d // 2 :], t[:, : d // 2]], axis=1)
 
@@ -53,18 +63,22 @@ def _attn_kernel(
         v = v_ref[pl.ds(g, 1)][0]
         if use_rope:
             # RoPE applied on-chip: the roped q/k never round-trip to HBM.
-            q = q * cosq_ref[...].astype(q.dtype) + rot_half(q) * sinq_ref[...].astype(q.dtype)
+            # The softmax scale folds into the (block_q, d) q tile here —
+            # scaling the (block_q, n_pad) score tile instead costs n_pad/d
+            # times more VPU work, and the N^2-tile VPU passes are the
+            # kernel's real ceiling at d=64 (scores MXU runs half-depth).
+            q = q * (cosq_ref[...] * scale).astype(q.dtype) + rot_half(q) * (
+                sinq_ref[...] * scale
+            ).astype(q.dtype)
             k = k * cosk_ref[...].astype(k.dtype) + rot_half(k) * sink_ref[...].astype(k.dtype)
+        else:
+            q = q * jnp.asarray(scale, q.dtype)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (block_q, n_pad) fp32
+        )  # (block_q, n_pad) fp32, scale pre-folded into q
 
-        if n_valid < n_pad:  # mask padded keys (static shapes, static branch)
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-            s_masked = jnp.where(col < n_valid, s, _NEG_INF)
-        else:
-            s_masked = s
+        s_masked = s if key_bias is None else s + key_bias
         s_stable = s_masked - jnp.max(s_masked, axis=1, keepdims=True)
         p = jnp.exp(s_stable)
         denom = jnp.sum(p, axis=1, keepdims=True)
@@ -84,9 +98,12 @@ def _round_up(x: int, m: int) -> int:
 
 # VMEM budget for picking tile sizes, accounting for Pallas's double
 # buffering of every in/out block plus the fp32 score tile (+bf16 p copy).
-# Deliberately conservative: on hardware, estimates ≳13 MB start hitting
-# Mosaic scoped-VMEM compile failures depending on geometry.
-_VMEM_BUDGET = 12 * 1024 * 1024
+# Mosaic's default scoped-VMEM limit rejects estimates ≳13 MB, so the
+# pallas_call below raises vmem_limit_bytes to _VMEM_LIMIT and the picker
+# budgets against that (v5e has 128 MB physical VMEM; leaving ~2x headroom
+# over the estimate absorbs Mosaic's own scratch).
+_VMEM_BUDGET = int(os.environ.get("CBAS_ATTN_VMEM_BUDGET", 48 * 1024 * 1024))
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _vmem_estimate(gh: int, block_q: int, n_pad: int, d: int, itemsize: int) -> int:
@@ -108,6 +125,9 @@ def _choose_tiles(bh: int, n_pad: int, d: int, itemsize: int):
     # Measured on ViT-B @ 480p (n_pad 1280): block_q=1280 runs ~2% faster
     # than 640 regardless of the head-group size, and the full-block layouts
     # are the ones far from Mosaic's scoped-VMEM compile limits.
+    env_gh, env_bq = os.environ.get("CBAS_ATTN_GH"), os.environ.get("CBAS_ATTN_BQ")
+    if env_gh and env_bq:  # measurement override (bench experiments)
+        return (int(env_gh), int(env_bq))
     block_qs = [b for b in range(128, n_pad + 1, 128) if n_pad % b == 0]
     for block_q in sorted(block_qs, reverse=True):
         for gh in (16, 12, 8, 6, 4, 3, 2, 1):
@@ -206,6 +226,7 @@ def fused_attention(
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize * 2,
             transcendentals=B * H * q_pad * n_pad,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(qf, kf, vf, cos_q, sin_q, cos_k, sin_k)
 

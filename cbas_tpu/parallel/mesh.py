@@ -55,6 +55,44 @@ def shard_batch_jit(fn, mesh: Mesh, axis: str = "data"):
     return jax.jit(mapped)
 
 
+def shard_batch_jit_2d(fn, mesh: Mesh, params_template, head_dim: int = 0,
+                       data_axis: str = "data", model_axis: str = "model"):
+    """jit ``fn(params, batch)`` over a 2-D (data, model) mesh: batch split on
+    the data axis, ViT parameters tensor-parallel-sharded on the model axis
+    (parallel/tp.py rules), out-projection partials psum'd inside the forward
+    (models/vit.py tp_psum_axis). shard_map rather than GSPMD annotations for
+    the same reason as :func:`shard_batch_jit` — the Pallas attention custom
+    call is opaque to the auto-partitioner; here each shard simply runs its
+    own heads."""
+    from jax.sharding import PartitionSpec
+
+    from cbas_tpu.models.vit import tp_psum_axis
+    from cbas_tpu.parallel.tp import vit_param_pspecs
+
+    specs = vit_param_pspecs(params_template, mesh, head_dim)
+
+    def body(params, batch):
+        with tp_psum_axis(model_axis):
+            return fn(params, batch)
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(specs, PartitionSpec(data_axis)),
+        out_specs=PartitionSpec(data_axis),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def data_axis_size(mesh: Optional[Mesh]) -> int:
+    """Batch-padding granularity: the size of the data axis (the full device
+    count on a 1-D mesh)."""
+    if mesh is None:
+        return 1
+    return int(mesh.shape.get("data", mesh.devices.size))
+
+
 def pad_to_multiple(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 

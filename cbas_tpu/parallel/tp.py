@@ -28,7 +28,9 @@ _SPLIT_OUT = (
     "mlp.fc1.weight",
     "mlp.up_proj.weight",
     "mlp.gate_proj.weight",
-    "mlp.weights_in.weight",
+    # NOT mlp.weights_in: SwiGLU packs [x1; x2] along its out dim, which an
+    # out-dim shard would split across devices incorrectly (models/vit.py
+    # _mlp keeps SwiGLU replicated).
 )
 _SPLIT_OUT_BIAS = tuple(k.replace(".weight", ".bias") for k in _SPLIT_OUT)
 
@@ -38,7 +40,6 @@ _SPLIT_IN = (
     "attention.o_proj.weight",
     "mlp.fc2.weight",
     "mlp.down_proj.weight",
-    "mlp.weights_out.weight",
 )
 
 
@@ -52,19 +53,48 @@ def vit_param_spec(key: str) -> P:
     return P()  # embeddings, norms, layerscales, biases of out-projections
 
 
-def vit_param_shardings(
-    params: Dict[str, jnp.ndarray], mesh: Mesh
-) -> Dict[str, NamedSharding]:
-    """Per-parameter NamedSharding pytree for jit(in_shardings=...)."""
+_ATTN_KEYS = (
+    "attention.attention.query", "attention.attention.key",
+    "attention.attention.value", "attention.output.dense",
+    "attention.q_proj", "attention.k_proj", "attention.v_proj",
+    "attention.o_proj",
+)
+
+
+def vit_param_pspecs(
+    params: Dict[str, jnp.ndarray], mesh: Mesh, head_dim: int = 0
+) -> Dict[str, P]:
+    """Per-parameter PartitionSpec pytree (shard_map in_specs / sharding
+    construction), with a replicate fallback for dims the mesh doesn't
+    divide (e.g. tiny test models).
+
+    ``head_dim``: when given, attention projections only split if every shard
+    gets a whole number of heads (splitting mid-head would scramble the
+    per-head attention math)."""
     out = {}
     model_size = mesh.shape.get("model", 1)
     for k, v in params.items():
         spec = vit_param_spec(k) if "model" in mesh.axis_names else P()
-        # Don't split dims that the mesh doesn't divide (e.g. tiny test models).
         dims = np.asarray(v).shape
         ok = True
         for axis_idx, axis_name in enumerate(spec):
-            if axis_name == "model" and dims[axis_idx] % model_size != 0:
+            if axis_name != "model":
+                continue
+            unit = model_size
+            if head_dim and any(a in k for a in _ATTN_KEYS):
+                unit = model_size * head_dim
+            if dims[axis_idx] % unit != 0:
                 ok = False
-        out[k] = NamedSharding(mesh, spec if ok else P())
+        out[k] = spec if ok else P()
     return out
+
+
+def vit_param_shardings(
+    params: Dict[str, jnp.ndarray], mesh: Mesh, head_dim: int = 0
+) -> Dict[str, NamedSharding]:
+    """Per-parameter NamedSharding pytree for jit(in_shardings=...) or
+    device_put placement."""
+    return {
+        k: NamedSharding(mesh, spec)
+        for k, spec in vit_param_pspecs(params, mesh, head_dim).items()
+    }

@@ -185,7 +185,7 @@ def test_visualization_endpoints(api, tmp_path):
 
     assert api.get_predictions_for_video(
         os.path.join(rec_dir, "m0_00001.mp4"), "mymodel"
-    ) == {"columns": ["walk", "rest"], "rows": n}
+    ) == {"columns": ["walk", "rest"], "rows": n, "csv_path": csv}
     assert api.get_inferred_session_dirs("mymodel") == ["sess"]
     assert "m0" in api.get_classified_video_tree("mymodel")["sess"]
 

@@ -186,3 +186,51 @@ def test_api_load_project_builds_mesh(tmp_path, monkeypatch):
         assert st.encoder.mesh is st.mesh
     finally:
         api.kill_all_processes()
+
+
+def test_encode_planes_dp_tp_2d_mesh_matches_single_device():
+    """FrameEncoder over a (data=4, model=2) mesh: tensor-parallel ViT params
+    (head/intermediate shards, psum'd out-projections) must reproduce the
+    single-device embeddings."""
+    params = jax.device_get(init_vit_params(jax.random.key(11), SMALL_CFG))
+    rng = np.random.default_rng(12)
+    planes = rng.integers(0, 256, (9, RES, RES), np.uint8)  # odd: pads to 12
+
+    single = FrameEncoder("tp-enc", params=params, cfg=SMALL_CFG,
+                          compute_dtype=jnp.float32)
+    want = single.encode_planes(planes)
+
+    mesh2 = make_mesh((4, 2), ("data", "model"))
+    # heads=2, model axis=2 -> 1 local head; intermediate 128 -> 64 per shard
+    enc = FrameEncoder("tp-enc", params=params, cfg=SMALL_CFG,
+                       compute_dtype=jnp.float32, mesh=mesh2)
+    got = enc.encode_planes(planes)
+    assert got.shape == want.shape == (9, 64)
+    np.testing.assert_allclose(
+        got.astype(np.float32), want.astype(np.float32), rtol=2e-3, atol=2e-3
+    )
+    # The large weights really are sharded (not replicated): one shard of the
+    # q projection holds half the output rows.
+    qw = enc._device_params["layer.0.attention.q_proj.weight"]
+    shard_shapes = {s.data.shape for s in qw.addressable_shards}
+    assert (SMALL_CFG.hidden_size // 2, SMALL_CFG.hidden_size) in shard_shapes
+
+
+def test_encode_planes_tp_indivisible_falls_back_to_replication():
+    """A model axis that doesn't divide the head dim replicates those weights
+    (and skips their psum) instead of wrecking the math."""
+    cfg = ViTConfig(
+        variant="dinov3", hidden_size=96, num_layers=1, num_heads=3, patch_size=16,
+        num_register_tokens=4, intermediate_size=96, layer_norm_eps=1e-5,
+    )
+    params = jax.device_get(init_vit_params(jax.random.key(13), cfg))
+    rng = np.random.default_rng(14)
+    planes = rng.integers(0, 256, (8, RES, RES), np.uint8)
+    want = FrameEncoder("f", params=params, cfg=cfg,
+                        compute_dtype=jnp.float32).encode_planes(planes)
+    mesh2 = make_mesh((4, 2), ("data", "model"))
+    got = FrameEncoder("f", params=params, cfg=cfg,
+                       compute_dtype=jnp.float32, mesh=mesh2).encode_planes(planes)
+    np.testing.assert_allclose(
+        got.astype(np.float32), want.astype(np.float32), rtol=2e-3, atol=2e-3
+    )
