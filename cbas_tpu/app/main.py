@@ -19,6 +19,27 @@ from cbas_tpu.app.api import Api, bind_eel, bridge_callbacks_to_eel
 from cbas_tpu.utils.logging import log_message
 
 
+def _frontend_uses_eel(frontend_dir: str) -> bool:
+    """True iff the asset dir contains an eel-style page (references /eel.js).
+
+    That is the carry-over path for reference-style frontends; the bundled
+    ``frontend/`` is JSON-RPC/SSE-based and must be served by RpcServer.
+    """
+    import glob
+    import os
+
+    if not os.path.isdir(frontend_dir):
+        return False
+    for page in glob.glob(os.path.join(frontend_dir, "*.html")):
+        try:
+            with open(page, "r", encoding="utf-8", errors="ignore") as f:
+                if "/eel.js" in f.read():
+                    return True
+        except OSError:
+            continue
+    return False
+
+
 def find_available_port(start: int = 8000) -> int:
     import socket
 
@@ -51,8 +72,12 @@ def main(argv=None) -> None:
             log_message(f"Could not load project: {result.get('message')}", "ERROR")
             sys.exit(1)
 
+    # Eel mode exists to serve an *eel-based* frontend (the reference's
+    # five-page UI, whose JS loads /eel.js). The bundled frontend/ talks
+    # JSON-RPC + SSE instead, so it must be served by RpcServer — running it
+    # under Eel would 404 every /api call. Pick by inspecting the assets.
     use_eel = False
-    if not args.headless:
+    if not args.headless and _frontend_uses_eel(args.frontend):
         try:
             import eel
 
@@ -61,14 +86,17 @@ def main(argv=None) -> None:
             bridge_callbacks_to_eel(api)
             use_eel = True
         except Exception as e:
-            log_message(f"Eel unavailable ({e}); running headless.", "WARN")
+            log_message(f"Eel unavailable ({e}); serving the built-in UI.", "WARN")
 
     if use_eel:
         import eel
 
         port = args.port or find_available_port()
         print(f"Eel server starting on http://localhost:{port}")
-        eel.start("index.html", port=port, block=True)
+        # mode=None: never spawn a browser — the desktop shell (or the user)
+        # owns the window; eel's default tries to launch Chrome and raises
+        # (killing the backend) on machines without it.
+        eel.start("index.html", port=port, mode=None, block=True)
     else:
         # Built-in JSON-RPC + SSE server with the embedded control panel.
         from cbas_tpu.app.server import RpcServer

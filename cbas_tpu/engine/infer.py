@@ -86,9 +86,9 @@ class InferenceSession:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from cbas_tpu.parallel.mesh import pad_to_multiple
+            from cbas_tpu.parallel.mesh import data_axis_size, pad_to_multiple
 
-            wb = pad_to_multiple(wb, mesh.devices.size)
+            wb = pad_to_multiple(wb, data_axis_size(mesh))
             self._chunk_sharding = NamedSharding(mesh, P())
         self._window_batch = wb
         self._params = bundle.jax_params()

@@ -111,9 +111,8 @@ def _gather_windows(feats: jnp.ndarray, centers: jnp.ndarray, seq_len: int) -> j
     return feats[centers[:, None] + offsets[None, :]].astype(jnp.float32)
 
 
-def _dp_shardings(mesh, n_batch_args: int):
-    """(in_shardings, repl) for a step whose last ``n_batch_args`` array args
-    (before the rng key) are batch-sharded; everything else is replicated."""
+def _dp_shardings(mesh):
+    """(replicated, batch) NamedShardings for assembling a step's in_shardings."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
@@ -173,7 +172,7 @@ def build_train_step(
         return step
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1))
-    repl, bsh = _dp_shardings(mesh, 2)
+    repl, bsh = _dp_shardings(mesh)
     if gather_seq_len is None:
         in_sh = (repl, repl, bsh, bsh, repl)
     else:
@@ -199,7 +198,7 @@ def build_logits_program(
 
     if mesh is None:
         return jax.jit(logits)
-    repl, bsh = _dp_shardings(mesh, 1)
+    repl, bsh = _dp_shardings(mesh)
     in_sh = (repl, bsh) if gather_seq_len is None else (repl, repl, bsh)
     return jax.jit(logits, in_shardings=in_sh, out_shardings=bsh)
 
@@ -354,11 +353,11 @@ def train_head(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from cbas_tpu.parallel.mesh import pad_to_multiple
+        from cbas_tpu.parallel.mesh import data_axis_size, pad_to_multiple
 
         # Fixed-shape batches must divide the mesh; round the batch size up
         # (iter_batches / batch_indices already pad partial batches).
-        batch_size = pad_to_multiple(batch_size, mesh.devices.size)
+        batch_size = pad_to_multiple(batch_size, data_axis_size(mesh))
         repl_sharding = NamedSharding(mesh, P())
     cfg = DeltasHeadConfig(
         in_features=train_source.embed_dim,

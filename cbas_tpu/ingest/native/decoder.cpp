@@ -215,7 +215,7 @@ int64_t nd_read_rgb(Decoder* d, int64_t start, int64_t count, uint8_t* out) {
     int64_t written = 0;
     while (written < count) {
         int got = decode_next(d);
-        if (got < 0) return got;
+        if (got < 0) return written > 0 ? written : got;  // partial on corruption
         if (got == 0) break;
         const int64_t idx = d->next_index - 1;  // index of the decoded frame
         if (idx < start + written) continue;    // pre-target: discard
@@ -241,7 +241,10 @@ int64_t nd_read_green(Decoder* d, int64_t start, int64_t count, uint8_t* out,
     int64_t written = 0;
     while (written < count) {
         int got = decode_next(d);
-        if (got < 0) return got;
+        // Mid-stream corruption: return the frames decoded so far (a
+        // truncated recording still yields embeddings up to the bad frame);
+        // only surface an error when nothing could be decoded at all.
+        if (got < 0) return written > 0 ? written : got;
         if (got == 0) break;
         const int64_t idx = d->next_index - 1;
         if (idx < start + written) continue;  // pre-target: discard

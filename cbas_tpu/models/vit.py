@@ -34,8 +34,12 @@ Params = Dict[str, jnp.ndarray]
 # wrapper while tracing the forward). When set, _attention/_mlp psum their
 # out-projection partials over this mesh axis iff their weights arrived
 # sharded (detected from the weight shapes vs the config's full dims), so the
-# same forward code serves single-chip, DP, and DPxTP layouts.
-_TP_AXIS: Optional[str] = None
+# same forward code serves single-chip, DP, and DPxTP layouts. Thread-local:
+# program builds on different threads (e.g. a TP encoder and a plain one)
+# must not see each other's tracing state.
+import threading as _threading
+
+_TP_STATE = _threading.local()
 
 
 class tp_psum_axis:
@@ -46,19 +50,18 @@ class tp_psum_axis:
         self._prev: Optional[str] = None
 
     def __enter__(self):
-        global _TP_AXIS
-        self._prev = _TP_AXIS
-        _TP_AXIS = self.axis
+        self._prev = getattr(_TP_STATE, "axis", None)
+        _TP_STATE.axis = self.axis
         return self
 
     def __exit__(self, *exc):
-        global _TP_AXIS
-        _TP_AXIS = self._prev
+        _TP_STATE.axis = self._prev
 
 
 def _maybe_psum(y: jnp.ndarray, is_partial: bool) -> jnp.ndarray:
-    if _TP_AXIS is not None and is_partial:
-        return jax.lax.psum(y, _TP_AXIS)
+    axis = getattr(_TP_STATE, "axis", None)
+    if axis is not None and is_partial:
+        return jax.lax.psum(y, axis)
     return y
 
 

@@ -113,6 +113,12 @@ def runtime_mesh(runtime_config=None) -> Optional[Mesh]:
             return None
         shape = (len(devices),)
         axis_names = ("data",)
+    if len(axis_names) != len(shape):
+        # Config gave a shape without (enough) axis names: default them, so
+        # `mesh_shape: [4, 2]` alone means DP x TP rather than a Mesh error.
+        axis_names = ("data", "model")[: len(shape)] if len(shape) <= 2 else tuple(
+            f"axis{i}" for i in range(len(shape))
+        )
     n = int(np.prod(shape))
     if n == 1:
         return None

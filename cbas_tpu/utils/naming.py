@@ -29,17 +29,68 @@ def outputs_csv_for_h5(h5_path: str, model_name: str) -> str:
     return h5_path.replace(H5_SUFFIX, f"_{model_name}{OUTPUTS_SUFFIX}")
 
 
+_FP_CACHE: dict = {}
+
+
+def _checkpoint_fingerprint(path: str) -> Optional[str]:
+    """Content fingerprint of a local checkpoint dir/file: sha256 over the
+    config.json bytes plus the head + size of the weights file. Stable across
+    machines (content-based); cached per (realpath, mtime)."""
+    import hashlib
+
+    try:
+        real = os.path.realpath(path)
+        if os.path.isdir(real):
+            files = [os.path.join(real, "config.json")] + [
+                os.path.join(real, n)
+                for n in ("model.safetensors", "pytorch_model.bin", "model.pth")
+            ]
+        else:
+            files = [real]
+        files = [f for f in files if os.path.isfile(f)]
+        if not files:
+            return None
+        key = (real, tuple(os.path.getmtime(f) for f in files))
+        hit = _FP_CACHE.get(real)
+        if hit and hit[0] == key:
+            return hit[1]
+        h = hashlib.sha256()
+        for f in files:
+            h.update(os.path.basename(f).encode())
+            h.update(str(os.path.getsize(f)).encode())
+            with open(f, "rb") as fh:
+                h.update(fh.read(65536))
+        fp = h.hexdigest()[:8]
+        _FP_CACHE[real] = (key, fp)
+        return fp
+    except OSError:
+        return None
+
+
 def canonical_encoder_identity(identifier: str) -> str:
     """Machine-independent identity of an encoder identifier.
 
     HF-style ids ("facebook/dinov3-vitb16") are their own identity. Local
-    checkpoint paths reduce to their directory/file basename so H5 stamps and
-    model-bundle encoder guards written on one machine still match after the
-    project moves (a project-local encoder resolves to a different absolute
-    path on every host — see core/project.py encoder_model_identifier)."""
+    checkpoint paths reduce to ``basename#<content-fingerprint>`` so H5
+    stamps and model-bundle encoder guards written on one machine still match
+    after the project moves (a project-local encoder resolves to a different
+    absolute path on every host — see core/project.py
+    encoder_model_identifier), while two *different* checkpoints that merely
+    share a directory name still mismatch (forcing the safe re-encode rather
+    than silently running a head on foreign embeddings). Foreign paths that
+    don't exist locally reduce to the bare basename — never equal to a
+    fingerprinted local identity, so the mismatch path (re-encode) wins."""
     s = identifier.rstrip("/\\")
-    if os.path.isabs(s) or os.path.isdir(s) or os.path.isfile(s):
-        return os.path.basename(s)
+    # Bare names (old stamps, canonical identities like "demo_encoder#ab12")
+    # must never be re-interpreted against the CWD — only absolute paths and
+    # separator-containing relative paths are treated as filesystem locations.
+    looks_like_path = os.path.isabs(s) or (
+        (os.sep in s or "/" in s) and (os.path.isdir(s) or os.path.isfile(s))
+    )
+    if looks_like_path:
+        base = os.path.basename(s)
+        fp = _checkpoint_fingerprint(s)
+        return f"{base}#{fp}" if fp else base
     return s
 
 

@@ -38,6 +38,9 @@ function startBackend(onReady) {
   pythonProc = spawn(pythonExecutable(), BACKEND_ARGS, {
     cwd: path.join(__dirname, '..'),
     env: { ...process.env, PYTHONUNBUFFERED: '1' },
+    // Own process group on POSIX so stopBackend() can signal the whole tree
+    // (backend + its ffmpeg recorder children) via kill(-pgid).
+    detached: process.platform !== 'win32',
   });
 
   let readyFired = false;

@@ -245,3 +245,32 @@ def test_dataset_instance_counts(tmp_path):
     # 5 subjects, 80/20 split -> 4 train + 1 test subjects, 10 frames each.
     assert metrics["Train Inst (Frames)"] == "4 (40)"
     assert metrics["Test Inst (Frames)"] == "1 (10)"
+
+
+def test_canonical_encoder_identity_fingerprints_local_checkpoints(tmp_path):
+    """Same directory name, different weights -> different identities (no
+    silent head-on-foreign-embeddings); same content anywhere -> equal;
+    HF ids and bare stamp strings pass through untouched."""
+    import json
+
+    from cbas_tpu.utils.naming import canonical_encoder_identity as cid
+
+    def mk(parent, blob):
+        d = parent / "encoder"
+        d.mkdir(parents=True)
+        (d / "config.json").write_text(json.dumps({"hidden_size": 8}))
+        (d / "model.safetensors").write_bytes(blob)
+        return str(d)
+
+    a = mk(tmp_path / "a", b"\x01" * 100)
+    b = mk(tmp_path / "b", b"\x02" * 100)
+    c = mk(tmp_path / "c", b"\x01" * 100)
+    ia, ib, ic = cid(a), cid(b), cid(c)
+    assert ia.startswith("encoder#") and ib.startswith("encoder#")
+    assert ia != ib          # same name, different weights: must mismatch
+    assert ia == ic          # content-identical: portable across locations
+    assert cid("facebook/dinov3-vitb16") == "facebook/dinov3-vitb16"
+    assert cid("demo_encoder#3ce6cfb3") == "demo_encoder#3ce6cfb3"
+    # foreign absolute path (doesn't exist here): bare basename, which never
+    # equals a fingerprinted local identity -> safe re-encode
+    assert cid("/some/other/host/encoder") == "encoder"

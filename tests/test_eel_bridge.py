@@ -25,7 +25,15 @@ import pytest
 from cbas_tpu.app.api import Api, bind_eel, bridge_callbacks_to_eel
 from cbas_tpu.app.state import AppState
 
-REFERENCE = "/root/reference"
+REFERENCE = os.environ.get("CBAS_REFERENCE_DIR", "/root/reference")
+
+# The cross-inventory tests diff our API against the reference checkout; on
+# machines without it they skip rather than fail (the API surface itself is
+# still covered by test_api.py / test_frontend.py).
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "backend")),
+    reason="reference checkout not available (set CBAS_REFERENCE_DIR)",
+)
 
 
 def reference_python_exposures():
@@ -88,11 +96,13 @@ def eel_stub(monkeypatch):
     return stub
 
 
+@needs_reference
 def test_reference_inventories_nonempty():
     assert len(reference_python_exposures()) == 78
     assert len(reference_js_callbacks()) >= 25
 
 
+@needs_reference
 def test_bind_eel_exposes_every_reference_function(eel_stub):
     api = Api(AppState())
     assert bind_eel(api)
@@ -100,6 +110,7 @@ def test_bind_eel_exposes_every_reference_function(eel_stub):
     assert not missing, f"reference @eel.expose functions not bound: {sorted(missing)}"
 
 
+@needs_reference
 def test_bridge_forwards_every_js_callback_name(eel_stub):
     api = Api(AppState())
     bridge_callbacks_to_eel(api, eel_module=eel_stub)
@@ -154,17 +165,32 @@ def test_worker_emission_reaches_js_end_to_end(eel_stub, monkeypatch, tmp_path):
 
 
 def test_main_eel_mode_wires_bridge_and_prints_contract(eel_stub, tmp_path, capsys):
-    from cbas_tpu.app.main import main
+    """An eel-style frontend (pages loading /eel.js, i.e. the reference UI)
+    switches main() into eel mode; the bundled JSON-RPC frontend must NOT
+    (its /api fetches would 404 under eel's server)."""
+    from cbas_tpu.app.main import _frontend_uses_eel, main
 
     frontend = tmp_path / "frontend"
     frontend.mkdir()
+    (frontend / "index.html").write_text(
+        '<html><script src="/eel.js"></script></html>'
+    )
+    assert _frontend_uses_eel(str(frontend))
     main(["--frontend", str(frontend), "--port", "8123"])
 
     assert eel_stub.init_dir == str(frontend)
     assert len(eel_stub.exposed) >= 78
+    # Never spawn a browser: the desktop shell (or the user) owns the window.
+    assert eel_stub.start_args[1].get("mode") is None
     out = capsys.readouterr().out
     m = re.search(r"Eel server starting on (http://localhost:\d+)", out)
     assert m and m.group(1) == "http://localhost:8123"  # main.js:87 scrape
+
+    # The bundled RPC frontend must take the RpcServer branch instead.
+    repo_frontend = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "frontend"
+    )
+    assert not _frontend_uses_eel(repo_frontend)
 
 
 @pytest.mark.slow
