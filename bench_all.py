@@ -55,7 +55,7 @@ def _encode_row(name, preset, batch, height, width, n_iters=10):
     }
 
 
-def _head_infer_row(seq_len=63, hidden=128, n_behaviors=9, window_batch=512, n_iters=20):
+def _head_infer_row(seq_len=63, hidden=128, n_behaviors=9, window_batch=512, n_iters=100):
     import jax
     import jax.numpy as jnp
 
@@ -90,7 +90,9 @@ def _head_infer_row(seq_len=63, hidden=128, n_behaviors=9, window_batch=512, n_i
     }
 
 
-def _head_train_row(seq_len=31, hidden=128, n_behaviors=9, batch=480, n_iters=20):
+def _head_train_row(seq_len=31, hidden=128, n_behaviors=9, batch=480, n_iters=100):
+    # 100 async-dispatched steps amortize the per-call relay latency that made
+    # 20-iteration numbers swing 60-100k windows/s between runs.
     import jax
     import jax.numpy as jnp
 

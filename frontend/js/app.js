@@ -133,6 +133,24 @@ $("su-create").onclick = async () => {
   }
 };
 
+// ---- Electron shell integration -------------------------------------------
+// Under shell/main.js the preload exposes native dialogs; wire Browse buttons
+// next to the path inputs. In a plain browser the inputs stay type-in-only.
+function addBrowse(inputId, picker) {
+  if (!window.electronAPI) return;
+  const input = document.getElementById(inputId);
+  const btn = document.createElement("button");
+  btn.textContent = "Browse…";
+  btn.onclick = async () => {
+    const v = await picker();
+    if (v) input.value = Array.isArray(v) ? v.join("\n") : v;
+  };
+  input.insertAdjacentElement("afterend", btn);
+}
+addBrowse("su-path", () => window.electronAPI.openDirectory());
+addBrowse("su-parent", () => window.electronAPI.openDirectory());
+addBrowse("rc-import-paths", () => window.electronAPI.openFiles());
+
 renderRecent();
 refreshStatus().then((s) => {
   if (s && s.project_loaded) document.dispatchEvent(new CustomEvent("project:loaded"));

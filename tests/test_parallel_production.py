@@ -62,6 +62,27 @@ def test_runtime_mesh_uses_all_devices():
     assert m is not None and m.devices.size == 8 and m.axis_names == ("data",)
 
 
+def test_runtime_mesh_from_project_yaml(tmp_path):
+    """cbas_config.yaml runtime.mesh_shape reaches Api.load_project's mesh —
+    the user-facing knob for DP x TP (docs/TPU.md §multi-chip). Axis names
+    default for a bare 2-D shape."""
+    from cbas_tpu.core.config import ProjectSettings, dump_yaml
+    from cbas_tpu.core.project import Project
+
+    proj = Project.create_project(str(tmp_path), "p")
+    dump_yaml(
+        {"encoder_model_identifier": "x", "runtime": {"mesh_shape": [4, 2]}},
+        os.path.join(proj.path, "cbas_config.yaml"),
+    )
+    proj.reload_settings()
+    assert proj.settings.runtime.mesh_shape == [4, 2]
+    m = runtime_mesh(proj.settings.runtime)
+    assert dict(m.shape) == {"data": 4, "model": 2}
+    # round-trip sanity of the dataclass itself
+    s = ProjectSettings.from_dict({"runtime": {"mesh_shape": [8]}})
+    assert runtime_mesh(s.runtime).axis_names == ("data",)
+
+
 def test_encode_file_dp_matches_single_device(video_path, mesh, tmp_path):
     params = jax.device_get(init_vit_params(jax.random.key(0), SMALL_CFG))
     enc_1 = FrameEncoder("e", params=params, cfg=SMALL_CFG, compute_dtype=jnp.float32)
