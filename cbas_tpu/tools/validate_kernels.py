@@ -1,0 +1,105 @@
+"""On-device kernel validation: fused attention vs XLA vs an fp64 oracle.
+
+The CPU test suite exercises the Pallas kernel only in interpret mode
+(Mosaic doesn't compile for CPU), so this diagnostic proves the *compiled*
+kernel's numerics on the attached accelerator — run it after a JAX/libtpu
+upgrade or a kernel change:
+
+    python -m cbas_tpu.tools.validate_kernels
+
+Exit code 0 = every geometry passes. Expected envelopes on TPU: the fused
+kernel and XLA's unfused attention both sit at TPU fp32 dot precision
+(~4e-3 vs fp64 at production shapes; the fused kernel is typically closer),
+and the production bf16 path agrees with unfused bf16 to ~3e-2.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+GEOMETRIES = [
+    # (B, H, N, d, rope) — 480p ViT-B, 256x256 ViT-B, ViT-L head shape
+    (4, 12, 1205, 64, True),
+    (4, 12, 261, 64, False),
+    (2, 16, 325, 64, True),
+]
+
+
+def _oracle(q, k, v, scale):
+    s = np.einsum(
+        "bhqd,bhkd->bhqk", q.astype(np.float64), k.astype(np.float64)
+    ) * scale
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v.astype(np.float64))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from cbas_tpu.ops.flash_attention import fused_attention, reference_attention
+    from cbas_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+    backend = jax.default_backend()
+    print(f"backend: {backend} ({jax.devices()[0]})")
+    # fp32-vs-fp64 envelope: fp32 roundoff through softmax on CPU; TPU fp32
+    # dot precision (bf16-decomposed matmuls) on accelerators.
+    tol_f32 = 2e-5 if backend == "cpu" else 8e-3
+    rng = np.random.default_rng(0)
+    failures = 0
+
+    for B, H, N, d, rope in GEOMETRIES:
+        scale = d ** -0.5
+        q, k, v = (rng.normal(size=(B, H, N, d)).astype(np.float32) for _ in range(3))
+        if rope:
+            cos = rng.uniform(-1, 1, (N, d)).astype(np.float32)
+            sin = rng.uniform(-1, 1, (N, d)).astype(np.float32)
+
+            def rot(t):
+                return np.concatenate([-t[..., d // 2 :], t[..., : d // 2]], -1)
+
+            qq, kk = q * cos + rot(q) * sin, k * cos + rot(k) * sin
+            got = fused_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale,
+                rope_cos=jnp.asarray(cos), rope_sin=jnp.asarray(sin),
+            )
+        else:
+            qq, kk = q, k
+            got = fused_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale)
+        want = _oracle(qq, kk, v, scale)
+        xla = reference_attention(jnp.asarray(qq), jnp.asarray(kk), jnp.asarray(v), scale)
+        err_f = np.abs(np.asarray(got, np.float64) - want).max()
+        err_x = np.abs(np.asarray(xla, np.float64) - want).max()
+        ok = err_f < tol_f32
+        failures += not ok
+        print(
+            f"B{B} H{H} N{N} d{d} rope={rope}: fused vs fp64 {err_f:.2e} "
+            f"(xla {err_x:.2e}) {'ok' if ok else 'FAIL'}"
+        )
+
+    # Production bf16 path vs unfused bf16.
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(2, 12, 1205, 64)).astype(np.float32)).astype(jnp.bfloat16)
+        for _ in range(3)
+    )
+    err = float(
+        jnp.max(
+            jnp.abs(
+                fused_attention(q, k, v, 0.125).astype(jnp.float32)
+                - reference_attention(q, k, v, 0.125).astype(jnp.float32)
+            )
+        )
+    )
+    ok = err < 3e-2
+    failures += not ok
+    print(f"bf16 production path vs unfused: {err:.2e} {'ok' if ok else 'FAIL'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

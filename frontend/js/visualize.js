@@ -6,12 +6,18 @@
   let taskCounter = 0;
 
   async function refresh() {
-    const models = await rpc("get_available_models");
+    const [models, datasets] = await Promise.all([
+      rpc("get_available_models"),
+      rpc("load_dataset_configs"),
+    ]);
     const sel = $("vz-model");
     const cur = sel.value;
     sel.innerHTML = "";
     models.forEach((m) => sel.appendChild(new Option(m, m)));
     if (models.includes(cur)) sel.value = cur;
+    const ds = $("vz-dataset");
+    ds.innerHTML = "";
+    Object.keys(datasets).forEach((d) => ds.appendChild(new Option(d, d)));
     await refreshSessions();
   }
 
@@ -107,6 +113,19 @@
     $("vz-etho").innerHTML = b64
       ? `<img src="data:image/png;base64,${b64}">`
       : '<span class="muted">ethogram failed</span>';
+  };
+
+  $("vz-playback").onclick = async () => {
+    // Read-only playback of predictions through the labeling renderer
+    // (reference C29); reuses the label page's canvas + keyboard transport.
+    const ok = await rpc(
+      "start_playback_session",
+      $("vz-dataset").value,
+      $("vz-model").value,
+      $("vz-video").value
+    );
+    if (ok) showPage("label");
+    else alert("playback failed: does the video have predictions for this model?");
   };
 
   document.addEventListener("page:visualize", refresh);
