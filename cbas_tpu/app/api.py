@@ -172,6 +172,10 @@ class Api:
 
     def kill_all_processes(self) -> None:
         self.state.shutdown.set()
+        # A multi-epoch training job only polls training_cancel (not
+        # shutdown); without this it outlives the 10 s join below.
+        self.state.training_cancel.set()
+        self.stop_live_preview()
         if self.recorder:
             self.recorder.stop_all()
         if self.watcher:
@@ -662,11 +666,37 @@ class Api:
         return True
 
     def start_playback_session(self, dataset_name: str, model_name: str, video_path: str) -> bool:
-        """Read-only playback of predictions through the labeling renderer
-        (reference: label_train_page.py:1902-1929)."""
-        ok = self.start_labeling(dataset_name, video_path, filter_for_behavior=None)
+        """Read-only playback of the MODEL'S predictions through the labeling
+        renderer (reference: label_train_page.py:1902-1929): the model's
+        outputs CSV becomes the timeline, every instance shown regardless of
+        confidence, all edits blocked."""
+        proj = self.state.project
+        if proj is None:
+            return False
+        video_path = self._abs_video(video_path)
+        csv = outputs_csv_for_h5(h5_path_for_video(video_path), model_name)
+        if not os.path.exists(csv):
+            self.state.callbacks.emit(
+                "showErrorOnLabelTrainPage",
+                f"No predictions for '{model_name}' on this video — run inference first.",
+            )
+            return False
+        model = proj.models.get(model_name)
+        behaviors = None
+        if model is not None:
+            behaviors = ClassifierBundle.load(model.path).behaviors
+        df = pd.read_csv(csv)
+        rel = os.path.relpath(video_path, proj.path).replace("\\", "/")
+        instances, _ = label_tools.predictions_to_instances_with_confidence(
+            df, behaviors or list(df.columns), rel, smoothing_window=1
+        )
+        ok = self._start_session(dataset_name, video_path, instances, None, model_name)
         if ok and self.session is not None:
             self.session.mode = "playback"
+            # Playback shows every prediction: refilter at 100% "below" keeps
+            # all (confidence < 1.0) pieces visible.
+            self.state.callbacks.emit("setLabelingModeUI", "playback", model_name)
+            self.session.render_payload()
         return ok
 
     def get_current_labeling_video_path(self) -> Optional[str]:

@@ -207,10 +207,16 @@ class LabelingSession:
 
     # -- edits -----------------------------------------------------------------
 
+    def _editable(self) -> bool:
+        if self.mode == "playback":
+            log_message("Playback session is read-only.", "WARN")
+            return False
+        return True
+
     def label_frame(self, value: int) -> None:
         """Number-key handler: start/finish a new label, or relabel under playhead
         (reference: label_train_page.py:1520-1572)."""
-        if not 0 <= value < len(self.behaviors):
+        if not self._editable() or not 0 <= value < len(self.behaviors):
             return
         idx, under = self._instance_at(self.frame_index)
         if self.filter_for_behavior is not None and self._blocked_by_filter(under):
@@ -259,6 +265,8 @@ class LabelingSession:
         self.history.append(new_inst)
 
     def delete_instance(self) -> Optional[dict]:
+        if not self._editable():
+            return None
         idx, inst = self._instance_at(self.frame_index)
         if inst is None:
             return None
@@ -275,6 +283,8 @@ class LabelingSession:
         return removed
 
     def undo_last(self) -> Optional[dict]:
+        if not self._editable():
+            return None
         if not self.history:
             return None
         last = self.history.pop()
@@ -287,6 +297,8 @@ class LabelingSession:
 
     def confirm_selected(self) -> Optional[bool]:
         """Toggle the selected instance's confirmed state (keeps confidence)."""
+        if not self._editable():
+            return None
         if not 0 <= self.selected_index < len(self.buffer):
             return None
         inst = self.buffer[self.selected_index]
@@ -296,16 +308,17 @@ class LabelingSession:
     def update_instance_boundary(self, boundary_type: str) -> bool:
         """Nudge the selected instance's start/end to the playhead, trimming
         overlapped neighbors (reference: label_train_page.py:1408-1464)."""
-        if not 0 <= self.selected_index < len(self.buffer):
+        if not self._editable() or not 0 <= self.selected_index < len(self.buffer):
             return False
         inst = self.buffer[self.selected_index]
         if self._blocked_by_filter(inst):
             log_message("Edit blocked: non-target behavior boundaries.", "WARN")
             return False
-        self.dirty.add(id(inst))
         frame = self.frame_index
-        self._promote(inst)
 
+        # Validate BEFORE promoting: a no-op nudge must not flag an
+        # unreviewed prediction as a confirmed human label or dirty the
+        # session.
         if boundary_type == "start":
             if frame >= inst["end"]:
                 return False
@@ -316,6 +329,8 @@ class LabelingSession:
             new_start, new_end = inst["start"], frame
         else:
             return False
+        self.dirty.add(id(inst))
+        self._promote(inst)
 
         drop = []
         for i, nb in enumerate(self.buffer):
@@ -356,13 +371,22 @@ class LabelingSession:
                 if "_parent_id" in inst:
                     suppression.add(tuple(inst["_parent_id"]))
 
+        # Re-apply the human-interval subtraction from __init__: raw
+        # predictions re-entering the buffer must not overlap the preserved
+        # (human/confirmed) instances, or frame counts double-count and new
+        # labels hit the overlap guard.
+        kept_intervals = sorted(
+            (int(h["start"]), int(h["end"])) for h in preserved
+        )
         threshold = new_threshold / 100.0
         fresh = []
         for p in self.unfiltered_predictions:
             conf = p.get("confidence", 0.0)
             passes = conf >= threshold if mode == "above" else conf < threshold
             if passes and _sig(p) not in suppression:
-                fresh.append(p)
+                for piece in subtract_intervals(p, kept_intervals):
+                    if _sig(piece) not in suppression:
+                        fresh.append(piece)
 
         self.buffer = sorted(preserved + fresh, key=lambda x: x["start"])
         self.selected_index = -1
@@ -377,6 +401,8 @@ class LabelingSession:
     def save(self) -> dict:
         """Commit the session: rewrite this video's labels in labels.yaml
         (reference: label_train_page.py:1098-1160)."""
+        if self.mode == "playback":
+            return {"status": "error", "message": "Playback session is read-only."}
         commit = [
             inst
             for inst in self.buffer

@@ -44,6 +44,7 @@ def grab_frame(
                 if resize:
                     frame = cv2.resize(frame, resize, interpolation=cv2.INTER_AREA)
                 return _to_jpeg_b64(frame)
+            time.sleep(0.05)  # failed read: don't busy-spin a core for 10 s
         return None
     finally:
         cap.release()

@@ -47,7 +47,9 @@ def activity_from_probs(
     probs = df[behavior].to_numpy()
     others = df[df.columns.drop(behavior)]
     is_max = (others.max(axis=1) < probs).to_numpy() if len(others.columns) else np.ones_like(probs, bool)
-    return ((probs * is_max) >= threshold).astype(float)
+    # AND the argmax mask with the threshold test ((probs*is_max) >= thr
+    # would mark every non-argmax frame active at threshold 0).
+    return (is_max & (probs >= threshold)).astype(float)
 
 
 def bin_activity(activity: np.ndarray, binsize_frames: int) -> np.ndarray:
@@ -64,11 +66,23 @@ def bin_activity(activity: np.ndarray, binsize_frames: int) -> np.ndarray:
 def stitch_outputs(directory: str, model: str) -> Optional[pd.DataFrame]:
     """Concatenate all per-segment output CSVs for a model in recording order
     (reference: backend/visualize_page.py:119-136)."""
-    csvs = [
-        os.path.join(directory, f)
-        for f in os.listdir(directory)
-        if f.endswith(f"_{model}_outputs.csv")
-    ]
+    # Suffix alone also matches models whose name merely ends with this one
+    # ("big_mouse_model" vs "mouse_model"). When the videos/embeddings are
+    # still present, require the derived stem to exist as a sibling .mp4 or
+    # _cls.h5 (mirroring Recording.classifications, core/project.py); for
+    # CSV-only archives (no siblings at all) fall back to the plain suffix
+    # match rather than returning nothing.
+    suffix = f"_{model}_outputs.csv"
+    matches, confirmed = [], []
+    for f in os.listdir(directory):
+        if not f.endswith(suffix):
+            continue
+        path = os.path.join(directory, f)
+        matches.append(path)
+        stem = path[: -len(suffix)]
+        if os.path.exists(stem + ".mp4") or os.path.exists(stem + "_cls.h5"):
+            confirmed.append(path)
+    csvs = confirmed if confirmed else matches
     if not csvs:
         return None
     frames = [pd.read_csv(p) for p in natural_sort_outputs(csvs, model)]

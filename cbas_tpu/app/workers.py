@@ -46,7 +46,11 @@ class EncodeWorker(threading.Thread):
             return False
         st = self.state
         if st.encoder is None:
-            log_message("No encoder loaded; re-queueing encode task.", "WARN")
+            # Rate-limit: without an encoder this fires every poll forever.
+            now = time.monotonic()
+            if now - getattr(self, "_no_encoder_logged", 0.0) > 30.0:
+                log_message("No encoder loaded; re-queueing encode task.", "WARN")
+                self._no_encoder_logged = now
             st.encode_tasks.append(path)
             time.sleep(self.poll_s)
             return False
@@ -118,6 +122,15 @@ class ClassifyWorker(threading.Thread):
         session = self._ensure_session()
         if session is None:
             return False
+        # Track the batch from the live queue, not just on model change: a
+        # batch for the already-loaded model (or files enqueued after the
+        # name was set but before the extend landed) must still progress to
+        # "Inference complete." and the project reload.
+        queued = len(st.classify_tasks)
+        if queued and self._batch_total <= self._batch_done:
+            self._batch_total, self._batch_done = queued, 0
+        else:
+            self._batch_total = max(self._batch_total, self._batch_done + queued)
         path = st.classify_tasks.pop()
         if path is None:
             return False

@@ -177,7 +177,8 @@ class DeviceWindowStore:
     step. Eliminates the per-batch (B, T, D) host->device transfer entirely.
     """
 
-    def __init__(self, manifest: Sequence[ManifestEntry], seq_len: int, sharding=None):
+    def __init__(self, manifest: Sequence[ManifestEntry], seq_len: int, sharding=None,
+                 ram: "Optional[Dict[str, np.ndarray]]" = None):
         import h5py
         import jax
         import jax.numpy as jnp
@@ -189,8 +190,13 @@ class DeviceWindowStore:
         rows = []
         total = 0
         for p in paths:
-            with h5py.File(p, "r") as f:
-                arr = f[DATASET_NAME][:]
+            if ram is not None and p in ram:
+                # Reuse the caller's RAM preload (WindowSource(preload=True))
+                # instead of re-reading every HDF5 file from disk per trial.
+                arr = ram[p]
+            else:
+                with h5py.File(p, "r") as f:
+                    arr = f[DATASET_NAME][:]
             offsets[p] = total
             total += arr.shape[0]
             rows.append(arr)

@@ -16,14 +16,12 @@ def evaluate_params_on_manifest(
     manifest: List,
     batch_size: int = 512,
 ) -> dict:
+    source = WindowSource(manifest, task.sequence_length)
     cfg = DeltasHeadConfig(
-        in_features=WindowSource(manifest, task.sequence_length).embed_dim
-        if manifest
-        else 768,
+        in_features=source.embed_dim if manifest else 768,
         out_features=len(task.behaviors),
         seq_len=task.sequence_length,
         lstm_hidden_size=task.lstm_hidden_size,
         lstm_layers=task.lstm_layers,
     )
-    source = WindowSource(manifest, task.sequence_length)
     return evaluate_on_split(params, cfg, source, task.behaviors, batch_size=batch_size)

@@ -88,12 +88,9 @@ def run_training_job(
         return None
 
     if split_provider is None:
-        ratios = (
-            1.0 - task.test_split - 0.15,
-            0.15,
-            task.test_split if task.use_test else 0.0,
+        split_provider = RandomSplitProvider(
+            seed=seed, split_ratios=default_split_ratios(task)
         )
-        split_provider = RandomSplitProvider(seed=seed, split_ratios=ratios)
 
     all_instances = [
         inst
@@ -452,6 +449,15 @@ def _update_dataset_card(
     dataset.config = config
 
 
+def default_split_ratios(task: TrainingConfig) -> tuple:
+    """(train, val, test) subject ratios for a training job. Only reserve the
+    test fraction when a test split is actually used — otherwise the reserved
+    subjects would silently fall into validation (splits.py gives validation
+    all leftovers at test ratio 0), cutting training to 65% of subjects."""
+    test = task.test_split if task.use_test else 0.0
+    return (1.0 - test - 0.15, 0.15, test)
+
+
 def generate_disagreement_report(
     project: Project,
     task: TrainingConfig,
@@ -475,7 +481,11 @@ def generate_disagreement_report(
         h5_path = h5_path_for_video(os.path.join(project.path, rel_video))
         if not os.path.exists(h5_path):
             continue
-        csv_path = outputs_csv_for_h5(h5_path, task.name)
+        # The saved model is named f"{task.name}_model" (run_training_job):
+        # reuse its outputs if live inference already wrote them, and write
+        # any fresh ones under the same model name so they don't masquerade
+        # as a phantom model called task.name in Recording.classifications.
+        csv_path = outputs_csv_for_h5(h5_path, f"{task.name}_model")
         if not os.path.exists(csv_path):
             if session is None:
                 session = InferenceSession(bundle)

@@ -257,13 +257,16 @@ def predict_store(
 DEVICE_DATA_BUDGET_BYTES = 4 * 1024**3
 
 
-def _manifest_bytes(manifest) -> int:
+def _manifest_bytes(manifest, ram=None) -> int:
     import h5py
 
     from cbas_tpu.core.hdf5_store import DATASET_NAME
 
     total = 0
     for path in {e[0] for e in manifest}:
+        if ram is not None and path in ram:
+            total += ram[path].nbytes
+            continue
         with h5py.File(path, "r") as f:
             total += int(np.prod(f[DATASET_NAME].shape)) * 2  # fp16
     return total
@@ -377,16 +380,20 @@ def train_head(
     train_store = val_store = None
     if device_data:
         try:
-            total = _manifest_bytes(train_source.manifest)
+            train_ram = getattr(train_source, "_ram", None)
+            val_ram = getattr(val_source, "_ram", None) if has_val else None
+            total = _manifest_bytes(train_source.manifest, train_ram)
             if has_val:
-                total += _manifest_bytes(val_source.manifest)
+                total += _manifest_bytes(val_source.manifest, val_ram)
             if total <= DEVICE_DATA_BUDGET_BYTES:
                 train_store = DeviceWindowStore(
-                    train_source.manifest, seq_len, sharding=repl_sharding
+                    train_source.manifest, seq_len, sharding=repl_sharding,
+                    ram=train_ram,
                 )
                 if has_val:
                     val_store = DeviceWindowStore(
-                        val_source.manifest, seq_len, sharding=repl_sharding
+                        val_source.manifest, seq_len, sharding=repl_sharding,
+                        ram=val_ram,
                     )
         except Exception as e:
             print(f"Device-data path unavailable ({e}); using host windows.")

@@ -217,3 +217,37 @@ def test_visualization_endpoints(api, tmp_path):
     assert path and os.path.exists(path)
     blob = api.generate_ethogram(csv, framerate=10)
     assert blob
+
+
+def test_playback_session_loads_predictions_read_only(api):
+    """Playback shows the MODEL's predictions through the labeling renderer
+    with edits blocked (review r2 finding: model_name was ignored and the
+    session stayed editable)."""
+    import pandas as pd
+
+    proj = api.state.project
+    video = os.path.join(proj.recordings_dir, "sess", "m0", "m0_00001.mp4")
+    csv = os.path.join(
+        proj.recordings_dir, "sess", "m0", "m0_00001_playmodel_outputs.csv"
+    )
+    n = 30
+    walk = np.zeros(n)
+    walk[:15] = 0.9  # first half walk, second half rest
+    pd.DataFrame({"walk": walk, "rest": 1 - walk}).to_csv(csv, index=False)
+
+    # A model without a bundle on disk: behaviors come from the CSV columns.
+    assert api.start_playback_session("d", "playmodel", video)
+    s = api.session
+    assert s.mode == "playback"
+    pred_labels = {i["label"] for i in s.buffer if "confidence" in i}
+    assert pred_labels  # predictions materialized on the timeline
+    # read-only: edits and saves are rejected
+    before = len(s.buffer)
+    api.jump_to_frame(5)
+    api.label_frame(0)
+    api.jump_to_frame(8)
+    api.label_frame(0)
+    assert len(s.buffer) == before
+    assert api.save_session_labels()["status"] == "error"
+    # no predictions -> refused with an error callback
+    assert not api.start_playback_session("d", "nomodel", video)

@@ -173,3 +173,37 @@ def test_recording_manager_without_ffmpeg(tmp_path):
     if not ffmpeg_available():
         assert mgr.start(cam, "sess") is False
     assert mgr.stop("c1") is False  # nothing active
+
+
+def test_classify_batch_for_already_loaded_model_completes(app_project, tmp_path):
+    """A batch enqueued AFTER the model was loaded (empty-queue snapshot) must
+    still emit progress, finish with 'Inference complete.', and clear the
+    live model (review r2 finding: counters only reset on model change)."""
+    proj, state, video = app_project
+    cfg = DeltasHeadConfig(in_features=64, out_features=2, seq_len=7, lstm_hidden_size=8)
+    params = jax.device_get(init_deltas_params(jax.random.key(2), cfg))
+    bundle = ClassifierBundle(
+        name="batchmodel", behaviors=["a", "b"], seq_len=7,
+        params={k: np.asarray(v) for k, v in params.items()},
+        lstm_hidden_size=8, encoder_identifier=proj.encoder_model_identifier,
+    )
+    bundle.save(os.path.join(proj.models_dir, "batchmodel"))
+    proj.reload()
+
+    # encode the video so an H5 exists
+    queue_encode_task(state, video)
+    EncodeWorker(state, config=EncodeConfig(chunk_frames=16)).process_one()
+    state.classify_tasks.clear()
+
+    cw = ClassifyWorker(state, config=InferenceConfig(chunk_frames=50, window_batch=16))
+    state.live_inference_model_name = "batchmodel"
+    assert cw._ensure_session() is not None  # model loads while queue is EMPTY
+
+    progress = []
+    state.callbacks.register(
+        "updateInferenceProgress", lambda m, pct, msg: progress.append((pct, msg))
+    )
+    state.classify_tasks.append(h5_path_for_video(video))  # batch starts later
+    assert cw.process_one()
+    assert any(pct == 100.0 and "complete" in msg.lower() for pct, msg in progress)
+    assert state.live_inference_model_name is None

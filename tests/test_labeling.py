@@ -210,3 +210,55 @@ def test_review_filter_blocks_foreign_edits(project):
     assert s.buffer[0]["label"] == "walk"  # blocked
     assert s.delete_instance() is None      # blocked
     s.close()
+
+
+def test_refilter_resubtracts_human_intervals(project):
+    """Moving the confidence slider must not resurrect prediction spans that
+    overlap human labels (review r2 finding: raw predictions re-entered the
+    buffer whole, double-counting frames and tripping the overlap guard)."""
+    _, _, rel = project
+    preds = [{"video": rel, "start": 5, "end": 30, "label": "rest", "confidence": 0.4}]
+    s = make_session(project, preloaded=preds)
+    s.refilter(90, "below")  # prediction still passes (0.4 < 0.9)
+    human = [(i["start"], i["end"]) for i in s.buffer if "confidence" not in i]
+    pred_spans = [(i["start"], i["end"]) for i in s.buffer if "confidence" in i]
+    for hs, he in human:
+        for ps, pe in pred_spans:
+            assert max(hs, ps) > min(he, pe), (
+                f"prediction ({ps},{pe}) overlaps human label ({hs},{he})"
+            )
+    # the split pieces are back, not the raw (5,30) prediction
+    assert (5, 30) not in pred_spans and (5, 9) in pred_spans
+    s.close()
+
+
+def test_boundary_noop_does_not_promote(project):
+    """A rejected nudge (playhead past the instance end) must leave a
+    prediction unpromoted and the session clean (review r2 finding)."""
+    _, _, rel = project
+    preds = [{"video": rel, "start": 50, "end": 60, "label": "rest", "confidence": 0.4}]
+    s = make_session(project, preloaded=preds)
+    s.selected_index = next(
+        i for i, inst in enumerate(s.buffer) if "confidence" in inst
+    )
+    sel = s.buffer[s.selected_index]
+    before_changes = s.has_changes()
+    s.jump_to_frame(70)  # past the instance end
+    assert s.update_instance_boundary("start") is False
+    assert sel.get("confidence") is not None, "no-op nudge promoted the prediction"
+    assert s.has_changes() == before_changes
+    s.close()
+
+
+def test_playback_mode_is_read_only(project):
+    s = make_session(project)
+    s.mode = "playback"
+    n = len(s.buffer)
+    s.jump_to_frame(40)
+    s.label_frame(0)
+    s.jump_to_frame(45)
+    s.label_frame(0)
+    assert len(s.buffer) == n and s.pending_type == -1
+    assert s.delete_instance() is None
+    assert s.save()["status"] == "error"
+    s.close()

@@ -127,3 +127,15 @@ def test_disagreement_report(project, trained_model_dir):
     assert items and items[0]["human_label"] == "rest"
     assert items[0]["model_prediction"] == "walk"
     assert 0 < items[0]["model_confidence"] <= 1.0
+
+
+def test_no_test_split_keeps_ratio_for_training():
+    """use_test=False must not silently reserve test_split for validation
+    (review r2 finding: 20% of subjects vanished into the val set)."""
+    from cbas_tpu.core.config import TrainingConfig
+    from cbas_tpu.engine.orchestrator import default_split_ratios
+
+    with_test = TrainingConfig(name="d", behaviors=["a"], use_test=True, test_split=0.2)
+    without = TrainingConfig(name="d", behaviors=["a"], use_test=False, test_split=0.2)
+    assert default_split_ratios(with_test) == (0.65, 0.15, 0.2)
+    assert default_split_ratios(without) == (0.85, 0.15, 0.0)

@@ -127,3 +127,26 @@ def test_ethogram_events_and_blob():
     assert ev["background"] == [(2, 2)]
     blob = ethogram_blob(df, ["walk", "background"], framerate=10)
     assert base64.b64decode(blob)[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_activity_threshold_zero_is_argmax_only():
+    """threshold 0 must mean 'active iff argmax' — (probs*is_max) >= 0 marked
+    every frame of every behavior active (review r2 finding)."""
+    df = pd.DataFrame({"walk": [0.9, 0.2], "rest": [0.1, 0.8]})
+    np.testing.assert_array_equal(activity_from_probs(df, "walk", 0.0), [1, 0])
+    np.testing.assert_array_equal(activity_from_probs(df, "rest", 0.0), [0, 1])
+
+
+def test_stitch_outputs_model_name_suffix_disambiguation(tmp_path):
+    """'mouse_model' must not stitch 'big_mouse_model' CSVs when the real
+    videos are present to disambiguate (review r2 finding)."""
+    for stem, model, val in (
+        ("cam_00001", "mouse_model", 0.1),
+        ("cam_00001", "big_mouse_model", 0.9),
+    ):
+        pd.DataFrame({"walk": [val], "rest": [1 - val]}).to_csv(
+            tmp_path / f"{stem}_{model}_outputs.csv", index=False
+        )
+    (tmp_path / "cam_00001.mp4").write_bytes(b"x")  # sibling disambiguates
+    df = stitch_outputs(str(tmp_path), "mouse_model")
+    assert df["walk"].tolist() == [0.1]
