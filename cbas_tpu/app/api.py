@@ -115,7 +115,7 @@ class Api:
 
         self.recorder = RecordingManager(
             st.project.recordings_dir,
-            on_final_segment=lambda p: queue_encode_task(st, p),
+            on_final_segment=self._queue_external_video,
         )
         if st.encoder is not None:
             sweep_stale_embeddings(st)
@@ -125,6 +125,14 @@ class Api:
             self._workers = start_workers(st)
             self.train_worker = self._workers[2]
         return {"success": True, "path": st.project.path}
+
+    def _queue_external_video(self, path: str) -> None:
+        """Queue a video that something other than the watcher produced (an
+        import, a stopped recording's final segment) — and tell the watcher,
+        or its settle-promotion would encode the same file a second time."""
+        if self.watcher is not None:
+            self.watcher.mark_handled(path)
+        queue_encode_task(self.state, path)
 
     def reload_project_data(self) -> bool:
         if self.state.project:
@@ -398,9 +406,7 @@ class Api:
             ),
         )
         for path in imported:
-            if self.watcher:
-                self.watcher.forget(path)  # import queues directly; skip watcher dedupe
-            queue_encode_task(self.state, path)
+            self._queue_external_video(path)
         self.state.project.reload_recordings()
         return imported
 

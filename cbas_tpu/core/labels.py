@@ -151,7 +151,10 @@ def analyze_label_conflicts(labels_doc: dict) -> Dict[str, int]:
         if not isinstance(insts, list):
             continue
         for inst in insts:
-            key = (inst.get("start"), inst.get("end"), inst.get("label"), inst.get("video"))
+            # Separator-normalized like clean_and_sort_labels, so the dry-run
+            # report agrees with what cleaning actually removes.
+            video = str(inst.get("video", "")).replace("\\", "/")
+            key = (inst.get("start"), inst.get("end"), inst.get("label"), video)
             if key in seen:
                 duplicates += 1
             else:
@@ -161,7 +164,7 @@ def analyze_label_conflicts(labels_doc: dict) -> Dict[str, int]:
     overlaps = 0
     by_video: Dict[str, List[Instance]] = defaultdict(list)
     for inst in uniques:
-        by_video[str(inst.get("video"))].append(inst)
+        by_video[str(inst.get("video", "")).replace("\\", "/")].append(inst)
     for insts in by_video.values():
         if len(insts) < 2:
             continue

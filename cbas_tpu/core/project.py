@@ -57,9 +57,16 @@ class Recording:
             v for v in self.video_files if h5_path_for_video(v) not in enc_set
         ]
 
-        # Group per-model output CSVs: <videostem>_<model>_outputs.csv
+        # Group per-model output CSVs: <videostem>_<model>_outputs.csv.
+        # Longest video stem first: "cam_00001_aug_m_outputs.csv" must bind to
+        # video "cam_00001_aug" (model "m"), not to "cam_00001" as a phantom
+        # model "aug_m" — scandir order would otherwise decide.
         self.classifications: Dict[str, List[str]] = {}
-        video_stems = [os.path.splitext(os.path.basename(v))[0] for v in self.video_files]
+        video_stems = sorted(
+            (os.path.splitext(os.path.basename(v))[0] for v in self.video_files),
+            key=len,
+            reverse=True,
+        )
         for csv_path in [f for f in files if f.endswith(OUTPUTS_SUFFIX)]:
             stem = os.path.basename(csv_path)[: -len(OUTPUTS_SUFFIX)]
             for vstem in video_stems:
@@ -124,8 +131,12 @@ class Dataset:
         dump_yaml(self.labels, self.labels_path)
 
     def update_metric(self, behavior: str, group: str, value) -> None:
-        self.config.setdefault("metrics", {}).setdefault(behavior, {})[group] = value
+        self.set_metric(behavior, group, value)
         dump_yaml(self.config, self.config_path)
+
+    def set_metric(self, behavior: str, group: str, value) -> None:
+        """In-memory metric update; callers batch these and dump once."""
+        self.config.setdefault("metrics", {}).setdefault(behavior, {})[group] = value
 
     def update_instance_counts_in_config(self) -> None:
         """Refresh the canonical per-behavior instance/frame counts.
@@ -138,8 +149,9 @@ class Dataset:
         behaviors = self.behaviors
         if not insts:
             for b in behaviors:
-                self.update_metric(b, "Train Inst (Frames)", "0 (0)")
-                self.update_metric(b, "Test Inst (Frames)", "0 (0)")
+                self.set_metric(b, "Train Inst (Frames)", "0 (0)")
+                self.set_metric(b, "Test Inst (Frames)", "0 (0)")
+            dump_yaml(self.config, self.config_path)  # one write for all rows
             return
 
         subjects = list({subject_of(i) for i in insts})
@@ -158,8 +170,9 @@ class Dataset:
         tr_i, tr_f = counts(train_set)
         te_i, te_f = counts(test_set)
         for b in behaviors:
-            self.update_metric(b, "Train Inst (Frames)", f"{tr_i.get(b, 0)} ({int(tr_f.get(b, 0))})")
-            self.update_metric(b, "Test Inst (Frames)", f"{te_i.get(b, 0)} ({int(te_f.get(b, 0))})")
+            self.set_metric(b, "Train Inst (Frames)", f"{tr_i.get(b, 0)} ({int(tr_f.get(b, 0))})")
+            self.set_metric(b, "Test Inst (Frames)", f"{te_i.get(b, 0)} ({int(te_f.get(b, 0))})")
+        dump_yaml(self.config, self.config_path)  # one write for all rows
 
 
 class Project:

@@ -62,6 +62,10 @@ class RecordingManager:
         self.active: Dict[str, Tuple[Popen, float, str]] = {}
         self.current_session: Optional[str] = None
         self._last_restart: Dict[str, float] = {}
+        # Cameras whose dead recording couldn't be restarted yet (cooldown,
+        # missing config, failed start): retried every heal pass rather than
+        # silently abandoned.
+        self._pending_restart: Dict[str, str] = {}  # name -> session
         self._lock = threading.Lock()
 
     def camera_dir(self, session: str, camera: str) -> str:
@@ -95,6 +99,7 @@ class RecordingManager:
     def stop(self, camera_name: str) -> bool:
         with self._lock:
             entry = self.active.pop(camera_name, None)
+            self._pending_restart.pop(camera_name, None)  # user-intent stop
         if entry is None:
             return False
         proc, _, session = entry
@@ -142,10 +147,15 @@ class RecordingManager:
                 del self.active[name]
         for name, session in dead:
             log_message(f"Recording process for '{name}' terminated unexpectedly.", "WARN")
+            self._pending_restart[name] = session
+        # Retry every camera awaiting a restart — skipped ones stay pending so
+        # the monitor keeps trying after the cooldown instead of abandoning
+        # the camera the moment crashes become frequent.
+        for name, session in list(self._pending_restart.items()):
             now = time.time()
             if now - self._last_restart.get(name, 0.0) <= self.RESTART_COOLDOWN_S:
                 log_message(
-                    f"Skipping restart for '{name}' (within {self.RESTART_COOLDOWN_S:.0f}s cooldown).",
+                    f"Deferring restart for '{name}' (within {self.RESTART_COOLDOWN_S:.0f}s cooldown).",
                     "WARN",
                 )
                 continue
@@ -155,6 +165,7 @@ class RecordingManager:
                 continue
             if self.start(cam, session):
                 self._last_restart[name] = now
+                del self._pending_restart[name]
                 log_message(f"Successfully restarted recording for '{name}'.")
 
 
@@ -170,7 +181,7 @@ def run_monitor(
         if stop_event.is_set():
             break
         try:
-            if manager.active:
+            if manager.active or manager._pending_restart:
                 manager.check_and_heal(cameras_provider())
         except Exception as e:
             log_message(f"Recording monitor error: {e}", "ERROR")

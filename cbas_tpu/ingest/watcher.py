@@ -41,9 +41,18 @@ class RecordingWatcher(threading.Thread):
             self._known.add(path)
 
     def forget(self, path: str) -> None:
-        """Drop a path from dedup tracking (used by import flows)."""
+        """Drop a path from dedup tracking (it may be queued again later)."""
         with self._lock:
             self._known.discard(path)
+            self._pending.pop(path, None)
+
+    def mark_handled(self, path: str) -> None:
+        """Record a path as already queued by someone else (imports, final
+        recording segments): the watcher must NOT promote it again — the
+        opposite of :meth:`forget` (which re-arms tracking and caused every
+        imported video to be encoded twice)."""
+        with self._lock:
+            self._known.add(path)
             self._pending.pop(path, None)
 
     def stop(self) -> None:
@@ -58,16 +67,23 @@ class RecordingWatcher(threading.Thread):
     def poll_once(self, now: Optional[float] = None) -> int:
         """One scan cycle; returns how many files were promoted. Testable."""
         now = now if now is not None else time.monotonic()
-        promoted = 0
+        # The tree walk and os.stat calls run OUTSIDE the lock (a large
+        # recordings tree would otherwise block forget()/mark_handled()
+        # callers for the whole scan), as do the on_ready callbacks (a
+        # handler touching the watcher would deadlock the non-reentrant
+        # lock). Only the dedupe-state updates are locked.
+        stats = []
+        for path in self._scan():
+            try:
+                st = os.stat(path)
+            except OSError:
+                continue
+            stats.append((path, (st.st_size, st.st_mtime)))
+        ready = []
         with self._lock:
-            for path in self._scan():
+            for path, sig in stats:
                 if path in self._known:
                     continue
-                try:
-                    st = os.stat(path)
-                except OSError:
-                    continue
-                sig = (st.st_size, st.st_mtime)
                 prev = self._pending.get(path)
                 if prev is None or prev[:2] != sig:
                     self._pending[path] = (*sig, now)
@@ -75,12 +91,13 @@ class RecordingWatcher(threading.Thread):
                 if now - prev[2] >= self.settle_s:
                     self._known.add(path)
                     del self._pending[path]
-                    promoted += 1
-                    try:
-                        self.on_ready(path)
-                    except Exception as e:
-                        print(f"Watcher on_ready failed for {path}: {e}")
-        return promoted
+                    ready.append(path)
+        for path in ready:
+            try:
+                self.on_ready(path)
+            except Exception as e:
+                print(f"Watcher on_ready failed for {path}: {e}")
+        return len(ready)
 
     def run(self) -> None:
         self.prime_existing()

@@ -127,30 +127,43 @@ class FrameEncoder:
                 params = jax.device_get(init_vit_params(jax.random.key(0), self.cfg))
             else:
                 params = load_encoder_params(identifier)
-        self._params_np = {k: np.asarray(v) for k, v in params.items()}
+        params_np = {k: np.asarray(v) for k, v in params.items()}
         self.embed_dim = self.cfg.hidden_size
 
         # Channel-folded single-plane patch kernel (see ops/preprocess.py).
         if self.cfg.variant == "dinov2":
-            conv_w = self._params_np["embeddings.patch_embeddings.projection.weight"]
+            conv_w = params_np["embeddings.patch_embeddings.projection.weight"]
             self._patch_bias_key = "embeddings.patch_embeddings.projection.bias"
         else:
-            conv_w = self._params_np["embeddings.patch_embeddings.weight"]
+            conv_w = params_np["embeddings.patch_embeddings.weight"]
             self._patch_bias_key = "embeddings.patch_embeddings.bias"
         self._plane_kernel = fold_channels_into_patch_kernel(conv_w)
+        # The only host-side tensor _build still needs is the dinov2 position
+        # table (resampled per geometry); retaining the whole fp32 backbone
+        # would pin ~1.2 GB of host RAM per ViT-L encoder for nothing.
+        self._pos_table = (
+            params_np.get("embeddings.position_embeddings")
+            if self.cfg.variant == "dinov2"
+            else None
+        )
 
         cast = {
             k: a.astype(self.compute_dtype) if a.dtype == np.float32 else a
-            for k, a in self._params_np.items()
+            for k, a in params_np.items()
         }
+        self._param_specs = None
         if self._tp_size() > 1:
             # 2-D (data, model) mesh: place parameters tensor-parallel-sharded
             # (parallel/tp.py rules) so each chip holds only its head/
             # intermediate shard of the large backbone.
-            from cbas_tpu.parallel.tp import vit_param_shardings
+            from jax.sharding import NamedSharding
 
+            from cbas_tpu.parallel.tp import vit_param_pspecs
+
+            self._param_specs = vit_param_pspecs(cast, self.mesh, self.cfg.head_dim)
             self._device_params = jax.device_put(
-                cast, vit_param_shardings(cast, self.mesh, self.cfg.head_dim)
+                cast,
+                {k: NamedSharding(self.mesh, sp) for k, sp in self._param_specs.items()},
             )
         else:
             self._device_params = jax.tree.map(jnp.asarray, cast)
@@ -170,9 +183,7 @@ class FrameEncoder:
         pos_embed = None
         rope = None
         if self.cfg.variant == "dinov2":
-            pos = resample_pos_embed(
-                self._params_np["embeddings.position_embeddings"], *grid
-            )
+            pos = resample_pos_embed(self._pos_table, *grid)
             pos_embed = jnp.asarray(pos, self.compute_dtype)
         else:
             cos, sin = rope_tables(self.cfg, *grid)
@@ -194,9 +205,7 @@ class FrameEncoder:
         if self._tp_size() > 1:
             from cbas_tpu.parallel.mesh import shard_batch_jit_2d
 
-            return shard_batch_jit_2d(
-                encode, self.mesh, self._params_np, head_dim=self.cfg.head_dim
-            )
+            return shard_batch_jit_2d(encode, self.mesh, self._param_specs)
         from cbas_tpu.parallel.mesh import shard_batch_jit
 
         return shard_batch_jit(encode, self.mesh)

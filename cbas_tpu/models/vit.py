@@ -191,6 +191,14 @@ def _config_from_local_json(identifier: str) -> Optional[ViTConfig]:
             intermediate_size=c["intermediate_size"],
             rope_theta=c.get("rope_theta", 100.0),
             use_gated_mlp=c.get("use_gated_mlp", False),
+            # Per-projection bias flags must survive the round trip: dropping
+            # a checkpoint's key_bias silently changes its embeddings while
+            # the H5 stamp still validates.
+            query_bias=c.get("query_bias", True),
+            key_bias=c.get("key_bias", False),
+            value_bias=c.get("value_bias", True),
+            proj_bias=c.get("proj_bias", True),
+            mlp_bias=c.get("mlp_bias", True),
             **common,
         )
     return ViTConfig(
@@ -199,6 +207,7 @@ def _config_from_local_json(identifier: str) -> Optional[ViTConfig]:
             "intermediate_size", c["hidden_size"] * c.get("mlp_ratio", 4)
         ),
         image_size=c.get("image_size", 518),
+        use_swiglu_ffn=c.get("use_swiglu_ffn", False),
         **common,
     )
 
@@ -475,18 +484,15 @@ def resample_pos_embed(
 # Forward
 # ---------------------------------------------------------------------------
 
-def vit_forward_from_tokens(
+def _assemble_embeddings(
     params: Params,
     tokens: jnp.ndarray,
     cfg: ViTConfig,
-    pos_embed: Optional[jnp.ndarray] = None,
-    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    pos_embed: Optional[jnp.ndarray],
 ) -> jnp.ndarray:
-    """Run the transformer over already-projected patch tokens (B, N, D).
-
-    Lets callers supply a custom patch-embedding path (e.g. the single-plane
-    folded kernel in models/encoder.py) while sharing the block stack.
-    """
+    """Projected patch tokens -> full embedding sequence (CLS [+ registers]
+    [+ pos-embed]), shared by the forward pass and the attention-map probe so
+    the prefix-token layout lives in exactly one place."""
     B = tokens.shape[0]
     dtype = tokens.dtype
     cls_tok = jnp.broadcast_to(
@@ -503,13 +509,30 @@ def vit_forward_from_tokens(
                 (B, cfg.num_register_tokens, cfg.hidden_size),
             )
             x = jnp.concatenate([x[:, :1], regs, x[:, 1:]], axis=1)
+        return x
+    regs = jnp.broadcast_to(
+        params["embeddings.register_tokens"].astype(dtype),
+        (B, cfg.num_register_tokens, cfg.hidden_size),
+    )
+    return jnp.concatenate([cls_tok, regs, tokens], axis=1)
+
+
+def vit_forward_from_tokens(
+    params: Params,
+    tokens: jnp.ndarray,
+    cfg: ViTConfig,
+    pos_embed: Optional[jnp.ndarray] = None,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """Run the transformer over already-projected patch tokens (B, N, D).
+
+    Lets callers supply a custom patch-embedding path (e.g. the single-plane
+    folded kernel in models/encoder.py) while sharing the block stack.
+    """
+    x = _assemble_embeddings(params, tokens, cfg, pos_embed)
+    if cfg.variant == "dinov2":
         layer_prefix, final_ln, block_rope = "encoder.layer", "layernorm", None
     else:
-        regs = jnp.broadcast_to(
-            params["embeddings.register_tokens"].astype(dtype),
-            (B, cfg.num_register_tokens, cfg.hidden_size),
-        )
-        x = jnp.concatenate([cls_tok, regs, tokens], axis=1)
         layer_prefix, final_ln = "layer", "norm"
         if rope is None:
             raise ValueError("dinov3 requires rope tables (see rope_tables())")
@@ -596,30 +619,12 @@ def cls_attention_map(
     proj = w.reshape(w.shape[0], -1).astype(dtype)
     tokens = patchify(pixel_values, cfg.patch_size) @ proj.T + bias.astype(dtype)
 
-    cls_tok = jnp.broadcast_to(
-        params["embeddings.cls_token"].astype(dtype), (B, 1, cfg.hidden_size)
-    )
-    if cfg.variant == "dinov2":
-        x = jnp.concatenate([cls_tok, tokens], axis=1)
-        pe = pos_embed
-        if pe is None:
-            pe = resample_pos_embed(
-                np.asarray(params["embeddings.position_embeddings"], np.float32), *grid
-            )
-            pe = jnp.asarray(pe)
-        x = x + pe.astype(dtype)
-        if cfg.num_register_tokens:
-            regs = jnp.broadcast_to(
-                params["embeddings.register_tokens"].astype(dtype),
-                (B, cfg.num_register_tokens, cfg.hidden_size),
-            )
-            x = jnp.concatenate([x[:, :1], regs, x[:, 1:]], axis=1)
-    else:
-        regs = jnp.broadcast_to(
-            params["embeddings.register_tokens"].astype(dtype),
-            (B, cfg.num_register_tokens, cfg.hidden_size),
-        )
-        x = jnp.concatenate([cls_tok, regs, tokens], axis=1)
+    pe = pos_embed
+    if cfg.variant == "dinov2" and pe is None:
+        pe = jnp.asarray(resample_pos_embed(
+            np.asarray(params["embeddings.position_embeddings"], np.float32), *grid
+        ))
+    x = _assemble_embeddings(params, tokens, cfg, pe)
 
     for i in range(cfg.num_layers - 1):
         x = _block(params, f"{layer_prefix}.{i}", x, cfg, rope)

@@ -55,21 +55,20 @@ def shard_batch_jit(fn, mesh: Mesh, axis: str = "data"):
     return jax.jit(mapped)
 
 
-def shard_batch_jit_2d(fn, mesh: Mesh, params_template, head_dim: int = 0,
-                       data_axis: str = "data", model_axis: str = "model"):
+def shard_batch_jit_2d(fn, mesh: Mesh, param_specs, data_axis: str = "data",
+                       model_axis: str = "model"):
     """jit ``fn(params, batch)`` over a 2-D (data, model) mesh: batch split on
-    the data axis, ViT parameters tensor-parallel-sharded on the model axis
-    (parallel/tp.py rules), out-projection partials psum'd inside the forward
-    (models/vit.py tp_psum_axis). shard_map rather than GSPMD annotations for
-    the same reason as :func:`shard_batch_jit` — the Pallas attention custom
-    call is opaque to the auto-partitioner; here each shard simply runs its
-    own heads."""
+    the data axis, ViT parameters tensor-parallel-sharded per ``param_specs``
+    (a PartitionSpec pytree from tp.vit_param_pspecs), out-projection partials
+    psum'd inside the forward (models/vit.py tp_psum_axis). shard_map rather
+    than GSPMD annotations for the same reason as :func:`shard_batch_jit` —
+    the Pallas attention custom call is opaque to the auto-partitioner; here
+    each shard simply runs its own heads."""
     from jax.sharding import PartitionSpec
 
     from cbas_tpu.models.vit import tp_psum_axis
-    from cbas_tpu.parallel.tp import vit_param_pspecs
 
-    specs = vit_param_pspecs(params_template, mesh, head_dim)
+    specs = param_specs
 
     def body(params, batch):
         with tp_psum_axis(model_axis):

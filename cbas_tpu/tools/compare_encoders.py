@@ -59,9 +59,8 @@ def main(argv=None) -> None:
     for ax, identifier in zip(axes[1:], args.encoders):
         enc = FrameEncoder(identifier, random_init=args.random_init,
                            compute_dtype=jnp.float32)
-        params = {k: jnp.asarray(v) for k, v in enc._params_np.items()}
         attn = np.asarray(
-            cls_attention_map(params, jnp.asarray(rgb_rep), enc.cfg)
+            cls_attention_map(enc._device_params, jnp.asarray(rgb_rep), enc.cfg)
         )[0]
         ax.imshow(green, cmap="gray")
         ax.imshow(

@@ -207,3 +207,46 @@ def test_classify_batch_for_already_loaded_model_completes(app_project, tmp_path
     assert cw.process_one()
     assert any(pct == 100.0 and "complete" in msg.lower() for pct, msg in progress)
     assert state.live_inference_model_name is None
+
+
+def test_watcher_mark_handled_prevents_double_encode(tmp_path):
+    """Imports/final segments queue their video directly; the watcher must
+    NOT promote it again after settling (review r3 finding: forget() re-armed
+    tracking, so every import was encoded twice)."""
+    from cbas_tpu.ingest.watcher import RecordingWatcher
+
+    ready = []
+    w = RecordingWatcher(str(tmp_path), on_ready=ready.append, settle_s=0.0)
+    p = str(tmp_path / "x.mp4")
+    open(p, "wb").write(b"data")
+    w.mark_handled(p)  # someone else queued it
+    assert w.poll_once(now=1e9) == 0 and ready == []
+    # forget() re-arms: the next stable sighting promotes again (re-encode flows)
+    w.forget(p)
+    w.poll_once(now=1e9)
+    assert w.poll_once(now=2e9) == 1 and ready == [p]
+
+
+def test_self_heal_retries_after_cooldown(monkeypatch):
+    """A dead recording skipped by the cooldown must stay pending and restart
+    on a later pass (review r3 finding: it was silently abandoned)."""
+    from cbas_tpu.core.config import CameraSettings
+    from cbas_tpu.ingest.record import RecordingManager
+
+    mgr = RecordingManager("/tmp/nonexistent-recdir")
+
+    class DeadProc:
+        def poll(self):
+            return 1
+
+    mgr.active["cam"] = (DeadProc(), 0.0, "sess")
+    mgr._last_restart["cam"] = __import__("time").time()  # inside cooldown
+    started = []
+    monkeypatch.setattr(mgr, "start", lambda cam, session: started.append(cam.name) or True)
+    cams = {"cam": CameraSettings(name="cam", rtsp_url="rtsp://x")}
+
+    mgr.check_and_heal(cams)
+    assert started == [] and "cam" in mgr._pending_restart  # deferred, not dropped
+    mgr._last_restart["cam"] = 0.0  # cooldown elapsed
+    mgr.check_and_heal(cams)
+    assert started == ["cam"] and "cam" not in mgr._pending_restart

@@ -274,3 +274,18 @@ def test_canonical_encoder_identity_fingerprints_local_checkpoints(tmp_path):
     # foreign absolute path (doesn't exist here): bare basename, which never
     # equals a fingerprinted local identity -> safe re-encode
     assert cid("/some/other/host/encoder") == "encoder"
+
+
+def test_classifications_bind_to_longest_video_stem(tmp_path):
+    """cam_00001_aug's outputs must not parse as phantom model 'aug_m' on
+    cam_00001 (review r3 finding: first prefix match won by scandir order)."""
+    from cbas_tpu.core.project import Recording
+
+    d = tmp_path / "rec"
+    d.mkdir()
+    for name in ("cam_00001.mp4", "cam_00001_aug.mp4",
+                 "cam_00001_aug_m_outputs.csv", "cam_00001_m_outputs.csv"):
+        (d / name).write_bytes(b"x")
+    rec = Recording(str(d))
+    assert set(rec.classifications) == {"m"}
+    assert len(rec.classifications["m"]) == 2

@@ -44,10 +44,10 @@ def test_plane_path_equals_replicated_rgb_path(cfg):
     # Reference path: green/255 replicated to 3 channels through vit_forward.
     green = frames[:, :, :, 1].astype(np.float32) / 255.0
     rgb = np.repeat(green[:, None, :, :], 3, axis=1)
-    params = {k: jnp.asarray(v) for k, v in enc._params_np.items()}
+    params = enc._device_params
     pos = None
     if cfg.variant == "dinov2":
-        pos = jnp.asarray(resample_pos_embed(enc._params_np["embeddings.position_embeddings"], 2, 2))
+        pos = jnp.asarray(resample_pos_embed(enc._pos_table, 2, 2))
     want = np.asarray(vit_forward(params, jnp.asarray(rgb), cfg, pos_embed=pos))[:, 0, :]
     np.testing.assert_allclose(
         got.astype(np.float32), want.astype(np.float32), rtol=2e-3, atol=2e-3
