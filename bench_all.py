@@ -23,30 +23,19 @@ OUT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks"
 
 
 def _encode_row(name, preset, batch, height, width, n_iters=10):
-    import jax
     import jax.numpy as jnp
 
+    # One measurement harness: reuse bench.py's device-program loop so the
+    # headline number and this table stay methodologically identical.
+    from bench import bench_device_program
     from cbas_tpu.models.encoder import FrameEncoder
     from cbas_tpu.models.vit import PRESETS
 
     enc = FrameEncoder(
         name, cfg=PRESETS[preset], random_init=True, compute_dtype=jnp.bfloat16
     )
-    prog, _ = enc._program(batch, height, width)
-    rng = np.random.default_rng(0)
-    planes = [
-        jax.device_put(jnp.asarray(rng.integers(0, 256, (batch, height, width), np.uint8)))
-        for _ in range(3)
-    ]
-    for p in planes[:2]:
-        jax.block_until_ready(prog(enc._device_params, p))
-    t0 = time.perf_counter()
-    out = None
-    for i in range(n_iters):
-        out = prog(enc._device_params, planes[i % len(planes)])
-    jax.block_until_ready(out)
-    fps = n_iters * batch / (time.perf_counter() - t0)
-    del enc, planes, out
+    fps = bench_device_program(enc, batch, height, width, n_iters=n_iters)
+    del enc
     return {
         "program": f"{preset} encode",
         "geometry": f"{width}x{height}, batch {batch}",
@@ -156,10 +145,11 @@ def main() -> None:
         "jax": jax.__version__,
         "rows": rows,
     }
-    os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)
-    with open(OUT_PATH, "w") as f:
-        json.dump(artifact, f, indent=2)
-        f.write("\n")
+    if not QUICK:  # --quick must not overwrite the full committed artifact
+        os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)
+        with open(OUT_PATH, "w") as f:
+            json.dump(artifact, f, indent=2)
+            f.write("\n")
     print(json.dumps(artifact))
 
 

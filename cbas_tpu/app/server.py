@@ -92,8 +92,12 @@ async function call(method,...args){
   const r=await fetch('/api/'+method,{method:'POST',body:JSON.stringify({args})});
   const j=await r.json(); if(j.error) throw new Error(j.error); return j.result;
 }
+async function callKw(method, args, kwargs){
+  const r=await fetch('/api/'+method,{method:'POST',body:JSON.stringify({args,kwargs})});
+  const j=await r.json(); if(j.error) throw new Error(j.error); return j.result;
+}
 function train(){
-  call('train_model', val('tds'), {sequence_length:+val('tseq'), epochs:+val('tep')})
+  callKw('train_model', [val('tds')], {sequence_length:+val('tseq'), epochs:+val('tep')})
     .then(show('train')).catch(e=>show('train')(String(e)));
 }
 function acto(){
@@ -219,20 +223,57 @@ class RpcServer:
 
                 outer.api.state.callbacks.add_listener(listener)
                 try:
+                    import time as _time
+
+                    last_ping = _time.monotonic()
                     while not outer.api.state.shutdown.is_set():
                         try:
                             item = q.get(timeout=0.5)
                         except queue.Empty:
+                            # Periodic keepalive comment: a dead socket only
+                            # surfaces on write, so an idle disconnected
+                            # client would otherwise leak this thread and its
+                            # callbacks listener forever.
+                            now = _time.monotonic()
+                            if now - last_ping >= 15.0:
+                                self.wfile.write(b": ping\n\n")
+                                self.wfile.flush()
+                                last_ping = now
                             continue
                         data = json.dumps(item)
                         self.wfile.write(f"data: {data}\n\n".encode())
                         self.wfile.flush()
-                except (BrokenPipeError, ConnectionResetError):
+                        last_ping = _time.monotonic()
+                except (BrokenPipeError, ConnectionResetError, OSError):
                     pass
                 finally:
                     outer.api.state.callbacks.remove_listener(listener)
 
+            def _origin_ok(self) -> bool:
+                """CSRF/DNS-rebinding guard: API POSTs must come from our own
+                pages (same-origin/localhost Origin) or from non-browser
+                clients (no Origin header, e.g. curl). A malicious web page's
+                cross-origin fetch carries its own Origin and is rejected
+                before any state-changing method runs. The Host header must
+                also name localhost — a rebound DNS name fails this."""
+                host = (self.headers.get("Host") or "").split(":")[0]
+                if host not in ("localhost", "127.0.0.1", "[::1]", ""):
+                    return False
+                origin = self.headers.get("Origin")
+                if origin is None:
+                    return True
+                try:
+                    from urllib.parse import urlparse
+
+                    o = urlparse(origin)
+                    return o.hostname in ("localhost", "127.0.0.1", "::1")
+                except Exception:
+                    return False
+
             def do_POST(self):
+                if not self._origin_ok():
+                    self._send_json({"error": "forbidden origin"}, 403)
+                    return
                 if not self.path.startswith("/api/"):
                     self._send_json({"error": "not found"}, 404)
                     return

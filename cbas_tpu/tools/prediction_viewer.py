@@ -52,6 +52,8 @@ def export_overlay(video_path, df, out_path):
         )
         n = min(reader.frame_count, len(df))
         for start, batch in reader.iter_chunks(64):
+            if start >= n:
+                break  # stop decoding once past the last annotated frame
             for j, frame in enumerate(batch):
                 idx = start + j
                 if idx >= n:

@@ -26,7 +26,10 @@ def video_path_for_h5(h5_path: str) -> str:
 
 
 def outputs_csv_for_h5(h5_path: str, model_name: str) -> str:
-    return h5_path.replace(H5_SUFFIX, f"_{model_name}{OUTPUTS_SUFFIX}")
+    assert h5_path.endswith(H5_SUFFIX), h5_path
+    # suffix arithmetic, not str.replace: the token may also appear inside a
+    # directory component of the path
+    return h5_path[: -len(H5_SUFFIX)] + f"_{model_name}{OUTPUTS_SUFFIX}"
 
 
 _FP_CACHE: dict = {}
@@ -99,7 +102,9 @@ def outputs_csv_for_video(video_path: str, model_name: str) -> str:
 
 
 def video_for_outputs_csv(csv_path: str, model_name: str) -> str:
-    return csv_path.replace(f"_{model_name}{OUTPUTS_SUFFIX}", ".mp4")
+    suffix = f"_{model_name}{OUTPUTS_SUFFIX}"
+    assert csv_path.endswith(suffix), csv_path
+    return csv_path[: -len(suffix)] + ".mp4"
 
 
 _SEGMENT_RE = re.compile(r"_(\d+)(?:_aug)?\.mp4$")

@@ -94,17 +94,30 @@
     pre.textContent = "ERROR: " + msg;
   });
   bus.on("refreshAllDatasets", refreshDatasets);
-  bus.on("updateConfidenceBadge", (conf) => {
+  // backend emits (label, confidence) — labeling.py:203
+  bus.on("updateConfidenceBadge", (label, conf) => {
     $("lt-conf-badge").textContent =
       conf === null || conf === undefined ? "" : `instance confidence: ${(conf * 100).toFixed(0)}%`;
   });
-  bus.on("highlightBehaviorRow", (idx) => {
+  // backend emits the behavior label string — labeling.py:202
+  bus.on("highlightBehaviorRow", (label) => {
+    if (!session) return;
+    const idx = session.behaviors.indexOf(label);
     document.querySelectorAll("#lt-behavior-table tr").forEach((tr, i) => {
       tr.classList.toggle("hl", i - 1 === idx); // row 0 is the header
     });
   });
   bus.on("update_augmentation_progress", (pct, msg) => {
     const pre = $("lt-report");
+    if (pct < 0) {
+      // completion sentinel (api.py finally block): keep whatever report or
+      // error message is already showing instead of overwriting it
+      if (pre.textContent.startsWith("augmenting:")) {
+        pre.textContent = "augmentation finished";
+        refreshDatasets();
+      }
+      return;
+    }
     pre.classList.remove("hidden");
     pre.textContent = `augmenting: ${pct}% ${msg || ""}`;
   });

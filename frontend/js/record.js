@@ -47,9 +47,16 @@
     card.querySelector('[data-act="save"]').onclick = async () => {
       const settings = { rtsp_url: cam.rtsp_url };
       card.querySelectorAll("[data-f]").forEach((inp) => {
-        settings[inp.dataset.f] = parseFloat(inp.value);
+        const v = parseFloat(inp.value);
+        // empty/invalid input -> keep the camera's current value (NaN would
+        // serialize to null and crash CameraSettings validation server-side)
+        settings[inp.dataset.f] = Number.isFinite(v) ? v : cam[inp.dataset.f];
       });
-      await rpc("save_camera_settings", cam.name, settings);
+      try {
+        await rpc("save_camera_settings", cam.name, settings);
+      } catch (e) {
+        alert("save failed: " + e.message);
+      }
       refreshCameras();
     };
     card.querySelector('[data-act="rec"]').onclick = async () => {

@@ -90,3 +90,33 @@ def test_sse_receives_callbacks(server):
     assert done.wait(timeout=8)
     evt = [g for g in got if g.get("name") == "ping_event"][0]
     assert evt["args"] == [42, "hello"]
+
+
+def test_cross_origin_posts_rejected(server):
+    """CSRF guard: a browser fetch from a foreign page carries its Origin and
+    must be refused before any state-changing method runs; same-origin and
+    non-browser (no Origin) clients pass (review r4 finding)."""
+    srv, _ = server
+    url = f"http://localhost:{srv.port}/api/get_cbas_status"
+
+    req = urllib.request.Request(
+        url, data=b"{}", method="POST", headers={"Origin": "https://evil.example"}
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 403
+
+    req = urllib.request.Request(
+        url, data=b"{}", method="POST",
+        headers={"Origin": f"http://localhost:{srv.port}"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+
+    # DNS rebinding: a non-localhost Host header is refused too.
+    req = urllib.request.Request(
+        url, data=b"{}", method="POST", headers={"Host": "attacker.example"}
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 403
