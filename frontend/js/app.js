@@ -38,9 +38,13 @@ es.onmessage = (e) => {
 
 // ---- log panel ---------------------------------------------------------
 const logPanel = document.getElementById("log-panel");
+// Persist across reloads within the tab, like the reference log panel
+// (reference: frontend/js/global.js sessionStorage persistence).
+try { logPanel.textContent = sessionStorage.getItem("cbas_log") || ""; } catch (_) {}
 bus.on("log_line", (line) => {
   const lines = (line + "\n" + logPanel.textContent).split("\n").slice(0, 300);
   logPanel.textContent = lines.join("\n");
+  try { sessionStorage.setItem("cbas_log", logPanel.textContent); } catch (_) {}
 });
 
 // ---- global encode overlay ----------------------------------------------
