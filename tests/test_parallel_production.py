@@ -255,3 +255,30 @@ def test_encode_planes_tp_indivisible_falls_back_to_replication():
     np.testing.assert_allclose(
         got.astype(np.float32), want.astype(np.float32), rtol=2e-3, atol=2e-3
     )
+
+
+def test_infer_pads_window_batch_to_data_axis_only():
+    """On a (data=4, model=2) mesh the window batch must pad to 4, not 8
+    (review r2 finding: padding to the device count wasted up to 2x window
+    compute under TP)."""
+    import jax.numpy as jnp
+
+    from cbas_tpu.engine.classifier import ClassifierBundle
+    from cbas_tpu.engine.infer import InferenceSession
+    from cbas_tpu.models.heads import DeltasHeadConfig, init_deltas_params
+
+    cfg = DeltasHeadConfig(in_features=32, out_features=2, seq_len=7, lstm_hidden_size=8)
+    params = jax.device_get(init_deltas_params(jax.random.key(5), cfg))
+    bundle = ClassifierBundle(
+        name="m", behaviors=["a", "b"], seq_len=7,
+        params={k: np.asarray(v) for k, v in params.items()},
+        lstm_hidden_size=8, encoder_identifier="e",
+    )
+    mesh2 = make_mesh((4, 2), ("data", "model"))
+    s = InferenceSession(bundle, InferenceConfig(chunk_frames=64, window_batch=10), mesh=mesh2)
+    assert s._window_batch == 12  # next multiple of data=4, NOT of 8 -> 16
+    # and the program runs on the 2-D mesh
+    feats = np.random.default_rng(6).normal(size=(30, 32)).astype(np.float16)
+    probs = s.predict_frames(feats, pad_front=3, pad_back=3)
+    assert probs.shape == (30, 2)
+    np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-5)
