@@ -646,7 +646,8 @@ class Api:
         )
         return self._start_session(dataset_name, video_path, instances, None, model_name)
 
-    def _start_session(self, dataset_name, video_path, preloaded, filter_for, model_name="") -> bool:
+    def _start_session(self, dataset_name, video_path, preloaded, filter_for,
+                       model_name="", **session_kw) -> bool:
         if self.state.labeling_session is not None:
             self.state.labeling_session.close()
         try:
@@ -658,6 +659,7 @@ class Api:
                 filter_for_behavior=filter_for,
                 callbacks=self.state.callbacks,
                 model_name=model_name,
+                **session_kw,
             )
         except Exception as e:
             log_message(f"Failed to start labeling session: {e}", "ERROR")
@@ -693,17 +695,18 @@ class Api:
             behaviors = ClassifierBundle.load(model.path).behaviors
         df = pd.read_csv(csv)
         rel = os.path.relpath(video_path, proj.path).replace("\\", "/")
+        behaviors = behaviors or list(df.columns)
         instances, _ = label_tools.predictions_to_instances_with_confidence(
-            df, behaviors or list(df.columns), rel, smoothing_window=1
+            df, behaviors, rel, smoothing_window=1
         )
-        ok = self._start_session(dataset_name, video_path, instances, None, model_name)
-        if ok and self.session is not None:
-            self.session.mode = "playback"
-            # Playback shows every prediction: refilter at 100% "below" keeps
-            # all (confidence < 1.0) pieces visible.
-            self.state.callbacks.emit("setLabelingModeUI", "playback", model_name)
-            self.session.render_payload()
-        return ok
+        # playback=True: the session takes the predictions verbatim (no
+        # confidence filter, no human-interval subtraction — a saturated
+        # softmax block has confidence exactly 1.0 and must still render),
+        # uses the MODEL's behavior vocabulary, and rejects all edits.
+        return self._start_session(
+            dataset_name, video_path, instances, None, model_name,
+            playback=True, behaviors_override=behaviors,
+        )
 
     def get_current_labeling_video_path(self) -> Optional[str]:
         return self.session.rel_video if self.session else None

@@ -63,6 +63,8 @@ class LabelingSession:
         callbacks: Optional[Callbacks] = None,
         model_name: str = "",
         open_capture: bool = True,
+        playback: bool = False,
+        behaviors_override: Optional[List[str]] = None,
     ):
         if dataset_name not in project.datasets:
             raise ValueError(f"Dataset '{dataset_name}' not found.")
@@ -79,7 +81,13 @@ class LabelingSession:
         self.callbacks = callbacks or Callbacks()
         self.model_name = model_name
 
-        self.behaviors: List[str] = self.dataset.labels.get("behaviors", [])
+        # Playback renders the MODEL's behavior vocabulary (the dataset's
+        # list may not cover it); editing sessions use the dataset's.
+        self.behaviors: List[str] = list(
+            behaviors_override
+            if behaviors_override is not None
+            else self.dataset.labels.get("behaviors", [])
+        )
         self.colors: List[str] = [behavior_color(i) for i in range(len(self.behaviors))]
 
         # Scrubber state
@@ -116,7 +124,13 @@ class LabelingSession:
 
         self.mode = "scratch"
         self.unfiltered_predictions: List[dict] = []
-        if preloaded_instances:
+        if playback:
+            # Read-only playback: the predictions ARE the timeline — every
+            # instance regardless of confidence, no human-interval
+            # subtraction, human labels not mixed in.
+            self.mode = "playback"
+            self.buffer = [dict(p) for p in (preloaded_instances or [])]
+        elif preloaded_instances:
             self.mode = "review"
             self.unfiltered_predictions = [dict(p) for p in preloaded_instances]
             human_intervals = sorted(

@@ -256,8 +256,15 @@ class RpcServer:
                 cross-origin fetch carries its own Origin and is rejected
                 before any state-changing method runs. The Host header must
                 also name localhost — a rebound DNS name fails this."""
-                host = (self.headers.get("Host") or "").split(":")[0]
-                if host not in ("localhost", "127.0.0.1", "[::1]", ""):
+                from urllib.parse import urlsplit
+
+                try:
+                    # urlsplit handles bracketed IPv6 ("[::1]:8123" -> "::1");
+                    # naive split(":") would yield "[" and 403 IPv6 loopback.
+                    host = urlsplit("//" + (self.headers.get("Host") or "")).hostname
+                except ValueError:
+                    return False
+                if host not in ("localhost", "127.0.0.1", "::1", None):
                     return False
                 origin = self.headers.get("Origin")
                 if origin is None:

@@ -97,6 +97,10 @@ class AppState:
         self.classify_tasks = TaskQueue()
 
         self.live_inference_model_name: Optional[str] = None
+        # True while an explicit start_classification batch is draining: only
+        # such batches clear the live model at completion — live-chaining
+        # single segments during recording must keep it selected.
+        self.batch_classification_active = False
 
         self.training_cancel = threading.Event()
         self.shutdown = threading.Event()

@@ -67,22 +67,26 @@ def stitch_outputs(directory: str, model: str) -> Optional[pd.DataFrame]:
     """Concatenate all per-segment output CSVs for a model in recording order
     (reference: backend/visualize_page.py:119-136)."""
     # Suffix alone also matches models whose name merely ends with this one
-    # ("big_mouse_model" vs "mouse_model"). When the videos/embeddings are
-    # still present, require the derived stem to exist as a sibling .mp4 or
-    # _cls.h5 (mirroring Recording.classifications, core/project.py); for
-    # CSV-only archives (no siblings at all) fall back to the plain suffix
-    # match rather than returning nothing.
+    # ("big_mouse_model" vs "mouse_model"). A matching CSV is excluded ONLY
+    # when there is positive evidence it belongs to a longer-named model: its
+    # derived stem is not a known video stem but extends one ("cam_00001_big"
+    # extends video "cam_00001" -> it is cam_00001's big_<model> output).
+    # CSVs whose video/H5 were archived away keep stitching (no evidence).
+    listing = os.listdir(directory)
+    video_stems = {
+        f[:-4] for f in listing if f.endswith(".mp4")
+    } | {f[: -len("_cls.h5")] for f in listing if f.endswith("_cls.h5")}
     suffix = f"_{model}_outputs.csv"
-    matches, confirmed = [], []
-    for f in os.listdir(directory):
+    csvs = []
+    for f in listing:
         if not f.endswith(suffix):
             continue
-        path = os.path.join(directory, f)
-        matches.append(path)
-        stem = path[: -len(suffix)]
-        if os.path.exists(stem + ".mp4") or os.path.exists(stem + "_cls.h5"):
-            confirmed.append(path)
-    csvs = confirmed if confirmed else matches
+        stem = f[: -len(suffix)]
+        if stem not in video_stems and any(
+            stem.startswith(vs + "_") for vs in video_stems
+        ):
+            continue  # another (longer-named) model's output for a known video
+        csvs.append(os.path.join(directory, f))
     if not csvs:
         return None
     frames = [pd.read_csv(p) for p in natural_sort_outputs(csvs, model)]

@@ -152,7 +152,13 @@ class ClassifyWorker(threading.Thread):
                     )
                     if st.project is not None:
                         st.project.reload()
-                    st.live_inference_model_name = None
+                    # Only an explicit start_classification batch deselects
+                    # the live model at completion (reference queue-complete
+                    # semantics); live-chained segments during recording must
+                    # keep it selected or live inference dies after one file.
+                    if st.batch_classification_active:
+                        st.batch_classification_active = False
+                        st.live_inference_model_name = None
                     self._batch_total = self._batch_done = 0
             return True
         except Exception as e:
@@ -257,6 +263,8 @@ def start_classification(state: AppState, model_name: str, h5_files: List[str]) 
         f for f in h5_files if not os.path.exists(outputs_csv_for_h5(f, model_name))
     ]
     state.live_inference_model_name = model_name
+    if todo:
+        state.batch_classification_active = True
     return state.classify_tasks.extend(todo)
 
 

@@ -25,6 +25,7 @@ from cbas_tpu.core.config import EncodeConfig
 from cbas_tpu.core.hdf5_store import EmbeddingWriter
 from cbas_tpu.ingest.decode import open_video
 from cbas_tpu.models.encoder import FrameEncoder
+from cbas_tpu.utils.logging import log_message
 from cbas_tpu.utils.metrics import (
     DECODE_FRAMES,
     ENCODE_FRAMES,
@@ -98,6 +99,18 @@ def encode_file(
                             break
                         except queue.Full:
                             continue
+                    if len(planes) < n:
+                        # Decoder delivered fewer frames than asked (corrupt
+                        # tail / container overcount): the usable video ends
+                        # HERE. Continuing at start+chunk_frames would leave a
+                        # silent gap and misalign every later embedding row
+                        # against video frame numbers.
+                        log_message(
+                            f"Decode ended early at frame {start + len(planes)}"
+                            f"/{video_len} for {path}; truncating embeddings.",
+                            "WARN",
+                        )
+                        break
             except Exception as e:  # surfaced by the consumer
                 decode_err.append(e)
             finally:

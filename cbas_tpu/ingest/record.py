@@ -143,15 +143,20 @@ class RecordingManager:
                 for name, (proc, _, session) in self.active.items()
                 if proc.poll() is not None
             ]
-            for name, _ in dead:
+            # Move dead cameras to pending INSIDE this critical section: a
+            # stop() arriving after the lock releases then pops the pending
+            # entry too, so a user-stopped camera is never resurrected.
+            for name, session in dead:
                 del self.active[name]
-        for name, session in dead:
+                self._pending_restart[name] = session
+        for name, _ in dead:
             log_message(f"Recording process for '{name}' terminated unexpectedly.", "WARN")
-            self._pending_restart[name] = session
         # Retry every camera awaiting a restart — skipped ones stay pending so
         # the monitor keeps trying after the cooldown instead of abandoning
         # the camera the moment crashes become frequent.
-        for name, session in list(self._pending_restart.items()):
+        with self._lock:
+            pending = dict(self._pending_restart)
+        for name, session in pending.items():
             now = time.time()
             if now - self._last_restart.get(name, 0.0) <= self.RESTART_COOLDOWN_S:
                 log_message(
@@ -165,7 +170,12 @@ class RecordingManager:
                 continue
             if self.start(cam, session):
                 self._last_restart[name] = now
-                del self._pending_restart[name]
+                with self._lock:
+                    still_wanted = self._pending_restart.pop(name, None) is not None
+                if not still_wanted:
+                    # stop() raced the restart: honor the user's intent.
+                    self.stop(name)
+                    continue
                 log_message(f"Successfully restarted recording for '{name}'.")
 
 

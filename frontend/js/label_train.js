@@ -86,7 +86,15 @@
     $("lt-frame").focus();
   });
   bus.on("setLabelingModeUI", (mode, model) => {
-    $("lt-mode-badge").textContent = mode === "review" ? `review: ${model}` : "from scratch";
+    $("lt-mode-badge").textContent =
+      mode === "review" ? `review: ${model}`
+      : mode === "playback" ? `playback (read-only): ${model}`
+      : "from scratch";
+    // Playback rejects every edit server-side; grey the controls out so the
+    // UI doesn't invite labeling that silently does nothing.
+    const readOnly = mode === "playback";
+    ["lt-save", "lt-refilter"].forEach((id) => ($(id).disabled = readOnly));
+    $("lt-labeling").classList.toggle("playback", readOnly);
   });
   bus.on("showErrorOnLabelTrainPage", (msg) => {
     const pre = $("lt-report");

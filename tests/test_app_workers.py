@@ -138,8 +138,10 @@ def test_encode_then_live_classify_chain(app_project, tmp_path):
     df = pd.read_csv(csv)
     assert len(df) == 40 and list(df.columns) == ["a", "b"]
     assert notified
-    # Queue drained -> live model cleared.
-    assert state.live_inference_model_name is None
+    # A live-chained segment must NOT deselect the live model: the next
+    # recorded segment still needs classifying (review r5 regression fix).
+    assert state.live_inference_model_name == "livemodel"
+
 
 
 def test_start_classification_skips_done(app_project):
@@ -203,10 +205,14 @@ def test_classify_batch_for_already_loaded_model_completes(app_project, tmp_path
     state.callbacks.register(
         "updateInferenceProgress", lambda m, pct, msg: progress.append((pct, msg))
     )
-    state.classify_tasks.append(h5_path_for_video(video))  # batch starts later
+    # batch starts later, through the real entry point (sets the batch flag)
+    n = start_classification(state, "batchmodel", [h5_path_for_video(video)])
+    assert n == 1
     assert cw.process_one()
     assert any(pct == 100.0 and "complete" in msg.lower() for pct, msg in progress)
+    # an explicit batch DOES deselect the live model at completion
     assert state.live_inference_model_name is None
+    assert state.batch_classification_active is False
 
 
 def test_watcher_mark_handled_prevents_double_encode(tmp_path):
