@@ -226,3 +226,38 @@ def test_inference_session_reuse_compiles_once(bundle, tmp_path):
             w.append(rng.normal(size=(60, 64)).astype(np.float16))
         csv = session.infer_h5(h5)
         assert len(pd.read_csv(csv)) == 60
+
+
+def test_encode_stops_at_decode_truncation(video_path, small_encoder, monkeypatch):
+    """A decoder that delivers fewer frames than asked ends the encode there:
+    continuing at the next chunk offset would leave a silent gap that
+    misaligns every later embedding row against frame numbers."""
+    from cbas_tpu.engine import encode as encode_mod
+
+    real_open = encode_mod.open_video
+
+    class TruncatingReader:
+        def __init__(self, inner):
+            self._inner = inner
+            self.frame_count = inner.frame_count
+
+        def __len__(self):
+            return self._inner.frame_count
+
+        def read_green_batch(self, start, count):
+            got = self._inner.read_green_batch(start, count)
+            # Corrupt tail: the second chunk comes back short.
+            return got[: count - 3] if start > 0 else got
+
+        def close(self):
+            self._inner.close()
+
+    monkeypatch.setattr(
+        encode_mod, "open_video", lambda p: TruncatingReader(real_open(p))
+    )
+    out = encode_mod.encode_file(
+        small_encoder, video_path, config=EncodeConfig(chunk_frames=16)
+    )
+    rows = hdf5_store.read_all(out).shape[0]
+    assert rows == 16 + (16 - 3)  # first full chunk + truncated second, then stop
+    assert rows < N_FRAMES
