@@ -240,7 +240,23 @@ def set_fused_attention(enabled: Optional[bool]) -> None:
     _FUSED_ATTENTION = enabled
 
 
-def use_fused_attention() -> bool:
+# Empirical fused-vs-XLA attention crossover, measured whole-program on v5e
+# (each +% is the winner's margin):
+#   N=1205 ViT-B:          fused +14%   (long N amortizes the kernel's tiles)
+#   N=261  ViT-S (D=384):  fused +10%   (small dense ops -> attention share
+#                                        large, kernel still ahead)
+#   N=261  ViT-B (D=768):  XLA   +6%    (N pads 261->384: +47% score compute)
+#   N=261  ViT-L (D=1024): XLA   +10%
+#   N=329  dinov2-B:       XLA   +17%
+# Rule: fused for long sequences (>= 512 tokens) or small-width backbones;
+# XLA otherwise. Overridable via set_fused_attention / env.
+_FUSED_MIN_TOKENS = 512
+_FUSED_MAX_SMALL_HIDDEN = 512
+
+
+def use_fused_attention(
+    n_tokens: Optional[int] = None, hidden_size: Optional[int] = None
+) -> bool:
     import os
 
     if _FUSED_ATTENTION is not None:
@@ -248,7 +264,11 @@ def use_fused_attention() -> bool:
     env = os.environ.get("CBAS_TPU_FUSED_ATTENTION")
     if env is not None:
         return env not in ("0", "false", "off")
-    return jax.default_backend() not in ("cpu", "gpu")
+    if jax.default_backend() in ("cpu", "gpu"):
+        return False
+    if n_tokens is None or n_tokens >= _FUSED_MIN_TOKENS:
+        return True
+    return hidden_size is not None and hidden_size < _FUSED_MAX_SMALL_HIDDEN
 
 
 def _ln(params: Params, name: str, x: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -349,7 +369,7 @@ def _attention(
     scale = hd ** -0.5
     from cbas_tpu.ops import flash_attention as fa
 
-    if use_fused_attention():
+    if use_fused_attention(n_valid if n_valid is not None else N, cfg.hidden_size):
         cos_full = sin_full = None
         if rope is not None:
             cos_full, sin_full = _full_rope_tables(rope, cfg.num_prefix_tokens, N)
@@ -542,7 +562,7 @@ def vit_forward_from_tokens(
     # per-layer pad/slice copies are needed; padded rows are masked as
     # attention keys and sliced away at the end.
     n_valid = x.shape[1]
-    if use_fused_attention():
+    if use_fused_attention(n_valid, cfg.hidden_size):
         n_pad = -(-n_valid // 128) * 128
         if n_pad != n_valid:
             x = jnp.pad(x, ((0, 0), (0, n_pad - n_valid), (0, 0)))
