@@ -124,7 +124,7 @@ def main() -> None:
     rows = []
     encode_rows = [
         ("facebook/dinov3-vitb16", "dinov3-vitb16", 320, 480, 640),
-        ("facebook/dinov3-vitb16", "dinov3-vitb16", 480, 256, 256),
+        ("facebook/dinov3-vitb16", "dinov3-vitb16", 384, 256, 256),
     ]
     if not QUICK:
         encode_rows += [
