@@ -130,6 +130,8 @@ def main() -> None:
         encode_rows += [
             ("facebook/dinov3-vits16", "dinov3-vits16", 1024, 256, 256),
             ("facebook/dinov3-vitl16", "dinov3-vitl16", 256, 256, 256),
+            # the project-default encoder family (patch 14 -> 329 tokens)
+            ("facebook/dinov2-with-registers-base", "dinov2-with-registers-base", 480, 256, 256),
         ]
     for args in encode_rows:
         rows.append(_encode_row(*args))
