@@ -99,11 +99,30 @@ def _round_up(x: int, m: int) -> int:
 # VMEM budget for picking tile sizes, accounting for Pallas's double
 # buffering of every in/out block plus the fp32 score tile (+bf16 p copy).
 # Mosaic's default scoped-VMEM limit rejects estimates ≳13 MB, so the
-# pallas_call below raises vmem_limit_bytes to _VMEM_LIMIT and the picker
-# budgets against that (v5e has 128 MB physical VMEM; leaving ~2x headroom
-# over the estimate absorbs Mosaic's own scratch).
-_VMEM_BUDGET = int(os.environ.get("CBAS_ATTN_VMEM_BUDGET", 48 * 1024 * 1024))
-_VMEM_LIMIT = 100 * 1024 * 1024
+# pallas_call below raises vmem_limit_bytes to _vmem_limit() and the picker
+# budgets against that. Sized per device generation: v4+ chips have 128 MiB
+# VMEM per core (48 MB budget leaves ~2x headroom over the estimate for
+# Mosaic's own scratch); v2/v3 have only ~16 MiB, where the v4 tiles would
+# fail to compile instead of falling back — clamp the budget there.
+_VMEM_CAPS: Optional[tuple] = None
+
+
+def _vmem_caps() -> tuple:
+    """(budget_bytes, limit_bytes) for the attached device generation."""
+    global _VMEM_CAPS
+    if _VMEM_CAPS is None:
+        budget, limit = 48 * 1024 * 1024, 100 * 1024 * 1024
+        try:
+            kind = jax.devices()[0].device_kind.lower()
+            if "v2" in kind or "v3" in kind:
+                budget, limit = 6 * 1024 * 1024, 14 * 1024 * 1024
+        except Exception:
+            pass
+        env = os.environ.get("CBAS_ATTN_VMEM_BUDGET")
+        if env:
+            budget = int(env)
+        _VMEM_CAPS = (budget, max(limit, budget))
+    return _VMEM_CAPS
 
 
 def _vmem_estimate(gh: int, block_q: int, n_pad: int, d: int, itemsize: int) -> int:
@@ -128,12 +147,13 @@ def _choose_tiles(bh: int, n_pad: int, d: int, itemsize: int):
     env_gh, env_bq = os.environ.get("CBAS_ATTN_GH"), os.environ.get("CBAS_ATTN_BQ")
     if env_gh and env_bq:  # measurement override (bench experiments)
         return (int(env_gh), int(env_bq))
+    budget = _vmem_caps()[0]
     block_qs = [b for b in range(128, n_pad + 1, 128) if n_pad % b == 0]
     for block_q in sorted(block_qs, reverse=True):
         for gh in (16, 12, 8, 6, 4, 3, 2, 1):
             if bh % gh:
                 continue
-            if _vmem_estimate(gh, block_q, n_pad, d, itemsize) > _VMEM_BUDGET:
+            if _vmem_estimate(gh, block_q, n_pad, d, itemsize) > budget:
                 continue
             return (gh, block_q)
     return (1, min(128, n_pad))
@@ -226,7 +246,7 @@ def fused_attention(
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize * 2,
             transcendentals=B * H * q_pad * n_pad,
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_caps()[1]),
         interpret=interpret,
     )(qf, kf, vf, cos_q, sin_q, cos_k, sin_k)
 

@@ -37,7 +37,9 @@ _FP_CACHE: dict = {}
 
 def _checkpoint_fingerprint(path: str) -> Optional[str]:
     """Content fingerprint of a local checkpoint dir/file: sha256 over the
-    config.json bytes plus the head + size of the weights file. Stable across
+    file name + size plus a strided sample (head, middle, tail) of each file's
+    bytes, so an in-place weights swap with unchanged early tensors (frozen
+    patch embeddings etc.) still changes the fingerprint. Stable across
     machines (content-based); cached per (realpath, mtime)."""
     import hashlib
 
@@ -58,11 +60,19 @@ def _checkpoint_fingerprint(path: str) -> Optional[str]:
         if hit and hit[0] == key:
             return hit[1]
         h = hashlib.sha256()
+        window = 65536
         for f in files:
+            size = os.path.getsize(f)
             h.update(os.path.basename(f).encode())
-            h.update(str(os.path.getsize(f)).encode())
+            h.update(str(size).encode())
             with open(f, "rb") as fh:
-                h.update(fh.read(65536))
+                h.update(fh.read(window))
+                if size > 2 * window:
+                    fh.seek((size - window) // 2)
+                    h.update(fh.read(window))
+                if size > window:
+                    fh.seek(max(size - window, window))
+                    h.update(fh.read(window))
         fp = h.hexdigest()[:8]
         _FP_CACHE[real] = (key, fp)
         return fp
@@ -82,7 +92,16 @@ def canonical_encoder_identity(identifier: str) -> str:
     share a directory name still mismatch (forcing the safe re-encode rather
     than silently running a head on foreign embeddings). Foreign paths that
     don't exist locally reduce to the bare basename — never equal to a
-    fingerprinted local identity, so the mismatch path (re-encode) wins."""
+    fingerprinted local identity, so the mismatch path (re-encode) wins.
+
+    Note the exact rule: a separator-containing identifier is treated as a
+    filesystem path only when it *exists locally* (isdir/isfile) or is
+    absolute. A relative separator-containing identifier that does not exist
+    here (e.g. a foreign "subdir/enc") is returned verbatim — it can never be
+    reduced to a fingerprinted identity without the bytes, so it always
+    mismatches and forces the safe re-encode. The existence check cannot be
+    dropped: HF-style ids ("facebook/dinov3-vitb16") contain "/" and must not
+    be interpreted as paths."""
     s = identifier.rstrip("/\\")
     # Bare names (old stamps, canonical identities like "demo_encoder#ab12")
     # must never be re-interpreted against the CWD — only absolute paths and

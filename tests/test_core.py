@@ -270,7 +270,7 @@ def test_canonical_encoder_identity_fingerprints_local_checkpoints(tmp_path):
     assert ia != ib          # same name, different weights: must mismatch
     assert ia == ic          # content-identical: portable across locations
     assert cid("facebook/dinov3-vitb16") == "facebook/dinov3-vitb16"
-    assert cid("demo_encoder#3ce6cfb3") == "demo_encoder#3ce6cfb3"
+    assert cid("demo_encoder#99673524") == "demo_encoder#99673524"
     # foreign absolute path (doesn't exist here): bare basename, which never
     # equals a fingerprinted local identity -> safe re-encode
     assert cid("/some/other/host/encoder") == "encoder"
