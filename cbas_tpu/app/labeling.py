@@ -472,22 +472,46 @@ class LabelingSession:
             ]
         return self.buffer
 
-    def timeline_raster(self, width: int = TIMELINE_WIDTH) -> np.ndarray:
-        """Behavior-index raster of the full timeline (-1 = unlabeled).
+    def timeline_raster(
+        self,
+        width: int = TIMELINE_WIDTH,
+        view_start: float = 0.0,
+        view_end: Optional[float] = None,
+    ) -> np.ndarray:
+        """Behavior-index raster of the [view_start, view_end) frame window
+        (-1 = unlabeled); the full timeline by default.
 
         The UI colorizes this; tests assert on it directly.
         """
         raster = np.full(width, -1, np.int32)
-        total = max(1, self.total_frames)
+        if view_end is None:
+            view_end = float(max(1, self.total_frames))
+        span = max(1e-9, view_end - view_start)
         index_of = {b: i for i, b in enumerate(self.behaviors)}
         for inst in self.visible_instances():
             b = index_of.get(inst.get("label"))
             if b is None:
                 continue
-            x0 = int(int(inst["start"]) * width / total)
-            x1 = max(x0 + 1, int((int(inst["end"]) + 1) * width / total))
-            raster[x0 : min(x1, width)] = b
+            x0 = int((int(inst["start"]) - view_start) * width / span)
+            x1 = int((int(inst["end"]) + 1 - view_start) * width / span)
+            x1 = max(x0 + 1, x1)
+            x0, x1 = max(0, x0), min(x1, width)
+            if x0 < x1:
+                raster[x0:x1] = b
         return raster
+
+    def zoom_window(self, frac: float = 0.10) -> Tuple[float, float]:
+        """Fixed-width zoom window: ``frac`` of the video, centered on the
+        selected instance's midpoint if one is selected, else the playhead
+        (reference: backend/label_train_page.py:1963-1974)."""
+        center = float(self.frame_index)
+        if 0 <= self.selected_index < len(self.buffer):
+            inst = self.buffer[self.selected_index]
+            center = (int(inst.get("start", 0)) + int(inst.get("end", 0))) / 2.0
+        half = self.total_frames * frac / 2.0
+        lo = max(0.0, center - half)
+        hi = min(float(self.total_frames), center + half)
+        return lo, hi
 
     def render_payload(self, size: int = 500) -> dict:
         """Current frame (base64 JPEG, if a capture is open) + timelines +
@@ -507,11 +531,20 @@ class LabelingSession:
             if 0 <= self.selected_index < len(self.buffer)
             else None
         )
+        zoom_lo, zoom_hi = self.zoom_window()
         payload = {
             "frame": frame_b64,
             "frame_index": self.frame_index,
             "total_frames": self.total_frames,
             "timeline": self.timeline_raster().tolist(),
+            # fixed-width (10%) zoom raster around the playhead/selection —
+            # the reference renders a second, zoomed timeline every frame
+            # (backend/label_train_page.py:1976-2000)
+            "zoom_timeline": self.timeline_raster(
+                view_start=zoom_lo, view_end=zoom_hi
+            ).tolist(),
+            "zoom_start": zoom_lo,
+            "zoom_end": zoom_hi,
             "behaviors": self.behaviors,
             "colors": self.colors,
             "selected": sel,

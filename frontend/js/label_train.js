@@ -139,39 +139,72 @@
         ? ` · pending ${payload.behaviors[payload.pending.type]} from ${payload.pending.start}`
         : "") + ` · speed ×${scrubSpeed}`;
     drawTimeline(payload);
+    drawZoomTimeline(payload);
     drawBehaviorTable(payload);
   });
 
-  function drawTimeline(p) {
-    const cv = $("lt-timeline");
+  // Draw one raster strip; frame->x mapping is relative to [lo, hi).
+  function drawRaster(cv, p, raster, lo, hi) {
     const ctx = cv.getContext("2d");
     const W = cv.width, H = cv.height;
+    const span = Math.max(1e-9, hi - lo);
     ctx.fillStyle = "#111";
     ctx.fillRect(0, 0, W, H);
-    const raster = p.timeline || [];
-    const n = raster.length || 1;
-    for (let i = 0; i < raster.length; i++) {
-      if (raster[i] < 0) continue;
+    const n = (raster && raster.length) || 1;
+    for (let i = 0; i < n; i++) {
+      if (!raster || raster[i] < 0) continue;
       ctx.fillStyle = cssColor(p.colors[raster[i]]);
       ctx.fillRect((i * W) / n, 6, W / n + 1, H - 18);
     }
     // selection box
     if (p.selected) {
-      const x0 = (p.selected.start / p.total_frames) * W;
-      const x1 = ((p.selected.end + 1) / p.total_frames) * W;
-      ctx.strokeStyle = "#fff";
-      ctx.lineWidth = 2;
-      ctx.strokeRect(x0, 4, Math.max(2, x1 - x0), H - 14);
+      const x0 = ((p.selected.start - lo) / span) * W;
+      const x1 = ((p.selected.end + 1 - lo) / span) * W;
+      if (x1 > 0 && x0 < W) {
+        ctx.strokeStyle = "#fff";
+        ctx.lineWidth = 2;
+        ctx.strokeRect(x0, 4, Math.max(2, x1 - x0), H - 14);
+      }
     }
     // playhead
-    const x = (p.frame_index / p.total_frames) * W;
-    ctx.fillStyle = "#ff5252";
-    ctx.fillRect(x - 1, 0, 2, H);
+    const x = ((p.frame_index - lo) / span) * W;
+    if (x >= 0 && x <= W) {
+      ctx.fillStyle = "#ff5252";
+      ctx.fillRect(x - 1, 0, 2, H);
+    }
+  }
+
+  function drawTimeline(p) {
+    drawRaster($("lt-timeline"), p, p.timeline, 0, p.total_frames);
+    // zoom-window extent marker on the full strip
+    if (p.zoom_end !== undefined) {
+      const cv = $("lt-timeline");
+      const ctx = cv.getContext("2d");
+      const x0 = (p.zoom_start / p.total_frames) * cv.width;
+      const x1 = (p.zoom_end / p.total_frames) * cv.width;
+      ctx.strokeStyle = "rgba(255,255,255,0.45)";
+      ctx.lineWidth = 1;
+      ctx.strokeRect(x0, 0.5, Math.max(2, x1 - x0), cv.height - 1);
+    }
+  }
+
+  // Fixed-width ~10% zoom strip centered by the backend on the selection or
+  // playhead (reference renders both timelines each frame).
+  function drawZoomTimeline(p) {
+    const cv = $("lt-timeline-zoom");
+    if (!cv || p.zoom_timeline === undefined) return;
+    drawRaster(cv, p, p.zoom_timeline, p.zoom_start, p.zoom_end);
   }
 
   function cssColor(c) {
     if (Array.isArray(c)) return `rgb(${c[2]},${c[1]},${c[0]})`; // BGR (OpenCV) -> CSS
     return c || "#888";
+  }
+
+  // Key badge for behavior i: 1-9, then a-z for behaviors 10+ (reference:
+  // label_train_page.js:1082 builds the same map).
+  function behaviorKey(i) {
+    return i < 9 ? String(i + 1) : String.fromCharCode(97 + (i - 9));
   }
 
   function drawBehaviorTable(p) {
@@ -182,7 +215,7 @@
       p.behaviors
         .map(
           (b, i) =>
-            `<tr><td>${i + 1}</td><td><span class="swatch" style="background:${cssColor(
+            `<tr><td>${behaviorKey(i)}</td><td><span class="swatch" style="background:${cssColor(
               p.colors[i]
             )}"></span>${b}</td><td>${counts[b] || 0}</td></tr>`
         )
@@ -202,16 +235,28 @@
       e.preventDefault();
       return rpc("pop_instance_from_buffer");
     }
-    if (/^[1-9]$/.test(k)) return rpc("label_frame", parseInt(k, 10) - 1);
+    // ctrl+shift+arrows hop to the prev/next video in the session
+    // (reference: label_train_page.js:2500-2507)
+    if (e.ctrlKey && e.shiftKey && k === "ArrowRight") { e.preventDefault(); return rpc("next_video", 1); }
+    if (e.ctrlKey && e.shiftKey && k === "ArrowLeft") { e.preventDefault(); return rpc("next_video", -1); }
     if (k === "ArrowRight") { e.preventDefault(); return rpc("next_frame", scrubSpeed); }
     if (k === "ArrowLeft") { e.preventDefault(); return rpc("next_frame", -scrubSpeed); }
     if (k === "ArrowUp") { e.preventDefault(); scrubSpeed = Math.min(scrubSpeed * 2, 128); return refreshInfo(); }
-    if (k === "ArrowDown") { e.preventDefault(); scrubSpeed = Math.max(1, scrubSpeed / 2); return refreshInfo(); }
+    if (k === "ArrowDown") { e.preventDefault(); scrubSpeed = Math.max(1, Math.trunc(scrubSpeed / 2)); return refreshInfo(); }
     if (k === "Tab") { e.preventDefault(); return rpc("jump_to_instance", e.shiftKey ? -1 : 1); }
     if (k === "[") return rpc("update_instance_boundary", "start");
     if (k === "]") return rpc("update_instance_boundary", "end");
     if (k === "Enter") return rpc("confirm_selected_instance");
-    if (k === "Delete" || k === "Backspace") return rpc("delete_instance_from_buffer");
+    if (k === "Delete") return rpc("delete_instance_from_buffer");
+    if (k === "Backspace") return rpc("pop_instance_from_buffer");
+    if (e.ctrlKey || e.metaKey || e.altKey) return;
+    // behavior hotkeys: 1-9 for the first nine, a-z for behaviors 10+
+    // (reference: label_train_page.js:2525-2537)
+    if (/^[1-9]$/.test(k)) return rpc("label_frame", parseInt(k, 10) - 1);
+    if (/^[a-z]$/i.test(k) && k.length === 1) {
+      const idx = k.toLowerCase().charCodeAt(0) - 97 + 9;
+      if (session && idx < session.behaviors.length) return rpc("label_frame", idx);
+    }
   });
 
   function refreshInfo() {
@@ -229,6 +274,13 @@
     const r = e.target.getBoundingClientRect();
     const frac = (e.clientX - r.left) / r.width;
     rpc("jump_to_frame", Math.floor(frac * session.total_frames));
+  };
+  $("lt-timeline-zoom").onclick = (e) => {
+    if (!session || session.zoom_end === undefined) return;
+    const r = e.target.getBoundingClientRect();
+    const frac = (e.clientX - r.left) / r.width;
+    const f = session.zoom_start + frac * (session.zoom_end - session.zoom_start);
+    rpc("jump_to_frame", Math.floor(f));
   };
 
   async function saveLabels() {

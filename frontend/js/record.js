@@ -42,6 +42,7 @@
         <button data-act="save">Save</button>
         <button data-act="rec">${recording ? "Stop" : "Record"}</button>
         <button data-act="preview">Preview</button>
+        <button data-act="crop">Edit crop</button>
         <button data-act="del" class="danger">Delete</button>
       </div>`;
     card.querySelector('[data-act="save"]').onclick = async () => {
@@ -72,6 +73,7 @@
       $("rc-preview-label").textContent = `previewing ${cam.name} (30 s auto-stop)…`;
       await rpc("start_live_preview", cam.name);
     };
+    card.querySelector('[data-act="crop"]').onclick = () => openCropEditor(cam, card);
     card.querySelector('[data-act="del"]').onclick = async () => {
       if (confirm(`Delete camera ${cam.name}?`)) {
         await rpc("delete_camera", cam.name);
@@ -80,6 +82,164 @@
     };
     return card;
   }
+
+  // ---------- interactive crop editor ----------
+  // Canvas drag-cropping over a camera frame: draw a new box, drag inside to
+  // move it, grab an edge/corner handle to resize. Saves as the fractional
+  // crop settings the recorder consumes (reference: record_page.js crop
+  // overlay — mousedown/move/up with 8 resize handles).
+  const crop = { cam: null, card: null, img: null, rect: null, drag: null };
+  const HANDLE = 8;
+
+  function cropHandleAt(x, y) {
+    if (!crop.rect) return null;
+    const { x: rx, y: ry, w, h } = crop.rect;
+    const near = (a, b) => Math.abs(a - b) <= HANDLE;
+    const inX = x > rx - HANDLE && x < rx + w + HANDLE;
+    const inY = y > ry - HANDLE && y < ry + h + HANDLE;
+    let hdl = "";
+    if (near(y, ry) && inX) hdl += "n";
+    if (near(y, ry + h) && inX) hdl += "s";
+    if (near(x, rx) && inY) hdl += "w";
+    if (near(x, rx + w) && inY) hdl += "e";
+    if (hdl) return hdl;
+    if (x > rx && x < rx + w && y > ry && y < ry + h) return "move";
+    return null;
+  }
+
+  function drawCropOverlay() {
+    const cv = $("rc-crop-canvas");
+    const ctx = cv.getContext("2d");
+    ctx.clearRect(0, 0, cv.width, cv.height);
+    if (crop.img) ctx.drawImage(crop.img, 0, 0, cv.width, cv.height);
+    ctx.fillStyle = "rgba(0,0,0,0.55)";
+    ctx.fillRect(0, 0, cv.width, cv.height);
+    if (crop.rect && crop.rect.w > 0 && crop.rect.h > 0) {
+      const { x, y, w, h } = crop.rect;
+      if (crop.img) ctx.drawImage(
+        crop.img,
+        (x / cv.width) * crop.img.width, (y / cv.height) * crop.img.height,
+        (w / cv.width) * crop.img.width, (h / cv.height) * crop.img.height,
+        x, y, w, h);
+      ctx.strokeStyle = "#fff";
+      ctx.lineWidth = 2;
+      ctx.strokeRect(x, y, w, h);
+      ctx.fillStyle = "#fff";
+      for (const fx of [0, 0.5, 1]) for (const fy of [0, 0.5, 1]) {
+        if (fx === 0.5 && fy === 0.5) continue;
+        ctx.fillRect(x + fx * w - 3, y + fy * h - 3, 6, 6);
+      }
+    }
+    const f = cropFractions();
+    $("rc-crop-values").textContent =
+      `x ${f.crop_left_x.toFixed(3)} · y ${f.crop_top_y.toFixed(3)} · ` +
+      `w ${f.crop_width.toFixed(3)} · h ${f.crop_height.toFixed(3)}`;
+  }
+
+  function cropFractions() {
+    const cv = $("rc-crop-canvas");
+    const r = crop.rect;
+    if (!r || r.w <= 0 || r.h <= 0)
+      return { crop_left_x: 0, crop_top_y: 0, crop_width: 1, crop_height: 1 };
+    return {
+      crop_left_x: Math.max(0, r.x / cv.width),
+      crop_top_y: Math.max(0, r.y / cv.height),
+      crop_width: Math.min(1, r.w / cv.width),
+      crop_height: Math.min(1, r.h / cv.height),
+    };
+  }
+
+  async function openCropEditor(cam, card) {
+    crop.cam = cam;
+    crop.card = card;
+    $("rc-crop-cam").textContent = cam.name;
+    $("rc-crop-editor").classList.remove("hidden");
+    const cv = $("rc-crop-canvas");
+    crop.rect = {
+      x: (cam.crop_left_x || 0) * cv.width,
+      y: (cam.crop_top_y || 0) * cv.height,
+      w: (cam.crop_width !== undefined ? cam.crop_width : 1) * cv.width,
+      h: (cam.crop_height !== undefined ? cam.crop_height : 1) * cv.height,
+    };
+    crop.img = null;
+    drawCropOverlay();
+    const thumb = card && card.querySelector("[data-thumb]");
+    let src = thumb && thumb.src && thumb.src.startsWith("data:") ? thumb.src : null;
+    if (!src) {
+      const thumbs = await rpc("fetch_specific_thumbnails", [cam.name]);
+      if (thumbs[cam.name]) src = "data:image/jpeg;base64," + thumbs[cam.name];
+    }
+    if (src) {
+      const img = new Image();
+      img.onload = () => { crop.img = img; drawCropOverlay(); };
+      img.src = src;
+    }
+  }
+
+  function cropPos(e) {
+    const r = $("rc-crop-canvas").getBoundingClientRect();
+    return [e.clientX - r.left, e.clientY - r.top];
+  }
+
+  $("rc-crop-canvas").addEventListener("mousedown", (e) => {
+    const [x, y] = cropPos(e);
+    const hdl = cropHandleAt(x, y);
+    if (hdl === "move") {
+      crop.drag = { mode: "move", dx: x - crop.rect.x, dy: y - crop.rect.y };
+    } else if (hdl) {
+      crop.drag = { mode: hdl };
+    } else {
+      crop.rect = { x, y, w: 0, h: 0 };
+      crop.drag = { mode: "se" }; // drawing a fresh box = dragging its corner
+    }
+  });
+  $("rc-crop-canvas").addEventListener("mousemove", (e) => {
+    const cv = $("rc-crop-canvas");
+    const [x, y] = cropPos(e);
+    if (!crop.drag) {
+      const hdl = cropHandleAt(x, y);
+      cv.style.cursor = hdl === "move" ? "move"
+        : hdl ? (/^(n|s)$/.test(hdl) ? "ns-resize" : /^(e|w)$/.test(hdl) ? "ew-resize"
+                 : hdl === "ne" || hdl === "sw" ? "nesw-resize" : "nwse-resize")
+        : "crosshair";
+      return;
+    }
+    const r = crop.rect, m = crop.drag.mode;
+    if (m === "move") {
+      r.x = Math.min(Math.max(0, x - crop.drag.dx), cv.width - r.w);
+      r.y = Math.min(Math.max(0, y - crop.drag.dy), cv.height - r.h);
+    } else {
+      if (m.includes("e")) r.w = Math.max(0, Math.min(cv.width, x) - r.x);
+      if (m.includes("s")) r.h = Math.max(0, Math.min(cv.height, y) - r.y);
+      if (m.includes("w")) { const x1 = r.x + r.w; r.x = Math.max(0, Math.min(x, x1)); r.w = x1 - r.x; }
+      if (m.includes("n")) { const y1 = r.y + r.h; r.y = Math.max(0, Math.min(y, y1)); r.h = y1 - r.y; }
+    }
+    drawCropOverlay();
+  });
+  const endCropDrag = () => { crop.drag = null; };
+  $("rc-crop-canvas").addEventListener("mouseup", endCropDrag);
+  $("rc-crop-canvas").addEventListener("mouseleave", endCropDrag);
+
+  $("rc-crop-apply").onclick = async () => {
+    if (!crop.cam) return;
+    const settings = Object.assign(
+      { rtsp_url: crop.cam.rtsp_url, framerate: crop.cam.framerate,
+        resolution: crop.cam.resolution, segment_seconds: crop.cam.segment_seconds },
+      cropFractions());
+    try {
+      await rpc("save_camera_settings", crop.cam.name, settings);
+    } catch (err) {
+      alert("save failed: " + err.message);
+    }
+    $("rc-crop-editor").classList.add("hidden");
+    refreshCameras();
+  };
+  $("rc-crop-reset").onclick = () => {
+    const cv = $("rc-crop-canvas");
+    crop.rect = { x: 0, y: 0, w: cv.width, h: cv.height };
+    drawCropOverlay();
+  };
+  $("rc-crop-close").onclick = () => $("rc-crop-editor").classList.add("hidden");
 
   async function loadThumbnails() {
     const names = [...document.querySelectorAll("[data-thumb]")].map(

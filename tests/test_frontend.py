@@ -92,6 +92,47 @@ def test_static_serving_and_traversal_guard(server):
         assert status == 404, path
 
 
+def test_az_hotkeys_cover_behaviors_past_nine():
+    """Behaviors 10+ are labelable via a-z (reference keyboard map,
+    label_train_page.js:2525-2537) and the behavior table badges them."""
+    src = open(os.path.join(FRONTEND, "js", "label_train.js")).read()
+    # keydown branch converting a letter to behavior index 9+
+    assert re.search(r"charCodeAt\(0\)\s*-\s*97\s*\+\s*9", src), \
+        "a-z -> behavior index mapping missing from the keydown handler"
+    # badge helper maps i<9 -> digits, i>=9 -> letters
+    assert "String.fromCharCode(97 + (i - 9))" in src
+    # digits stay limited to 1-9 (0 is not a behavior key)
+    assert re.search(r"\^\[1-9\]\$", src)
+
+
+def test_zoom_timeline_rendered_and_clickable():
+    """The labeling UI renders the full strip AND the 10% zoom strip, and a
+    click on the zoom strip jumps within the zoom window."""
+    html = open(os.path.join(FRONTEND, "index.html")).read()
+    assert 'id="lt-timeline"' in html and 'id="lt-timeline-zoom"' in html
+    src = open(os.path.join(FRONTEND, "js", "label_train.js")).read()
+    assert "zoom_timeline" in src and "drawZoomTimeline" in src
+    # zoom click maps the fraction into [zoom_start, zoom_end)
+    m = re.search(r'lt-timeline-zoom"\)\.onclick[\s\S]*?jump_to_frame', src)
+    assert m and "zoom_start" in m.group(0)
+
+
+def test_crop_editor_is_interactive_and_saves_fractions():
+    """The record page offers canvas drag-cropping (draw/move/resize) that
+    saves fractional crop settings (reference: record_page.js crop overlay)."""
+    html = open(os.path.join(FRONTEND, "index.html")).read()
+    assert 'id="rc-crop-canvas"' in html
+    src = open(os.path.join(FRONTEND, "js", "record.js")).read()
+    for evt in ("mousedown", "mousemove", "mouseup", "mouseleave"):
+        assert f'addEventListener("{evt}"' in src, evt
+    # fractional conversion + save path
+    assert "cropFractions" in src and "save_camera_settings" in src
+    for f in ("crop_left_x", "crop_top_y", "crop_width", "crop_height"):
+        assert f in src, f
+    # resize handles (n/s/e/w compounds) are recognized
+    assert "cropHandleAt" in src and '"move"' in src
+
+
 def test_training_dialog_covers_all_hyperparams():
     """Every TrainingConfig hyperparameter a user tunes is settable from the
     training dialog (the reference exposes all 17, label_train_page.js)."""

@@ -198,6 +198,33 @@ def test_render_payload(project):
     assert payload["frame"] is not None
     assert payload["behaviors"] == ["walk", "rest"]
     assert len(payload["timeline"]) == 500
+    assert len(payload["zoom_timeline"]) == 500
+    s.close()
+
+
+def test_zoom_window_and_raster(project):
+    """The zoomed secondary timeline: a fixed 10%-of-video window centered on
+    the playhead (or selection), rastered at full strip resolution
+    (reference: backend/label_train_page.py:1963-2000)."""
+    s = make_session(project)
+    s.jump_to_frame(15)
+    lo, hi = s.zoom_window()
+    assert (lo, hi) == (10.0, 20.0)  # 10% of 100 frames, centered on 15
+    # walk spans frames 10-20 -> fills the whole window
+    z = s.timeline_raster(width=100, view_start=lo, view_end=hi)
+    assert set(z) == {0}
+    # window clamps at the ends of the video
+    s.jump_to_frame(0)
+    lo, hi = s.zoom_window()
+    assert lo == 0.0 and hi == 5.0
+    z = s.timeline_raster(width=100, view_start=lo, view_end=hi)
+    assert set(z) == {-1}  # frames 0-4 unlabeled
+    # selection overrides the playhead as zoom center
+    s.selected_index = 0  # walk instance, midpoint 15
+    lo, hi = s.zoom_window()
+    assert (lo, hi) == (10.0, 20.0)
+    payload = s.render_payload(size=64)
+    assert payload["zoom_start"] == 10.0 and payload["zoom_end"] == 20.0
     s.close()
 
 
