@@ -350,34 +350,61 @@ def _attention(
         out_name = f"{prefix}.attention.o_proj"
         out_bias = cfg.proj_bias
 
-    def proj_heads(name: str, has_bias: bool) -> jnp.ndarray:
-        # Project straight into (B, H, N, d): the layout change folds into the
-        # matmul output instead of a separate HBM transpose. The head count is
-        # read off the weight, not the config — under tensor parallelism each
-        # shard holds (H/tp)*hd output rows and computes only its own heads.
+    def proj_heads(name: str, has_bias: bool, pack: int = 1) -> jnp.ndarray:
+        # Project straight into (B, H, N, d) — or, with pack=2, into the
+        # head-PAIR packed (B, H/2, N, 2d) layout the Pallas kernel prefers
+        # (128-wide minor dim -> full-lane HBM DMA; see
+        # flash_attention._packed_attn_kernel). Either way the layout change
+        # folds into the matmul output instead of a separate HBM transpose.
+        # The head count is read off the weight, not the config — under
+        # tensor parallelism each shard holds (H/tp)*hd output rows and
+        # computes only its own heads.
         w = params[f"{name}.weight"].astype(x.dtype)
         h_local = w.shape[0] // hd
-        y = jnp.einsum("bnD,hdD->bhnd", x, w.reshape(h_local, hd, D))
+        y = jnp.einsum(
+            "bnD,hdD->bhnd", x, w.reshape(h_local // pack, pack * hd, D)
+        )
         if has_bias:
-            y = y + params[f"{name}.bias"].astype(x.dtype).reshape(h_local, hd)[None, :, None, :]
+            y = y + params[f"{name}.bias"].astype(x.dtype).reshape(
+                h_local // pack, pack * hd
+            )[None, :, None, :]
         return y
 
-    q = proj_heads(names[0], biases[0])
-    k = proj_heads(names[1], biases[1])
-    v = proj_heads(names[2], biases[2])
-
+    h_local = params[f"{names[0]}.weight"].shape[0] // hd
     scale = hd ** -0.5
     from cbas_tpu.ops import flash_attention as fa
 
-    if use_fused_attention(n_valid if n_valid is not None else N, cfg.hidden_size):
+    fused = use_fused_attention(n_valid if n_valid is not None else N, cfg.hidden_size)
+    # Head pairs share a 128-lane minor dim so kernel DMA runs full-width;
+    # needs an even local head count (odd TP shards fall back to unpacked).
+    packed = fused and hd == 64 and h_local % 2 == 0
+
+    if fused:
         cos_full = sin_full = None
         if rope is not None:
             cos_full, sin_full = _full_rope_tables(rope, cfg.num_prefix_tokens, N)
         # RoPE happens inside the kernel: roped q/k never round-trip to HBM.
-        ctx = fa.fused_attention(
-            q, k, v, scale, n_valid=n_valid, rope_cos=cos_full, rope_sin=sin_full
-        )
+        if packed:
+            q = proj_heads(names[0], biases[0], pack=2)
+            k = proj_heads(names[1], biases[1], pack=2)
+            v = proj_heads(names[2], biases[2], pack=2)
+            ctx = fa.fused_attention_packed(
+                q, k, v, scale, n_valid=n_valid,
+                rope_cos=cos_full, rope_sin=sin_full,
+            )
+            # (B, G, N, 2d) -> out projection consumes it pair-packed below
+        else:
+            q = proj_heads(names[0], biases[0])
+            k = proj_heads(names[1], biases[1])
+            v = proj_heads(names[2], biases[2])
+            ctx = fa.fused_attention(
+                q, k, v, scale, n_valid=n_valid,
+                rope_cos=cos_full, rope_sin=sin_full,
+            )
     else:
+        q = proj_heads(names[0], biases[0])
+        k = proj_heads(names[1], biases[1])
+        v = proj_heads(names[2], biases[2])
         if rope is not None:
             cos, sin = _full_rope_tables(rope, cfg.num_prefix_tokens, N)
             cos = cos.astype(q.dtype)[None, None]
@@ -388,11 +415,18 @@ def _attention(
 
     # Fold the inverse layout change into the output projection. Under TP the
     # contraction runs over local heads only: psum the partial before the
-    # (replicated) bias so it is added exactly once.
+    # (replicated) bias so it is added exactly once. The pair-packed ctx
+    # contracts against the identically-regrouped weight — no un-pack
+    # transpose ever materializes.
     wo = params[f"{out_name}.weight"].astype(x.dtype)
-    h_local = wo.shape[1] // hd
-    out = jnp.einsum("bhnd,Dhd->bnD", ctx, wo.reshape(D, h_local, hd))
-    out = _maybe_psum(out, h_local < H)
+    h_out = wo.shape[1] // hd
+    if packed:
+        out = jnp.einsum(
+            "bgnp,Dgp->bnD", ctx, wo.reshape(D, h_out // 2, 2 * hd)
+        )
+    else:
+        out = jnp.einsum("bhnd,Dhd->bnD", ctx, wo.reshape(D, h_out, hd))
+    out = _maybe_psum(out, h_out < H)
     if out_bias:
         out = out + params[f"{out_name}.bias"].astype(x.dtype)
     return out

@@ -41,7 +41,11 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from cbas_tpu.ops.flash_attention import fused_attention, reference_attention
+    from cbas_tpu.ops.flash_attention import (
+        fused_attention,
+        fused_attention_packed,
+        reference_attention,
+    )
     from cbas_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
@@ -81,6 +85,34 @@ def main() -> int:
             f"B{B} H{H} N{N} d{d} rope={rope}: fused vs fp64 {err_f:.2e} "
             f"(xla {err_x:.2e}) {'ok' if ok else 'FAIL'}"
         )
+
+        if d == 64 and H % 2 == 0:
+            # The production head-PAIR packed layout (what _attention emits
+            # for d=64 backbones) — validate the compiled packed kernel too.
+            def pack(t):
+                return np.ascontiguousarray(
+                    t.reshape(B, H // 2, 2, N, d).transpose(0, 1, 3, 2, 4)
+                ).reshape(B, H // 2, N, 2 * d)
+
+            got_p = fused_attention_packed(
+                jnp.asarray(pack(q)), jnp.asarray(pack(k)), jnp.asarray(pack(v)),
+                scale,
+                rope_cos=jnp.asarray(cos) if rope else None,
+                rope_sin=jnp.asarray(sin) if rope else None,
+            )
+            unpacked = (
+                np.asarray(got_p, np.float64)
+                .reshape(B, H // 2, N, 2, d)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(B, H, N, d)
+            )
+            err_p = np.abs(unpacked - want).max()
+            ok = err_p < tol_f32
+            failures += not ok
+            print(
+                f"B{B} H{H} N{N} d{d} rope={rope}: packed vs fp64 {err_p:.2e} "
+                f"{'ok' if ok else 'FAIL'}"
+            )
 
     # Production bf16 path vs unfused bf16.
     q, k, v = (

@@ -6,7 +6,26 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from cbas_tpu.ops.flash_attention import fused_attention, reference_attention
+from cbas_tpu.ops.flash_attention import (
+    fused_attention,
+    fused_attention_packed,
+    reference_attention,
+)
+
+
+def _pack_pairs(t):
+    """(B, H, N, d) -> head-pair packed (B, H/2, N, 2d)."""
+    B, H, N, d = t.shape
+    return t.reshape(B, H // 2, 2, N, d).transpose(0, 1, 3, 2, 4).reshape(
+        B, H // 2, N, 2 * d
+    )
+
+
+def _unpack_pairs(t):
+    B, G, N, dd = t.shape
+    return t.reshape(B, G, N, 2, dd // 2).transpose(0, 1, 3, 2, 4).reshape(
+        B, 2 * G, N, dd // 2
+    )
 
 
 @pytest.mark.parametrize(
@@ -27,6 +46,70 @@ def test_fused_attention_matches_reference(B, H, N, d, block_q):
     got = fused_attention(q, k, v, scale, block_q=block_q, interpret=True)
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "B,H,N,d,block_q,n_valid",
+    [
+        (2, 4, 128, 64, 128, None),   # aligned, two pairs
+        (1, 2, 261, 64, 128, None),   # N not a tile multiple (query blocks > 1)
+        (2, 2, 200, 64, 256, 190),    # model-level padding masked as keys
+    ],
+)
+def test_packed_attention_matches_reference(B, H, N, d, block_q, n_valid):
+    """Head-pair packed kernel == reference on the unpacked layout."""
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
+    scale = d ** -0.5
+    if n_valid is not None:
+        # zero out padded tail like the model-level padding does
+        mask = (jnp.arange(N) < n_valid)[None, None, :, None]
+        q, k, v = q * mask, k * mask, v * mask
+    got2 = fused_attention_packed(
+        _pack_pairs(q), _pack_pairs(k), _pack_pairs(v), scale,
+        block_q=block_q, interpret=True, n_valid=n_valid,
+    )
+    got = _unpack_pairs(got2)
+    want = reference_attention(
+        q[..., :n_valid, :] if n_valid else q,
+        k[..., :n_valid, :] if n_valid else k,
+        v[..., :n_valid, :] if n_valid else v,
+        scale,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got)[..., : (n_valid or N), :],
+        np.asarray(want),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_packed_attention_rope_matches_explicit():
+    """In-kernel RoPE on the packed layout == explicit rope + reference."""
+    B, H, N, d = 1, 2, 140, 64
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
+    ang = jnp.asarray(rng.normal(size=(N, d // 2)).astype(np.float32))
+    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=-1)
+    sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=-1)
+    scale = d ** -0.5
+
+    def rot(t):
+        return jnp.concatenate([-t[..., d // 2 :], t[..., : d // 2]], axis=-1)
+
+    qr = q * cos[None, None] + rot(q) * sin[None, None]
+    kr = k * cos[None, None] + rot(k) * sin[None, None]
+    want = reference_attention(qr, kr, v, scale)
+    got = _unpack_pairs(
+        fused_attention_packed(
+            _pack_pairs(q), _pack_pairs(k), _pack_pairs(v), scale,
+            interpret=True, rope_cos=cos, rope_sin=sin,
+        )
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
 
 
 def test_fused_attention_bf16_io():

@@ -22,10 +22,13 @@ def restore_flag():
 
 
 @pytest.mark.parametrize("variant", ["dinov2", "dinov3"])
-def test_fused_vit_matches_unfused(variant):
+@pytest.mark.parametrize("head_dim", [32, 64])
+def test_fused_vit_matches_unfused(variant, head_dim):
+    # head_dim=64 with an even head count takes the head-PAIR packed kernel
+    # (the production d=64 layout); head_dim=32 covers the unpacked kernel.
     cfg = ViTConfig(
-        variant=variant, hidden_size=64, num_layers=2, num_heads=2, patch_size=16,
-        num_register_tokens=4, intermediate_size=128,
+        variant=variant, hidden_size=2 * head_dim, num_layers=2, num_heads=2,
+        patch_size=16, num_register_tokens=4, intermediate_size=128,
         layer_norm_eps=1e-5 if variant == "dinov3" else 1e-6, image_size=32,
     )
     params = init_vit_params(jax.random.key(0), cfg)
