@@ -74,12 +74,15 @@ def bench_device_program(enc, batch: int, height: int, width: int, n_iters: int 
         for _ in range(3)
     ]
     for p in planes[:2]:  # warmup: compile + cache
-        jax.block_until_ready(prog(enc._device_params, p))
+        jax.device_get(prog(enc._device_params, p)[0, :2])
     t0 = time.perf_counter()
     out = None
     for i in range(n_iters):
         out = prog(enc._device_params, planes[i % len(planes)])
-    jax.block_until_ready(out)
+    # device_get, not block_until_ready: the latter can return early for
+    # queued work under the sandbox TPU relay (a D2H readback is a true
+    # fence on the device's single execution stream).
+    jax.device_get(out[0, :2])
     return n_iters * batch / (time.perf_counter() - t0)
 
 

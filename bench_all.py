@@ -65,12 +65,16 @@ def _head_infer_row(seq_len=63, hidden=128, n_behaviors=9, window_batch=512, n_i
     w = jax.device_put(
         jnp.asarray(rng.normal(size=(window_batch, seq_len, 768)).astype(np.float32))
     )
-    jax.block_until_ready(probs(params, w))
+    # device_get is the barrier: block_until_ready can return early for
+    # small programs under the sandbox's TPU relay, which inflates
+    # dispatch-bound rates ~10-75x (observed). A tiny D2H readback is a
+    # true fence on the device's single execution stream.
+    jax.device_get(probs(params, w).ravel()[:2])
     t0 = time.perf_counter()
     out = None
     for _ in range(n_iters):
         out = probs(params, w)
-    jax.block_until_ready(out)
+    jax.device_get(out.ravel()[:2])
     wps = n_iters * window_batch / (time.perf_counter() - t0)
     return {
         "program": "deltas head inference",
@@ -101,11 +105,11 @@ def _head_train_row(seq_len=31, hidden=128, n_behaviors=9, batch=480, n_iters=10
     y = jax.device_put(jnp.asarray(rng.integers(0, n_behaviors, (batch,), np.int32)))
     key = jax.random.key(1)
     params, opt_state, loss = step(params, opt_state, x, y, key)
-    jax.block_until_ready(loss)
+    jax.device_get(loss)  # true fence (see _head_infer_row)
     t0 = time.perf_counter()
     for _ in range(n_iters):
         params, opt_state, loss = step(params, opt_state, x, y, key)
-    jax.block_until_ready(loss)
+    jax.device_get(loss)
     wps = n_iters * batch / (time.perf_counter() - t0)
     return {
         "program": "deltas head train step",

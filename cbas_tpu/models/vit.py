@@ -240,18 +240,16 @@ def set_fused_attention(enabled: Optional[bool]) -> None:
     _FUSED_ATTENTION = enabled
 
 
-# Empirical fused-vs-XLA attention crossover, measured whole-program on v5e
-# (each +% is the winner's margin):
-#   N=1205 ViT-B:          fused +14%   (long N amortizes the kernel's tiles)
-#   N=261  ViT-S (D=384):  fused +10%   (small dense ops -> attention share
-#                                        large, kernel still ahead)
-#   N=261  ViT-B (D=768):  XLA   +6%    (N pads 261->384: +47% score compute)
-#   N=261  ViT-L (D=1024): XLA   +10%
-#   N=329  dinov2-B:       XLA   +17%
-# Rule: fused for long sequences (>= 512 tokens) or small-width backbones;
-# XLA otherwise. Overridable via set_fused_attention / env.
-_FUSED_MIN_TOKENS = 512
-_FUSED_MAX_SMALL_HIDDEN = 512
+# Fused-vs-XLA attention, measured whole-program on v5e (winner's margin).
+# With the head-pair packed layout + sublane-granule token padding the
+# fused kernel wins at every production geometry, so the rule is simply
+# "fused on TPU" (r2's crossover table is obsolete — XLA's short-N wins
+# came from the kernel's 128-multiple query padding, since removed):
+#   N=1205 ViT-B @480p:    fused 442.5 fps  (XLA ~388)
+#   N=261  ViT-B (D=768):  fused 1733 fps   (XLA 1617)
+#   N=261  ViT-L (D=1024): fused 562 fps    (XLA 534)
+#   N=329  dinov2-B:       fused 1676 fps   (XLA 1624)
+# Overridable via set_fused_attention / env (sweeps, regression hunts).
 
 
 def use_fused_attention(
@@ -264,11 +262,7 @@ def use_fused_attention(
     env = os.environ.get("CBAS_TPU_FUSED_ATTENTION")
     if env is not None:
         return env not in ("0", "false", "off")
-    if jax.default_backend() in ("cpu", "gpu"):
-        return False
-    if n_tokens is None or n_tokens >= _FUSED_MIN_TOKENS:
-        return True
-    return hidden_size is not None and hidden_size < _FUSED_MAX_SMALL_HIDDEN
+    return jax.default_backend() not in ("cpu", "gpu")
 
 
 def _ln(params: Params, name: str, x: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -592,12 +586,23 @@ def vit_forward_from_tokens(
             raise ValueError("dinov3 requires rope tables (see rope_tables())")
         block_rope = rope
 
-    # Model-level token padding: pad once to the kernel tile multiple so no
-    # per-layer pad/slice copies are needed; padded rows are masked as
-    # attention keys and sliced away at the end.
+    # Model-level token padding: pad once so no per-layer query pad/slice
+    # copies are needed; padded rows are masked as attention keys and sliced
+    # away at the end. Granule choice is a measured tradeoff: tokens are a
+    # sublane dimension everywhere outside the attention score tile, so at
+    # short N a 128-multiple wastes up to 47% of every matmul (261 -> 384;
+    # the kernel lane-pads its keys internally instead) — but at long N the
+    # per-layer key pads cost more than the few wasted rows (480p: 1205 ->
+    # 1280 outruns 1216 by 3%). Rule: sublane granule (16 rows bf16 / 8
+    # fp32) when 128-padding would waste > 10% of the tokens, else 128.
     n_valid = x.shape[1]
     if use_fused_attention(n_valid, cfg.hidden_size):
-        n_pad = -(-n_valid // 128) * 128
+        n128 = -(-n_valid // 128) * 128
+        if (n128 - n_valid) > 0.10 * n_valid:
+            granule = 16 if x.dtype.itemsize == 2 else 8
+            n_pad = -(-n_valid // granule) * granule
+        else:
+            n_pad = n128
         if n_pad != n_valid:
             x = jnp.pad(x, ((0, 0), (0, n_pad - n_valid), (0, 0)))
 

@@ -160,6 +160,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _tight_query_block(n: int, block_q: int, itemsize: int):
+    """(block_q, q_pad) with the query padding tightened to the sublane tile.
+
+    Only the lane (minor) dimension needs 128 alignment; queries are a
+    sublane dimension, whose granule is 8 rows of 4 bytes (16 for bf16). So
+    a single-block kernel can pad N=261 -> 272 instead of 384 — at the
+    production 256x256 geometry that removes 30% wasted score rows and flips
+    the fused-vs-XLA contest (9.6 ms vs 11.8 ms); at 480p (1205 -> 1216 vs
+    1280) it saves another ~3%.
+    """
+    granule = 16 if itemsize == 2 else 8  # (8, 128) fp32 / (16, 128) bf16 tiles
+    if block_q >= n:
+        q_pad = _round_up(n, granule)
+        return q_pad, q_pad
+    return block_q, _round_up(n, block_q)
+
+
 # VMEM budget for picking tile sizes, accounting for Pallas's double
 # buffering of every in/out block plus the fp32 score tile (+bf16 p copy).
 # Mosaic's default scoped-VMEM limit rejects estimates ≳13 MB, so the
@@ -257,7 +274,7 @@ def fused_attention(
     n_pad = _round_up(N, 128)
     gh, auto_block_q = _choose_tiles(B * H, n_pad, d, q.dtype.itemsize)
     block_q = min(block_q or auto_block_q, n_pad)
-    q_pad = _round_up(N, block_q)
+    block_q, q_pad = _tight_query_block(N, block_q, q.dtype.itemsize)
 
     def pad_to(x, target):
         if x.shape[2] == target:
@@ -353,7 +370,7 @@ def fused_attention_packed(
     while (B * G) % gp:
         gp -= 1
     block_q = min(block_q or auto_block_q, n_pad)
-    q_pad = _round_up(N, block_q)
+    block_q, q_pad = _tight_query_block(N, block_q, q2.dtype.itemsize)
 
     def pad_to(x, target):
         if x.shape[2] == target:
