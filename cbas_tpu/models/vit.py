@@ -586,23 +586,18 @@ def vit_forward_from_tokens(
             raise ValueError("dinov3 requires rope tables (see rope_tables())")
         block_rope = rope
 
-    # Model-level token padding: pad once so no per-layer query pad/slice
-    # copies are needed; padded rows are masked as attention keys and sliced
-    # away at the end. Granule choice is a measured tradeoff: tokens are a
-    # sublane dimension everywhere outside the attention score tile, so at
-    # short N a 128-multiple wastes up to 47% of every matmul (261 -> 384;
-    # the kernel lane-pads its keys internally instead) — but at long N the
-    # per-layer key pads cost more than the few wasted rows (480p: 1205 ->
-    # 1280 outruns 1216 by 3%). Rule: sublane granule (16 rows bf16 / 8
-    # fp32) when 128-padding would waste > 10% of the tokens, else 128.
+    # Model-level token padding: pad once to the SUBLANE granule (16 rows
+    # bf16 / 8 fp32) so every dense matmul runs at (nearly) the exact token
+    # count; padded rows are masked as attention keys and sliced away at the
+    # end. The attention kernel needs no 128-multiple here — its K/V blocks
+    # are Pallas edge blocks over the exact arrays with in-kernel masking,
+    # so the score tile's lane padding never materializes in HBM (261 -> 272
+    # instead of 384 removes ~30% of the 256x256 attention work; 1205 ->
+    # 1216 instead of 1280 trims every matmul ~5% at 480p).
     n_valid = x.shape[1]
     if use_fused_attention(n_valid, cfg.hidden_size):
-        n128 = -(-n_valid // 128) * 128
-        if (n128 - n_valid) > 0.10 * n_valid:
-            granule = 16 if x.dtype.itemsize == 2 else 8
-            n_pad = -(-n_valid // granule) * granule
-        else:
-            n_pad = n128
+        granule = 16 if x.dtype.itemsize == 2 else 8
+        n_pad = -(-n_valid // granule) * granule
         if n_pad != n_valid:
             x = jnp.pad(x, ((0, 0), (0, n_pad - n_valid), (0, 0)))
 

@@ -43,14 +43,18 @@ def _attn_kernel(
     d = q_ref.shape[-1]
 
     if n_valid < n_pad:
-        # Padded-key mask as a (1, n_pad) additive bias row, computed once per
-        # program and broadcast into the score add — versus an iota+compare+
-        # select over the whole (block_q, n_pad) tile per head, which costs
-        # 2-3 extra VPU passes on the kernel's dominant buffer.
+        # Padded-key mask. K/V arrive as Pallas edge blocks (the caller never
+        # materializes a 128-multiple pad in HBM), so lanes >= n_valid hold
+        # arbitrary bits — mask with a select (NaN-proof), not an additive
+        # bias (NaN + -inf = NaN would poison the row's softmax).
         col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
-        key_bias = jnp.where(col < n_valid, 0.0, _NEG_INF).astype(jnp.float32)
+        key_live = col < n_valid
+        # v's edge rows must be zeroed as well: the masked columns of p are
+        # exactly 0, but 0 * NaN = NaN in the PV contraction.
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+        v_live = row < n_valid
     else:
-        key_bias = None
+        key_live = v_live = None
 
     def rot_half(t):
         return jnp.concatenate([-t[:, d // 2 :], t[:, : d // 2]], axis=1)
@@ -61,6 +65,8 @@ def _attn_kernel(
         q = q_ref[pl.ds(g, 1)][0]
         k = k_ref[pl.ds(g, 1)][0]
         v = v_ref[pl.ds(g, 1)][0]
+        if v_live is not None:
+            v = jnp.where(v_live, v, jnp.zeros((), v.dtype))
         if use_rope:
             # RoPE applied on-chip: the roped q/k never round-trip to HBM.
             # The softmax scale folds into the (block_q, d) q tile here —
@@ -78,7 +84,7 @@ def _attn_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (block_q, n_pad) fp32, scale pre-folded into q
 
-        s_masked = s if key_bias is None else s + key_bias
+        s_masked = s if key_live is None else jnp.where(key_live, s, _NEG_INF)
         s_stable = s_masked - jnp.max(s_masked, axis=1, keepdims=True)
         p = jnp.exp(s_stable)
         denom = jnp.sum(p, axis=1, keepdims=True)
@@ -104,16 +110,23 @@ def _packed_attn_kernel(
     as the kernel floor at 480p (DMA ~39 ms of a ~53 ms kernel). Packing two
     heads into one 128-wide block restores full-lane DMA; the attention math
     still runs per head on 64-lane slices (exact, parity-tested). Measured
-    whole-kernel: 36.4 ms vs 49.2 ms unpacked at ViT-B 480p batch 320 (-26%).
+    whole-kernel at ViT-B 480p batch 320: 49.2 ms unpacked -> 36.4 ms packed
+    -> 20.4 ms packed + tight-q + edge-block K/V (the DMA floor).
     """
     n_pad = k_ref.shape[1]
     d = q_ref.shape[-1] // 2
 
     if n_valid < n_pad:
+        # K/V arrive as Pallas edge blocks (rows >= the array's true length
+        # are never materialized in HBM), so masked lanes hold arbitrary
+        # bits: select (NaN-proof), not an additive bias, and zero v's edge
+        # rows (0 * NaN = NaN would poison the PV contraction otherwise).
         col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
-        key_bias = jnp.where(col < n_valid, 0.0, _NEG_INF).astype(jnp.float32)
+        key_live = col < n_valid
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+        v_live = row < n_valid
     else:
-        key_bias = None
+        key_live = v_live = None
 
     def rot_half(t):
         return jnp.concatenate([-t[:, d // 2 :], t[:, : d // 2]], axis=1)
@@ -125,10 +138,12 @@ def _packed_attn_kernel(
             k = k * cosk_ref[...].astype(k.dtype) + rot_half(k) * sink_ref[...].astype(k.dtype)
         else:
             q = q * jnp.asarray(scale, q.dtype)
+        if v_live is not None:
+            v = jnp.where(v_live, v, jnp.zeros((), v.dtype))
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s_masked = s if key_bias is None else s + key_bias
+        s_masked = s if key_live is None else jnp.where(key_live, s, _NEG_INF)
         s_stable = s_masked - jnp.max(s_masked, axis=1, keepdims=True)
         p = jnp.exp(s_stable)
         denom = jnp.sum(p, axis=1, keepdims=True)
@@ -258,10 +273,12 @@ def fused_attention(
     (N, d) tables (identity rows for prefix tokens) applied to q and k inside
     the kernel — the roped tensors never materialize in HBM.
 
-    Pads N to the tile grid internally; padded keys are masked, padded query
-    rows are sliced away. Several heads run per program (ViT attention tiles
-    are small, so per-program launch overhead dominates otherwise). d should
-    be a multiple of 8 (ViT head dims are 64/128).
+    No tensor is ever padded in HBM: the kernel's K/V (and any trailing
+    query) blocks are Pallas edge blocks over the exact-size arrays, and the
+    kernel masks the dead lanes (key select + v-row zeroing). Several heads
+    run per program (ViT attention tiles are small, so per-program launch
+    overhead dominates otherwise). d should be a multiple of 8 (ViT head
+    dims are 64/128).
     """
     B, H, N, d = q.shape
     if jax.default_backend() == "cpu" or os.environ.get("CBAS_PALLAS_INTERPRET"):
@@ -276,15 +293,9 @@ def fused_attention(
     block_q = min(block_q or auto_block_q, n_pad)
     block_q, q_pad = _tight_query_block(N, block_q, q.dtype.itemsize)
 
-    def pad_to(x, target):
-        if x.shape[2] == target:
-            return x
-        cfg = [(0, 0), (0, 0), (0, target - x.shape[2]), (0, 0)]
-        return jnp.pad(x, cfg)
-
-    qf = pad_to(q, q_pad).reshape(B * H, q_pad, d)
-    kf = pad_to(k, n_pad).reshape(B * H, n_pad, d)
-    vf = pad_to(v, n_pad).reshape(B * H, n_pad, d)
+    qf = q.reshape(B * H, N, d)
+    kf = k.reshape(B * H, N, d)
+    vf = v.reshape(B * H, N, d)
 
     use_rope = rope_cos is not None
     if use_rope:
@@ -308,7 +319,7 @@ def fused_attention(
         functools.partial(
             _attn_kernel, scale=scale, n_valid=n_valid, gh=gh, use_rope=use_rope
         ),
-        out_shape=jax.ShapeDtypeStruct((B * H, q_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, N, d), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((gh, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -331,8 +342,7 @@ def fused_attention(
         interpret=interpret,
     )(qf, kf, vf, cos_q, sin_q, cos_k, sin_k)
 
-    out = out.reshape(B, H, q_pad, d)
-    return out[:, :, :N, :]
+    return out.reshape(B, H, N, d)
 
 
 def fused_attention_packed(
@@ -372,14 +382,11 @@ def fused_attention_packed(
     block_q = min(block_q or auto_block_q, n_pad)
     block_q, q_pad = _tight_query_block(N, block_q, q2.dtype.itemsize)
 
-    def pad_to(x, target):
-        if x.shape[2] == target:
-            return x
-        return jnp.pad(x, [(0, 0), (0, 0), (0, target - x.shape[2]), (0, 0)])
-
-    qf = pad_to(q2, q_pad).reshape(B * G, q_pad, dd)
-    kf = pad_to(k2, n_pad).reshape(B * G, n_pad, dd)
-    vf = pad_to(v2, n_pad).reshape(B * G, n_pad, dd)
+    # No HBM pads: K/V (and any trailing query) blocks are Pallas edge
+    # blocks over the exact-size arrays; the kernel masks the dead lanes.
+    qf = q2.reshape(B * G, N, dd)
+    kf = k2.reshape(B * G, N, dd)
+    vf = v2.reshape(B * G, N, dd)
 
     d = dd // 2
     use_rope = rope_cos is not None
@@ -405,7 +412,7 @@ def fused_attention_packed(
             _packed_attn_kernel, scale=scale, n_valid=n_valid, gp=gp,
             use_rope=use_rope,
         ),
-        out_shape=jax.ShapeDtypeStruct((B * G, q_pad, dd), q2.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * G, N, dd), q2.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((gp, block_q, dd), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -428,7 +435,7 @@ def fused_attention_packed(
         interpret=interpret,
     )(qf, kf, vf, cos_q, sin_q, cos_k, sin_k)
 
-    return out.reshape(B, G, q_pad, dd)[:, :, :N, :]
+    return out.reshape(B, G, N, dd)
 
 
 def reference_attention(q, k, v, scale):
