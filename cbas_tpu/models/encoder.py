@@ -197,7 +197,9 @@ class FrameEncoder:
             x = normalize_plane(plane_u8, dtype)
             tokens = patchify_plane(x, p) @ plane_kernel.T
             tokens = tokens + params[self._patch_bias_key].astype(dtype)
-            hidden = vit_forward_from_tokens(params, tokens, cfg, pos_embed, rope)
+            hidden = vit_forward_from_tokens(
+                params, tokens, cfg, pos_embed, rope, cls_only=True
+            )
             return hidden[:, 0, :].astype(jnp.float16)
 
         if self.mesh is None:

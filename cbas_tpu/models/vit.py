@@ -426,6 +426,84 @@ def _attention(
     return out
 
 
+def _attention_cls(
+    params: Params,
+    prefix: str,
+    h: jnp.ndarray,
+    cfg: ViTConfig,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    n_valid: Optional[int] = None,
+) -> jnp.ndarray:
+    """Attention output for the CLS row only: q is a single query row, K/V
+    span every token. Used by the final block when the caller consumes just
+    the CLS embedding — the other N-1 query rows of the last layer are dead
+    work (~7% of ViT-B FLOPs at 480p). Plain XLA ops: a (B, H, 1, N) score
+    tensor is far too small for the Pallas kernel to matter."""
+    B, N, D = h.shape
+    H, hd = cfg.num_heads, cfg.head_dim
+    if cfg.variant == "dinov2":
+        names = [f"{prefix}.attention.attention.{p}" for p in ("query", "key", "value")]
+        biases = [True, True, True]
+        out_name = f"{prefix}.attention.output.dense"
+        out_bias = True
+    else:
+        names = [f"{prefix}.attention.{p}" for p in ("q_proj", "k_proj", "v_proj")]
+        biases = [cfg.query_bias, cfg.key_bias, cfg.value_bias]
+        out_name = f"{prefix}.attention.o_proj"
+        out_bias = cfg.proj_bias
+
+    def proj(name, has_bias, x):
+        w = params[f"{name}.weight"].astype(x.dtype)
+        h_local = w.shape[0] // hd
+        y = jnp.einsum("bnD,hdD->bhnd", x, w.reshape(h_local, hd, D))
+        if has_bias:
+            y = y + params[f"{name}.bias"].astype(x.dtype).reshape(h_local, hd)[None, :, None, :]
+        return y
+
+    q = proj(names[0], biases[0], h[:, :1])  # CLS row; its RoPE is identity
+    k = proj(names[1], biases[1], h)
+    v = proj(names[2], biases[2], h)
+    if rope is not None:
+        cos, sin = _full_rope_tables(rope, cfg.num_prefix_tokens, N)
+        cos = cos.astype(k.dtype)[None, None]
+        sin = sin.astype(k.dtype)[None, None]
+        k = k * cos + _rot_half(k) * sin
+
+    s = jnp.einsum("bhqd,bhnd->bhqn", q, k).astype(jnp.float32) * (hd ** -0.5)
+    if n_valid is not None and n_valid < N:
+        col = jnp.arange(N)[None, None, None, :]
+        s = jnp.where(col < n_valid, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    ctx = jnp.einsum("bhqn,bhnd->bhqd", p, v)
+
+    wo = params[f"{out_name}.weight"].astype(h.dtype)
+    h_out = wo.shape[1] // hd
+    out = jnp.einsum("bhqd,Dhd->bqD", ctx, wo.reshape(D, h_out, hd))
+    out = _maybe_psum(out, h_out < H)
+    if out_bias:
+        out = out + params[f"{out_name}.bias"].astype(h.dtype)
+    return out
+
+
+def _block_cls(
+    params: Params,
+    prefix: str,
+    x: jnp.ndarray,
+    cfg: ViTConfig,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    n_valid: Optional[int] = None,
+) -> jnp.ndarray:
+    """Final block specialized to the CLS row: attention keys/values span all
+    tokens, but q/out-proj/MLP/residual run on token 0 alone. Returns
+    (B, 1, D)."""
+    h = _ln(params, f"{prefix}.norm1", x, cfg.layer_norm_eps)
+    h = _attention_cls(params, prefix, h, cfg, rope, n_valid=n_valid)
+    x0 = x[:, :1] + h * params[f"{prefix}.layer_scale1.lambda1"].astype(x.dtype)
+    h = _ln(params, f"{prefix}.norm2", x0, cfg.layer_norm_eps)
+    h = _mlp(params, prefix, h, cfg)
+    return x0 + h * params[f"{prefix}.layer_scale2.lambda1"].astype(x.dtype)
+
+
 def _dense_reduce(
     params: Params, name: str, x: jnp.ndarray, bias: bool, full_in: int
 ) -> jnp.ndarray:
@@ -571,11 +649,19 @@ def vit_forward_from_tokens(
     cfg: ViTConfig,
     pos_embed: Optional[jnp.ndarray] = None,
     rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    cls_only: bool = False,
 ) -> jnp.ndarray:
     """Run the transformer over already-projected patch tokens (B, N, D).
 
     Lets callers supply a custom patch-embedding path (e.g. the single-plane
     folded kernel in models/encoder.py) while sharing the block stack.
+
+    ``cls_only=True`` returns just (B, 1, D) — the CLS row — and specializes
+    the FINAL block to it: that block's q-projection, attention, out-proj,
+    MLP, and the final LayerNorm run on one token instead of N (K/V still
+    span all tokens, so the math is identical). Saves ~7% of total FLOPs at
+    480p; the production encoder (models/encoder.py) consumes only the CLS
+    embedding, so it always sets this.
     """
     x = _assemble_embeddings(params, tokens, cfg, pos_embed)
     if cfg.variant == "dinov2":
@@ -601,8 +687,12 @@ def vit_forward_from_tokens(
         if n_pad != n_valid:
             x = jnp.pad(x, ((0, 0), (0, n_pad - n_valid), (0, 0)))
 
-    for i in range(cfg.num_layers):
+    last = cfg.num_layers - 1
+    for i in range(last if cls_only else cfg.num_layers):
         x = _block(params, f"{layer_prefix}.{i}", x, cfg, block_rope, n_valid=n_valid)
+    if cls_only:
+        x = _block_cls(params, f"{layer_prefix}.{last}", x, cfg, block_rope, n_valid=n_valid)
+        return _ln(params, final_ln, x, cfg.layer_norm_eps)
 
     x = _ln(params, final_ln, x, cfg.layer_norm_eps)
     return x[:, :n_valid]
