@@ -61,6 +61,28 @@ bus.on("update_global_encoding_progress", (done, total, pct) => {
   overlayText.textContent = `encoding ${done + 1}/${total} (${pct.toFixed(0)}%)`;
 });
 
+// ---- modal helper ---------------------------------------------------------
+// One shared overlay for the dataset tool dialogs (manage / whitelist /
+// review playlists / disagreements), mirroring the reference's bootstrap
+// modals (label_train_page.js show*Modal family) without the framework.
+function showModal(title) {
+  const ov = document.getElementById("modal-overlay");
+  document.getElementById("modal-title").textContent = title;
+  const body = document.getElementById("modal-body");
+  body.innerHTML = "";
+  ov.classList.remove("hidden");
+  return body;
+}
+function closeModal() {
+  document.getElementById("modal-overlay").classList.add("hidden");
+}
+document.addEventListener("DOMContentLoaded", () => {
+  document.getElementById("modal-close").onclick = closeModal;
+  document.getElementById("modal-overlay").onclick = (e) => {
+    if (e.target.id === "modal-overlay") closeModal();
+  };
+});
+
 // ---- navigation ----------------------------------------------------------
 const pages = ["startup", "record", "label", "infer", "visualize"];
 function showPage(name) {

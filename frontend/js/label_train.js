@@ -49,20 +49,168 @@
         ${rows}
       </table>
       <div class="formrow">
-        <button data-act="recalc">Recount</button>
-        <button data-act="del" class="danger">Delete</button>
+        <button data-act="manage">Manage</button>
+        <button data-act="whitelist">Whitelist</button>
+        <button data-act="review">Review by behavior</button>
+        <button data-act="disagree">Disagreements</button>
+        ${name.endsWith("_aug") ? '<button data-act="sync">Sync labels</button>' : ""}
       </div>`;
-    card.querySelector('[data-act="recalc"]').onclick = async () => {
-      await rpc("recalculate_dataset_stats", name);
+    card.querySelector('[data-act="manage"]').onclick = () => showManageModal(name);
+    card.querySelector('[data-act="whitelist"]').onclick = () => showWhitelistModal(name, cfg.whitelist || []);
+    card.querySelector('[data-act="review"]').onclick = () => showReviewByBehaviorModal(name, behaviors);
+    card.querySelector('[data-act="disagree"]').onclick = () => showDisagreementModal(name);
+    const sync = card.querySelector('[data-act="sync"]');
+    if (sync)
+      sync.onclick = async () => {
+        const n = await rpc("sync_augmented_dataset", name);
+        alert(`${n} label instance(s) synced from the source dataset.`);
+        refreshDatasets();
+      };
+    return card;
+  }
+
+  // Manage modal: dataset folder path, clean & sort, recount, delete —
+  // reference: label_train_page.js showManageDatasetModal.
+  async function showManageModal(name) {
+    const body = showModal(`Manage dataset: ${name}`);
+    const path = await rpc("reveal_dataset_files", name);
+    body.innerHTML = `
+      <p class="muted">files: <code>${path || "?"}</code></p>
+      <div class="formrow">
+        <button id="mm-clean">Clean &amp; sort labels</button>
+        <button id="mm-recalc">Recount instances / frames</button>
+        <button id="mm-delete" class="danger">Delete dataset</button>
+      </div>
+      <pre id="mm-out" class="muted"></pre>`;
+    $("mm-clean").onclick = async () => {
+      await rpc("clean_and_sort_labels", name);
+      $("mm-out").textContent = "labels cleaned and sorted";
       refreshDatasets();
     };
-    card.querySelector('[data-act="del"]').onclick = async () => {
-      if (confirm(`Delete dataset ${name}? Labels will be lost.`)) {
-        await rpc("delete_dataset", name);
-        refreshDatasets();
-      }
+    $("mm-recalc").onclick = async () => {
+      $("mm-out").textContent = "recounting…";
+      await rpc("recalculate_dataset_stats", name);
+      $("mm-out").textContent = "recounted";
+      refreshDatasets();
     };
-    return card;
+    $("mm-delete").onclick = async () => {
+      if (!confirm(`Delete dataset ${name}? Labels will be lost.`)) return;
+      await rpc("delete_dataset", name);
+      closeModal();
+      refreshDatasets();
+    };
+  }
+
+  // Whitelist editor: checkbox tree of session/subject recording dirs —
+  // reference: label_train_page.js showEditWhitelistModal.
+  async function showWhitelistModal(name, current) {
+    const body = showModal(`Recording whitelist: ${name}`);
+    const tree = await rpc("get_record_tree");
+    const chosen = new Set(current);
+    body.innerHTML = `
+      <p class="muted">Checked recordings are eligible for this dataset
+      (empty selection = all recordings).</p>
+      <div id="wl-tree"></div>
+      <div class="formrow"><button id="wl-save">Save whitelist</button></div>`;
+    const treeDiv = $("wl-tree");
+    Object.entries(tree).forEach(([sess, subjects]) => {
+      const sessDiv = document.createElement("div");
+      sessDiv.innerHTML = `<label><input type="checkbox" data-wl="${sess}"> <b>${sess}</b></label>`;
+      const sub = document.createElement("div");
+      sub.className = "tree";
+      subjects.forEach((s) => {
+        const key = `${sess}/${s}`;
+        const l = document.createElement("label");
+        l.style.display = "block";
+        l.innerHTML = `<input type="checkbox" data-wl="${key}"> ${s}`;
+        sub.appendChild(l);
+      });
+      sessDiv.appendChild(sub);
+      treeDiv.appendChild(sessDiv);
+      // session checkbox toggles all subjects under it (reference:
+      // updateChildrenCheckboxes)
+      sessDiv.querySelector(`[data-wl="${sess}"]`).onchange = (e) => {
+        sub.querySelectorAll("input").forEach((c) => (c.checked = e.target.checked));
+      };
+    });
+    treeDiv.querySelectorAll("input[data-wl]").forEach((c) => {
+      c.checked = chosen.has(c.dataset.wl);
+    });
+    $("wl-save").onclick = async () => {
+      const wl = [...treeDiv.querySelectorAll("input[data-wl]:checked")]
+        .map((c) => c.dataset.wl)
+        // a checked session implies its subjects; keep only the finest grain
+        .filter((w) => w.includes("/"));
+      await rpc("update_dataset_whitelist", name, wl);
+      closeModal();
+      refreshDatasets();
+    };
+  }
+
+  // Review-by-behavior playlist: pick a behavior, list videos carrying its
+  // instances, click to open a labeling session filtered to that behavior —
+  // reference: showReviewByCategoryModal + buildAndShowPlaylist.
+  async function showReviewByBehaviorModal(name, behaviors) {
+    const body = showModal(`Review by behavior: ${name}`);
+    body.innerHTML = `
+      <div class="formrow">
+        behavior <select id="rb-beh">${behaviors.map((b) => `<option>${b}</option>`).join("")}</select>
+        <button id="rb-go">Build playlist</button>
+      </div>
+      <div id="rb-list"></div>`;
+    $("rb-go").onclick = async () => {
+      const beh = $("rb-beh").value;
+      const byVideo = await rpc("get_instances_for_behavior", name, beh);
+      const list = $("rb-list");
+      list.innerHTML = "";
+      const entries = Object.entries(byVideo);
+      if (!entries.length) list.innerHTML = `<p class="muted">no instances of ${beh}</p>`;
+      entries.forEach(([video, insts]) => {
+        const frames = insts.reduce((a, i) => a + (i.end - i.start + 1), 0);
+        const item = document.createElement("div");
+        item.className = "list-item";
+        item.innerHTML = `<span>${video.split("/").slice(-2).join("/")}</span>
+          <span class="muted">${insts.length} inst · ${frames} frames</span>`;
+        item.onclick = async () => {
+          closeModal();
+          await rpc("start_labeling", name, video, beh);
+        };
+        list.appendChild(item);
+      });
+    };
+  }
+
+  // Disagreement review queue: model-vs-labels disagreements ranked by model
+  // confidence; click opens a review session on that video — reference:
+  // showDisagreementModal (label_train_page.js:206).
+  async function showDisagreementModal(name) {
+    const body = showModal(`Label/model disagreements: ${name}`);
+    const playlist = await rpc("get_disagreement_playlist", name);
+    if (!playlist.length) {
+      body.innerHTML = `<p class="muted">No disagreement report found — train a
+        model on this dataset first (the trainer writes
+        disagreement_report.yaml).</p>`;
+      return;
+    }
+    const model = $("lt-model-select").value;
+    body.innerHTML = `<p class="muted">One highest-confidence disagreement per
+      video; click to review with model guidance.</p><div id="dg-list"></div>`;
+    const list = $("dg-list");
+    playlist.forEach((item) => {
+      const el = document.createElement("div");
+      el.className = "list-item";
+      const conf = item.model_confidence !== undefined
+        ? `${(item.model_confidence * 100).toFixed(0)}%` : "?";
+      el.innerHTML = `<span>${String(item.video_path).split("/").slice(-2).join("/")}
+        · ${item.labeled_behavior || "?"} vs model ${item.model_behavior || "?"}</span>
+        <span class="muted">conf ${conf}</span>`;
+      el.onclick = async () => {
+        closeModal();
+        await rpc("start_labeling_with_preload", name, model, item.video_path,
+                  parseInt($("lt-smooth").value, 10));
+      };
+      list.appendChild(el);
+    });
   }
 
   async function refreshVideoList() {
@@ -247,6 +395,7 @@
     if (k === "[") return rpc("update_instance_boundary", "start");
     if (k === "]") return rpc("update_instance_boundary", "end");
     if (k === "Enter") return rpc("confirm_selected_instance");
+    if (k === "Escape") return rpc("cancel_commit_stage");
     if (k === "Delete") return rpc("delete_instance_from_buffer");
     if (k === "Backspace") return rpc("pop_instance_from_buffer");
     if (e.ctrlKey || e.metaKey || e.altKey) return;
@@ -275,6 +424,15 @@
     const frac = (e.clientX - r.left) / r.width;
     rpc("jump_to_frame", Math.floor(frac * session.total_frames));
   };
+  // double-click recenters the zoom strip on the selected instance
+  // (reference: get_zoom_range_for_click on the timeline canvas)
+  $("lt-timeline").ondblclick = (e) => {
+    const r = e.target.getBoundingClientRect();
+    rpc("get_zoom_range_for_click",
+        Math.round(((e.clientX - r.left) / r.width) * 500));
+  };
+  // video size toggle (reference: toggleVideoSize)
+  $("lt-size").onclick = () => $("lt-frame").classList.toggle("size-lg");
   $("lt-timeline-zoom").onclick = (e) => {
     if (!session || session.zoom_end === undefined) return;
     const r = e.target.getBoundingClientRect();
@@ -334,6 +492,14 @@
     $("tr-status").textContent = `[${dataset}] ${message}`;
   });
   $("tr-train").onclick = async () => {
+    // Preflight first (reference: checkAndShowTrainModal runs the split
+    // validity check before opening the dialog): warn-and-confirm instead of
+    // silently training with an empty validation split.
+    const pf = await rpc("run_preflight_check", $("tr-ds").value,
+                         parseFloat($("tr-test").value));
+    if (pf && pf.is_valid === false &&
+        !confirm(`Preflight: ${pf.message || "split looks invalid"}\nTrain anyway?`))
+      return;
     const kw = {
       sequence_length: parseInt($("tr-seq").value, 10),
       batch_size: parseInt($("tr-batch").value, 10),
