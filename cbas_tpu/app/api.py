@@ -331,15 +331,38 @@ class Api:
             for session, subjects in self.state.project.recordings.items()
         }
 
-    def get_hierarchical_video_list(self) -> Dict[str, Dict[str, List[dict]]]:
+    def get_hierarchical_video_list(
+        self, dataset_name: Optional[str] = None
+    ) -> Dict[str, Dict[str, List[dict]]]:
+        """Session -> subject -> video entries, scoped to ``dataset_name``'s
+        recording whitelist when one is set (reference:
+        label_train_page.py:362-400 filters the labeling video list by the
+        dataset's whitelisted session/subject dirs). An empty or absent
+        whitelist means unrestricted — unlike the reference's empty-result,
+        because this UI creates datasets without a mandatory whitelist step."""
         out: Dict[str, Dict[str, List[dict]]] = {}
         if not self.state.project:
             return out
+        whitelist: List[str] = []
+        if dataset_name:
+            ds = self.state.project.datasets.get(dataset_name)
+            if ds is not None:
+                whitelist = [w.strip("/") for w in ds.config.get("whitelist", []) or []]
+
+        def allowed(session: str, subject: str) -> bool:
+            if not whitelist:
+                return True
+            key = f"{session}/{subject}"
+            return any(w == session or w == key or key.startswith(w + "/")
+                       for w in whitelist)
+
         labeled = self._labeled_video_set()
         root = self.state.project.path
         for session, subjects in self.state.project.recordings.items():
             out[session] = {}
             for name, rec in subjects.items():
+                if not allowed(session, name):
+                    continue
                 out[session][name] = [
                     {
                         "path": v,
@@ -349,7 +372,7 @@ class Api:
                     for v in rec.video_files
                     if not is_aug_video(v)
                 ]
-        return out
+        return {s: subs for s, subs in out.items() if subs}
 
     def get_inferred_session_dirs(self, model_name: str) -> List[str]:
         """Sessions containing at least one output CSV for the model."""

@@ -214,19 +214,30 @@
   }
 
   async function refreshVideoList() {
-    const tree = await rpc("get_hierarchical_video_list");
-    const sel = [$("lt-video-select"), $("vz-video")];
-    sel.forEach((s) => (s.innerHTML = ""));
-    Object.entries(tree).forEach(([sess, subjects]) => {
-      Object.entries(subjects).forEach(([subj, vids]) => {
-        vids.forEach((v) => {
-          const label = `${sess}/${subj}/${v.path.split("/").pop()}` +
-            (v.has_labels ? " ✓" : "") + (v.encoded ? "" : " (not encoded)");
-          sel.forEach((s) => s.appendChild(new Option(label, v.path)));
+    // The labeling list is scoped to the selected dataset's recording
+    // whitelist (reference: get_hierarchical_video_list filters by it);
+    // the visualize page's list stays unscoped.
+    const ds = $("lt-ds-select").value || null;
+    const [scoped, all] = await Promise.all([
+      rpc("get_hierarchical_video_list", ds),
+      rpc("get_hierarchical_video_list"),
+    ]);
+    const fill = (sel, tree) => {
+      sel.innerHTML = "";
+      Object.entries(tree).forEach(([sess, subjects]) => {
+        Object.entries(subjects).forEach(([subj, vids]) => {
+          vids.forEach((v) => {
+            const label = `${sess}/${subj}/${v.path.split("/").pop()}` +
+              (v.has_labels ? " ✓" : "") + (v.encoded ? "" : " (not encoded)");
+            sel.appendChild(new Option(label, v.path));
+          });
         });
       });
-    });
+    };
+    fill($("lt-video-select"), scoped);
+    fill($("vz-video"), all);
   }
+  $("lt-ds-select").onchange = refreshVideoList;
 
   // ---------- labeling ----------
   bus.on("buildLabelingUI", () => {

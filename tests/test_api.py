@@ -98,6 +98,17 @@ def test_trees_and_labels(api):
     assert len(vids) == 1 and not vids[0]["encoded"]
     assert api.video_has_labels(os.path.join(api.state.project.path, vids[0]["path"]))
 
+    # Whitelist-scoped video list (reference: label_train_page.py:362-400
+    # filters the labeling list by the dataset's whitelisted dirs). Empty
+    # whitelist = unrestricted; session-level entries cover their subjects.
+    assert api.update_dataset_whitelist("d", ["sess/m1", "sess/m3"])
+    scoped = api.get_hierarchical_video_list("d")
+    assert set(scoped["sess"]) == {"m1", "m3"}
+    assert api.update_dataset_whitelist("d", ["sess"])
+    assert set(api.get_hierarchical_video_list("d")["sess"]) == {"m0", "m1", "m2", "m3"}
+    assert api.update_dataset_whitelist("d", [])
+    assert set(api.get_hierarchical_video_list("d")["sess"]) == {"m0", "m1", "m2", "m3"}
+
     cov = api.get_label_coverage_report("d")
     assert cov["recordings/sess/m0"]["walk"] == 9
     assert api.analyze_label_conflicts("d") == {
