@@ -286,9 +286,20 @@
     const sources = $("rc-import-paths").value.split("\n").map((s) => s.trim()).filter(Boolean);
     if (!sources.length) return;
     $("rc-import-progress").textContent = "importing…";
+    // crop on import (reference: label_train_page.py crop_data {x,y,w,h,apply})
+    let importCrop = null;
+    if ($("rc-imp-crop").checked) {
+      const f = (id, dflt) => {
+        const v = parseFloat($(id).value);
+        return Number.isFinite(v) ? v : dflt;
+      };
+      const box = [f("rc-imp-crop-x", 0), f("rc-imp-crop-y", 0), f("rc-imp-crop-w", 1), f("rc-imp-crop-h", 1)];
+      if (!(box[0] === 0 && box[1] === 0 && box[2] === 1 && box[3] === 1)) importCrop = box;
+    }
     const imported = await rpcKw("import_videos", [sources, $("rc-imp-session").value, $("rc-imp-subject").value], {
       standardize: $("rc-imp-std").checked,
       stretch: $("rc-imp-stretch").checked,
+      crop: importCrop,
     });
     $("rc-import-progress").textContent = `imported ${imported.length} file(s); queued for encoding`;
   };

@@ -133,6 +133,21 @@ def test_crop_editor_is_interactive_and_saves_fractions():
     assert "cropHandleAt" in src and '"move"' in src
 
 
+def test_import_dialog_exposes_crop():
+    """Videos can be cropped at import time (reference: label_train_page.py
+    _video_import_worker crop_data {x,y,w,h,apply})."""
+    html = open(os.path.join(FRONTEND, "index.html")).read()
+    for el in ("rc-imp-crop", "rc-imp-crop-x", "rc-imp-crop-y", "rc-imp-crop-w", "rc-imp-crop-h"):
+        assert f'id="{el}"' in html, el
+    src = open(os.path.join(FRONTEND, "js", "record.js")).read()
+    # the import call forwards a fractional crop box (or null for full frame)
+    m = re.search(r'rpcKw\("import_videos"[\s\S]*?\}\);', src)
+    assert m and "crop: importCrop" in m.group(0)
+    # identity box (0,0,1,1) is treated as "no crop", matching the reference's
+    # w==1&&h==1&&x==0&&y==0 guard (label_train_page.py:152)
+    assert "box[0] === 0 && box[1] === 0 && box[2] === 1 && box[3] === 1" in src
+
+
 def test_training_dialog_covers_all_hyperparams():
     """Every TrainingConfig hyperparameter a user tunes is settable from the
     training dialog (the reference exposes all 17, label_train_page.js)."""
