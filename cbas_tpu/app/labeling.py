@@ -464,6 +464,18 @@ class LabelingSession:
                 out[inst["label"]] += int(inst["end"]) - int(inst["start"]) + 1
         return out
 
+    def instance_counts(self) -> Dict[str, int]:
+        """Per-behavior committed/confirmed instance counts — the reference
+        shows 'instanceCount / frameCount' per behavior row while labeling
+        (frontend/js/label_train_page.js:939-943)."""
+        out = {b: 0 for b in self.behaviors}
+        for inst in self.buffer:
+            if inst.get("label") in out and (
+                "confidence" not in inst or inst.get("_confirmed")
+            ):
+                out[inst["label"]] += 1
+        return out
+
     def visible_instances(self) -> List[dict]:
         if self.confirmation_mode:
             return [
@@ -552,6 +564,7 @@ class LabelingSession:
             "mode": self.mode,
             "confirmation_mode": self.confirmation_mode,
             "counts": self.counts(),
+            "instance_counts": self.instance_counts(),
         }
         self.callbacks.emit("updateLabelImageSrc", payload)
         return payload

@@ -165,16 +165,21 @@
       list.innerHTML = "";
       const entries = Object.entries(byVideo);
       if (!entries.length) list.innerHTML = `<p class="muted">no instances of ${beh}</p>`;
+      const reviewed = JSON.parse(sessionStorage.getItem("categoryReviewedVideos") || "[]");
       entries.forEach(([video, insts]) => {
         const frames = insts.reduce((a, i) => a + (i.end - i.start + 1), 0);
         const item = document.createElement("div");
         item.className = "list-item";
+        const done = reviewed.includes(video);
         item.innerHTML = `<span>${video.split("/").slice(-2).join("/")}</span>
-          <span class="muted">${insts.length} inst · ${frames} frames</span>`;
-        item.onclick = async () => {
-          closeModal();
-          await rpc("start_labeling", name, video, beh);
-        };
+          <span class="muted">${insts.length} inst · ${frames} frames${done ? " · ✓ reviewed" : ""}</span>`;
+        // reviewed videos stay listed but are not clickable (reference:
+        // buildAndShowPlaylist, label_train_page.js:709-737)
+        if (!done)
+          item.onclick = async () => {
+            closeModal();
+            await rpc("start_labeling", name, video, beh);
+          };
         list.appendChild(item);
       });
     };
@@ -369,14 +374,17 @@
   function drawBehaviorTable(p) {
     const t = $("lt-behavior-table");
     const counts = p.counts || {};
+    const instCounts = p.instance_counts || {};
+    // "inst / frames" per behavior — reference updateLabelingStats
+    // (label_train_page.js:939-943)
     t.innerHTML =
-      "<tr><th>key</th><th>behavior</th><th>frames</th></tr>" +
+      "<tr><th>key</th><th>behavior</th><th>inst / frames</th></tr>" +
       p.behaviors
         .map(
           (b, i) =>
             `<tr><td>${behaviorKey(i)}</td><td><span class="swatch" style="background:${cssColor(
               p.colors[i]
-            )}"></span>${b}</td><td>${counts[b] || 0}</td></tr>`
+            )}"></span>${b}</td><td>${instCounts[b] || 0} / ${counts[b] || 0}</td></tr>`
         )
         .join("");
   }
@@ -461,6 +469,17 @@
     refreshDatasets();
   }
   $("lt-save").onclick = saveLabels;
+  // Mark the open video done without committing changes — stored client-side
+  // in sessionStorage so the review playlist can badge it (reference:
+  // handleMarkAsReviewed, label_train_page.js:1353-1377).
+  $("lt-reviewed").onclick = async () => {
+    const path = await rpc("get_current_labeling_video_path");
+    if (!path) return;
+    const reviewed = JSON.parse(sessionStorage.getItem("categoryReviewedVideos") || "[]");
+    if (!reviewed.includes(path)) reviewed.push(path);
+    sessionStorage.setItem("categoryReviewedVideos", JSON.stringify(reviewed));
+    $("lt-labeling").classList.add("hidden");
+  };
   $("lt-close").onclick = () => $("lt-labeling").classList.add("hidden");
   $("lt-refilter").onclick = () =>
     rpc("refilter_instances", parseInt($("lt-filter-thr").value, 10));

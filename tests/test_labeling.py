@@ -181,6 +181,10 @@ def test_counts_and_timeline(project):
     s = make_session(project, preloaded=preds)
     counts = s.counts()
     assert counts == {"walk": 11, "rest": 0}  # unconfirmed predictions don't count
+    # per-behavior instance counts ride alongside frame counts (the reference
+    # shows "instanceCount / frameCount" per row, label_train_page.js:939-943)
+    assert s.instance_counts() == {"walk": 1, "rest": 0}
+    assert s.render_payload(size=32)["instance_counts"] == {"walk": 1, "rest": 0}
     raster = s.timeline_raster(width=100)
     assert set(raster[10:21]) == {0}   # walk region
     assert set(raster[50:60]) == {1}   # prediction visible in normal mode
