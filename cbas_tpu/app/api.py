@@ -277,8 +277,12 @@ class Api:
             self.recorder.stop_all()
         return True
 
-    def get_active_streams(self) -> List[str]:
-        return list(self.recorder.active.keys()) if self.recorder else []
+    def get_active_streams(self) -> Dict[str, float]:
+        """Active recording cameras -> epoch start time, so the UI can show
+        per-camera elapsed timers (reference: record_page.py:437-447)."""
+        if not self.recorder:
+            return {}
+        return {name: start for name, (_, start, _) in self.recorder.active.items()}
 
     def start_live_preview(self, name: str) -> bool:
         cam = self.state.project.cameras.get(name) if self.state.project else None

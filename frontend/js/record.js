@@ -2,7 +2,31 @@
 "use strict";
 (() => {
   const $ = (id) => document.getElementById(id);
-  let activeStreams = [];
+  let activeStreams = {}; // name -> epoch start time
+  let timerInterval = null;
+
+  // Per-camera elapsed recording timers, 1 Hz (reference:
+  // record_page.js updateRecordingTimers — HH:MM:SS, "Nd HHh" past 100 h).
+  function formatElapsed(sec) {
+    const h = Math.floor(sec / 3600);
+    if (h >= 100) return `${Math.floor(h / 24)}d ${String(h % 24).padStart(2, "0")}h`;
+    const m = Math.floor((sec % 3600) / 60);
+    return `${String(h).padStart(2, "0")}:${String(m).padStart(2, "0")}:${String(Math.floor(sec % 60)).padStart(2, "0")}`;
+  }
+
+  function updateTimers() {
+    const names = Object.keys(activeStreams);
+    if (!names.length && timerInterval) {
+      clearInterval(timerInterval);
+      timerInterval = null;
+      return;
+    }
+    const now = Date.now() / 1000;
+    for (const name of names) {
+      const el = document.querySelector(`[data-timer="${name}"]`);
+      if (el) el.textContent = formatElapsed(Math.max(0, now - activeStreams[name]));
+    }
+  }
 
   async function refreshCameras() {
     const [cams, streams, sessions] = await Promise.all([
@@ -10,7 +34,9 @@
       rpc("get_active_streams"),
       rpc("get_existing_session_names"),
     ]);
-    activeStreams = streams;
+    activeStreams = streams || {};
+    if (Object.keys(activeStreams).length && !timerInterval)
+      timerInterval = setInterval(updateTimers, 1000);
     $("rc-sessions").innerHTML = sessions
       .map((s) => `<option value="${s}">`)
       .join("");
@@ -22,9 +48,9 @@
   function cameraCard(cam) {
     const card = document.createElement("div");
     card.className = "card";
-    const recording = activeStreams.includes(cam.name);
+    const recording = cam.name in activeStreams;
     card.innerHTML = `
-      <h3>${cam.name} ${recording ? '<span class="rec">● REC</span>' : ""}</h3>
+      <h3>${cam.name} ${recording ? `<span class="rec">● REC <span data-timer="${cam.name}"></span></span>` : ""}</h3>
       <img data-thumb="${cam.name}" alt="">
       <div class="muted">${cam.rtsp_url || "no URL"}</div>
       <div class="formrow">
@@ -61,7 +87,7 @@
       refreshCameras();
     };
     card.querySelector('[data-act="rec"]').onclick = async () => {
-      if (activeStreams.includes(cam.name)) {
+      if (cam.name in activeStreams) {
         await rpc("stop_camera_stream", cam.name);
       } else {
         const session = $("rc-session").value.trim() || "session1";
@@ -280,6 +306,31 @@
   };
   $("rc-stop-all").onclick = async () => {
     await rpc("stop_all_camera_streams");
+    refreshCameras();
+  };
+  // status summary (reference: showStatusModal -> get_cbas_status)
+  $("rc-status").onclick = async () => {
+    const s = await rpc("get_cbas_status");
+    const recs = Object.keys(activeStreams);
+    $("rc-status-line").textContent =
+      (recs.length ? `recording: ${recs.join(", ")}` : "no cameras recording") +
+      ` · encode queue: ${s.encode_done}/${s.encode_total}` +
+      (s.live_model ? ` · live model: ${s.live_model}` : "");
+  };
+  $("rc-reveal").onclick = async () => {
+    const path = await rpc("reveal_recording_folder");
+    $("rc-status-line").textContent = path ? `recordings: ${path}` : "no project loaded";
+  };
+  // apply shared settings to every camera (reference: syncAllCameraSettings)
+  $("rc-sync-all").onclick = async () => {
+    const settings = {
+      framerate: parseInt($("rc-sync-fps").value, 10) || 10,
+      resolution: parseInt($("rc-sync-res").value, 10) || 256,
+      segment_seconds: parseInt($("rc-sync-seg").value, 10) || 600,
+    };
+    if (!confirm(`Apply fps ${settings.framerate}, res ${settings.resolution}, ` +
+        `segment ${settings.segment_seconds}s to ALL cameras?`)) return;
+    await rpc("save_all_camera_settings", settings);
     refreshCameras();
   };
   $("rc-import").onclick = async () => {

@@ -88,6 +88,9 @@ def test_camera_crud(api):
     assert [c["name"] for c in api.get_camera_list()] == ["cam1"]
     assert api.save_all_camera_settings({"segment_seconds": 300})
     assert api.get_camera_settings("cam1")["segment_seconds"] == 300
+    # name -> start-time dict, so the UI can render elapsed recording timers
+    # (reference: record_page.py:437-447)
+    assert api.get_active_streams() == {}
     assert api.delete_camera("cam1") and api.get_camera_list() == []
 
 
