@@ -18,7 +18,7 @@
     const ds = $("vz-dataset");
     ds.innerHTML = "";
     Object.keys(datasets).forEach((d) => ds.appendChild(new Option(d, d)));
-    await refreshSessions();
+    await Promise.all([refreshSessions(), refreshBehaviorBoxes()]);
   }
 
   async function refreshSessions() {
@@ -40,9 +40,38 @@
     subjects.forEach((x) => s.appendChild(new Option(x, x)));
   }
 
-  $("vz-model").onchange = refreshSessions;
+  // Behavior checkbox list for the selected model (reference:
+  // handleBehaviorSelection / per-behavior checkboxes, visualize_page.js:225)
+  async function refreshBehaviorBoxes() {
+    const configs = await rpc("get_model_configs");
+    const cfg = configs[$("vz-model").value];
+    const span = $("vz-behaviors-boxes");
+    span.innerHTML = "";
+    ((cfg && cfg.behaviors) || []).forEach((b) => {
+      const lab = document.createElement("label");
+      lab.innerHTML = `<input type="checkbox" class="vz-beh" value="${b}" checked> ${b}`;
+      span.appendChild(lab);
+    });
+  }
+
+  $("vz-model").onchange = () => {
+    refreshSessions();
+    refreshBehaviorBoxes();
+  };
   $("vz-session").onchange = () => refreshSubjects();
   $("vz-refresh").onclick = refresh;
+
+  // New classification CSVs landed: debounce 10 s of quiet, then reload the
+  // project and rebuild the pickers (reference: notify_new_data_available,
+  // visualize_page.js:80-114).
+  let refreshDebounce = null;
+  bus.on("notify_new_data_available", () => {
+    clearTimeout(refreshDebounce);
+    refreshDebounce = setTimeout(async () => {
+      await rpc("reload_project_data");
+      refresh();
+    }, 10000);
+  });
 
   bus.on("updateActogramDisplay", (results) => {
     const div = $("vz-actograms");
@@ -60,8 +89,8 @@
   });
 
   async function behaviorsArg() {
-    const raw = $("vz-behaviors").value.split(",").map((s) => s.trim()).filter(Boolean);
-    if (raw.length) return raw;
+    const checked = [...document.querySelectorAll(".vz-beh:checked")].map((cb) => cb.value);
+    if (checked.length) return checked;
     const configs = await rpc("get_model_configs");
     const cfg = configs[$("vz-model").value];
     return (cfg && cfg.behaviors) || [];
