@@ -26,6 +26,17 @@ decode || H2D || compute || H5 pipeline is actually visible; ``decode_fps`` /
 the binding stage there). All repeated measurements report median + min/max
 so round-over-round deltas are distinguishable from relay noise. On a real
 TPU VM (PCIe H2D, multi-core host) the device program is the binding stage.
+
+Measured relay property (controlled experiment, r3): the relay SERIALIZES
+H2D transfers against device compute — a 1-deep async pipeline, a
+2-deep feeder-thread H2D, and plain redispatch all land at the *harmonic*
+rate of the H2D ceiling and the device program (~1/(1/500+1/1986)≈400 fps
+at 256², measured 308-366), never at min(stages) as true overlap would
+give. Real TPU hosts have independent DMA engines, so the pipeline's
+overlap structure (decode thread ∥ in-flight device batch ∥ H5 append)
+pays off there; through the relay, end_to_end_fps_256 ≈ harmonic(
+h2d_fps_ceiling_256, device fps) is the expected ceiling, and that is what
+the artifact shows.
 """
 
 import json
@@ -203,6 +214,20 @@ def main() -> None:
         # binding stage (H2D here; the device program sustains ~1.6k fps and
         # decode ~3.5k fps at this geometry) saturated.
         extras["h2d_fps_ceiling_256"] = round(h2d["median"] * 1e6 / (256 * 256), 1)
+        # The relay serializes H2D against device compute (measured, see
+        # module docstring), so through this harness the expected pipeline
+        # ceiling is the harmonic rate of the two stages, not min(stages).
+        try:
+            repo = os.path.dirname(os.path.abspath(__file__))
+            rows = json.load(open(os.path.join(repo, "benchmarks", "bench_all.json")))["rows"]
+            dev256 = next(
+                r["frames_per_s"] for r in rows
+                if r["program"].startswith("dinov3-vitb16") and r["geometry"].startswith("256")
+            )
+            hc = extras["h2d_fps_ceiling_256"]
+            extras["e2e_256_relay_expected"] = round(1.0 / (1.0 / hc + 1.0 / dev256), 1)
+        except Exception:
+            pass
     except Exception as e:  # end-to-end extras must never sink the headline
         extras["end_to_end_error"] = f"{type(e).__name__}: {e}"
 

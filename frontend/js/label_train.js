@@ -49,12 +49,26 @@
         ${rows}
       </table>
       <div class="formrow">
+        <button data-act="label">Label</button>
+        <button data-act="train">Train</button>
         <button data-act="manage">Manage</button>
         <button data-act="whitelist">Whitelist</button>
         <button data-act="review">Review by behavior</button>
         <button data-act="disagree">Disagreements</button>
         ${name.endsWith("_aug") ? '<button data-act="sync">Sync labels</button>' : ""}
       </div>`;
+    // card-level Label/Train shortcuts: prefill the dataset selects and jump
+    // to the section (reference cards carry Label/Train buttons directly,
+    // label_train_page.js loadInitialDatasetCards)
+    card.querySelector('[data-act="label"]').onclick = async () => {
+      $("lt-ds-select").value = name;
+      await refreshVideoList();
+      $("lt-ds-select").scrollIntoView({ behavior: "smooth" });
+    };
+    card.querySelector('[data-act="train"]').onclick = () => {
+      $("tr-ds").value = name;
+      $("tr-ds").scrollIntoView({ behavior: "smooth" });
+    };
     card.querySelector('[data-act="manage"]').onclick = () => showManageModal(name);
     card.querySelector('[data-act="whitelist"]').onclick = () => showWhitelistModal(name, cfg.whitelist || []);
     card.querySelector('[data-act="review"]').onclick = () => showReviewByBehaviorModal(name, behaviors);
