@@ -65,6 +65,17 @@ def main(argv=None) -> None:
 
     enable_compilation_cache()
 
+    # Operational diagnostic: `kill -USR1 <pid>` dumps every thread's Python
+    # stack to stderr without disturbing the process — the tool for "a worker
+    # stopped making progress" reports from long-running deployments.
+    try:
+        import faulthandler
+        import signal
+
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except (ImportError, AttributeError, ValueError):
+        pass  # non-POSIX or signal unavailable; diagnostics only
+
     api = Api()
     if args.project:
         result = api.load_project(args.project)

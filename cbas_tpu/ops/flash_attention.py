@@ -228,6 +228,26 @@ def _vmem_estimate(gh: int, block_q: int, n_pad: int, d: int, itemsize: int) -> 
     return qo + kv + scores
 
 
+def _key_pad(n: int, itemsize: int) -> int:
+    """Key/value row count the kernel runs at.
+
+    Pallas only requires the SUBLANE (row) dim of a K/V block to divide by 8
+    (or equal the array dim), so when the caller's token count is already
+    sublane-granule aligned — models/vit.py pads tokens to the granule once
+    after embedding — the K/V blocks can be array-exact: no Pallas edge
+    blocks, no dead score columns beyond the model pad. Full-model ViT-B
+    measurement (bench_device_program): +2% at 256x256 (score width 272 vs
+    384 removes 29% of QK/softmax columns), neutral at 480p (1216 vs 1280 is
+    only 5% of columns and the schedule was already edge-block-exact there).
+    """
+    if os.environ.get("CBAS_ATTN_EDGE"):  # measurement override: old rounding
+        return _round_up(n, 128)
+    granule = 16 if itemsize == 2 else 8
+    if n % granule == 0:
+        return n
+    return _round_up(n, 128)
+
+
 def _choose_tiles(bh: int, n_pad: int, d: int, itemsize: int):
     """(heads_per_program, block_q) maximizing per-program work under VMEM.
 
@@ -244,8 +264,16 @@ def _choose_tiles(bh: int, n_pad: int, d: int, itemsize: int):
     if env_gh and env_bq:  # measurement override (bench experiments)
         return (int(env_gh), int(env_bq))
     budget = _vmem_caps()[0]
-    block_qs = [b for b in range(128, n_pad + 1, 128) if n_pad % b == 0]
-    for block_q in sorted(block_qs, reverse=True):
+    granule = 16 if itemsize == 2 else 8
+    block_qs = [n_pad] + [b for b in range(128, n_pad, 128) if n_pad % b == 0]
+    # exact (non-128-multiple) n_pad: offer granule-aligned halvings too, so
+    # VMEM-tight configs can still tile the query dim
+    half = n_pad // 2
+    while half >= 128:
+        if n_pad % half == 0 and half % granule == 0:
+            block_qs.append(half)
+        half //= 2
+    for block_q in sorted(set(block_qs), reverse=True):
         for gh in (16, 12, 8, 6, 4, 3, 2, 1):
             if bh % gh:
                 continue
@@ -288,7 +316,7 @@ def fused_attention(
         interpret = True
     if n_valid is None:
         n_valid = N
-    n_pad = _round_up(N, 128)
+    n_pad = _key_pad(N, q.dtype.itemsize)
     gh, auto_block_q = _choose_tiles(B * H, n_pad, d, q.dtype.itemsize)
     block_q = min(block_q or auto_block_q, n_pad)
     block_q, q_pad = _tight_query_block(N, block_q, q.dtype.itemsize)
@@ -372,7 +400,7 @@ def fused_attention_packed(
         interpret = True
     if n_valid is None:
         n_valid = N
-    n_pad = _round_up(N, 128)
+    n_pad = _key_pad(N, q2.dtype.itemsize)
     # same VMEM geometry as the unpacked kernel at equal head count: gh heads
     # of width d == gp pairs of width 2d
     gh, auto_block_q = _choose_tiles(B * G * 2, n_pad, dd // 2, q2.dtype.itemsize)
