@@ -9,11 +9,14 @@
   let scrubSpeed = 1;
 
   // ---------- dataset cards ----------
+  let dsConfigs = {}; // latest load_dataset_configs payload (weights panel reads it)
+
   async function refreshDatasets() {
     const [configs, models] = await Promise.all([
       rpc("load_dataset_configs"),
       rpc("get_available_models"),
     ]);
+    dsConfigs = configs || {};
     const cards = $("lt-cards");
     cards.innerHTML = "";
     const dsSelects = [$("lt-ds-select"), $("tr-ds")];
@@ -535,6 +538,38 @@
   bus.on("updateTrainingStatusOnUI", (dataset, message) => {
     $("tr-status").textContent = `[${dataset}] ${message}`;
   });
+  // Custom class weights: per-behavior inputs shown when the method is
+  // custom_weights (reference label-train.html:543-548 ships the panel but
+  // never populates it; here the suggested weight is derived from the last
+  // run's F1 — behaviors the model struggles on get proportionally more
+  // loss weight, normalized so the mean stays 1.0).
+  function rebuildWeightsPanel() {
+    const panel = $("tr-weights");
+    const show = $("tr-method").value === "custom_weights";
+    panel.classList.toggle("hidden", !show);
+    if (!show) return;
+    const cfg = dsConfigs[$("tr-ds").value] || {};
+    const behaviors = cfg.behaviors || [];
+    const metrics = cfg.metrics || {};
+    const raw = behaviors.map((b) => {
+      const f1 = parseFloat((metrics[b] || {})["F1 Score"]);
+      return isNaN(f1) ? 1.0 : 1.0 / Math.max(f1, 0.05);
+    });
+    const mean = raw.reduce((a, v) => a + v, 0) / (raw.length || 1);
+    panel.innerHTML = behaviors.length
+      ? behaviors
+          .map(
+            (b, i) =>
+              `<label>${b} <input class="tr-weight" data-behavior="${b}"
+                 type="number" step="0.1" min="0"
+                 value="${(raw[i] / (mean || 1)).toFixed(2)}"></label>`
+          )
+          .join("")
+      : "<em>no behaviors in dataset</em>";
+  }
+  $("tr-method").onchange = rebuildWeightsPanel;
+  $("tr-ds").onchange = rebuildWeightsPanel;
+
   $("tr-train").onclick = async () => {
     // Preflight first (reference: checkAndShowTrainModal runs the split
     // validity check before opening the dialog): warn-and-confirm instead of
@@ -559,7 +594,20 @@
       test_split: parseFloat($("tr-test").value),
       use_test: $("tr-usetest").checked,
       training_method: $("tr-method").value,
+      optimization_target: $("tr-target").value,
     };
+    if (kw.training_method === "custom_weights") {
+      const weights = {};
+      document.querySelectorAll("#tr-weights .tr-weight").forEach((inp) => {
+        const w = parseFloat(inp.value);
+        if (inp.dataset.behavior && !isNaN(w)) weights[inp.dataset.behavior] = w;
+      });
+      if (!Object.keys(weights).length) {
+        $("tr-status").textContent = "custom weights selected but no behaviors found";
+        return;
+      }
+      kw.custom_weights = weights;
+    }
     const ok = await rpcKw("train_model", [$("tr-ds").value], kw);
     $("tr-status").textContent = ok ? "queued…" : "could not queue (files ready?)";
   };

@@ -160,8 +160,10 @@ def test_training_dialog_covers_all_hyperparams():
     from cbas_tpu.core.config import TrainingConfig
 
     fields = {f.name for f in dataclasses.fields(TrainingConfig)}
-    # name/behaviors come from the dataset; custom_weights and the
-    # optimization target are sweep-level knobs, not dialog fields.
-    tunable = fields - {"name", "behaviors", "custom_weights", "optimization_target"}
+    # name/behaviors come from the dataset; custom_weights is attached after
+    # the kw literal (per-behavior inputs exist only when that method is on).
+    tunable = fields - {"name", "behaviors", "custom_weights"}
     assert tunable <= exposed, f"dialog missing: {sorted(tunable - exposed)}"
     assert exposed <= fields, f"dialog invents: {sorted(exposed - fields)}"
+    # the custom-weights panel wires data-behavior inputs into kw.custom_weights
+    assert "custom_weights" in src and "tr-weight" in src
