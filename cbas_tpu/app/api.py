@@ -292,6 +292,7 @@ class Api:
         self._preview = LivePreview(
             cam.rtsp_url,
             on_frame=lambda b64: self.state.callbacks.emit("update_live_frame", name, b64),
+            on_end=lambda: self.state.callbacks.emit("end_live_preview", name),
         )
         self._preview.start()
         return True

@@ -97,10 +97,12 @@ class LivePreview(threading.Thread):
         timeout_s: float = 30.0,
         max_fps: float = 10.0,
         resize: Optional[Tuple[int, int]] = (256, 256),
+        on_end: Optional[Callable[[], None]] = None,
     ):
         super().__init__(daemon=True, name="LivePreview")
         self.source = source
         self.on_frame = on_frame
+        self.on_end = on_end
         self.timeout_s = timeout_s
         self.min_interval = 1.0 / max_fps if max_fps > 0 else 0.0
         self.resize = resize
@@ -132,3 +134,12 @@ class LivePreview(threading.Thread):
                     break
         finally:
             cap.release()
+            # Whatever ended the stream — timeout, stop(), unreachable camera,
+            # emit failure — the UI must learn the preview is over (reference
+            # emits end_live_preview so the button/canvas reset,
+            # record_page.js:223-231).
+            if self.on_end is not None:
+                try:
+                    self.on_end()
+                except Exception:
+                    pass

@@ -285,6 +285,10 @@
     img.classList.remove("hidden");
     $("rc-preview-label").textContent = `live: ${name}`;
   });
+  bus.on("end_live_preview", (name) => {
+    $("rc-preview").classList.add("hidden");
+    $("rc-preview-label").textContent = `preview ended (${name})`;
+  });
   bus.on("update_import_progress", (pct, msg) => {
     $("rc-import-progress").textContent = `${pct.toFixed ? pct.toFixed(0) : pct}% ${msg || ""}`;
   });

@@ -138,3 +138,27 @@ def test_grab_frames_parallel(tmp_path):
     for i in range(4):
         assert base64.b64decode(out[f"cam{i}"])[:2] == b"\xff\xd8"
     assert grab_frames_parallel({}) == {}
+
+
+def test_live_preview_emits_end_event(tmp_path):
+    """LivePreview always fires on_end when the stream finishes — timeout,
+    stop(), or source exhaustion — so the UI can reset its preview state
+    (reference end_live_preview, record_page.js:223-231)."""
+    import threading
+
+    from cbas_tpu.app.media import LivePreview
+
+    src = write_video(str(tmp_path / "clip.mp4"), n=10, w=32, h=32)
+    frames, ended = [], threading.Event()
+    p = LivePreview(src, on_frame=frames.append, max_fps=1000.0,
+                    on_end=ended.set, timeout_s=5.0)
+    p.start()
+    assert ended.wait(10.0), "on_end never fired after the source ran out"
+    assert frames, "no frames were emitted from a readable source"
+
+    # unreadable source: no frames, but on_end still fires
+    ended2 = threading.Event()
+    p2 = LivePreview(str(tmp_path / "missing.mp4"), on_frame=frames.append,
+                     on_end=ended2.set, timeout_s=2.0)
+    p2.start()
+    assert ended2.wait(10.0)
