@@ -164,7 +164,45 @@ def bench_end_to_end(enc, path: str, batch: int, repeats: int = 5) -> dict:
     return _spread(rates)
 
 
+def wait_for_device(retries: int = 6, probe_timeout_s: int = 90, wait_s: int = 30) -> bool:
+    """TPU-tunnel liveness gate: PJRT client creation HANGS (not errors) when
+    the sandbox relay is down, which would wedge this process inside the first
+    jax call with no diagnostic. Probe from a subprocess (killable), retry
+    through transient outages, and let the caller fail fast with a JSON line
+    instead of hanging the driver."""
+    import subprocess
+
+    for attempt in range(retries):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s,
+                check=True,
+                capture_output=True,
+            )
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if attempt < retries - 1:
+                time.sleep(wait_s)
+    return False
+
+
 def main() -> None:
+    if not wait_for_device():
+        print(
+            json.dumps(
+                {
+                    "metric": "dinov3_vitb16_encode_fps_per_chip_480p",
+                    "value": 0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0,
+                    "error": "TPU backend unreachable: PJRT client creation hung/failed "
+                    "in every probe (tunnel down?)",
+                }
+            )
+        )
+        sys.exit(1)
+
     import jax.numpy as jnp
 
     from cbas_tpu.utils.jax_setup import enable_compilation_cache
