@@ -329,6 +329,11 @@ def _save_results(
             "label_smoothing": task.label_smoothing,
             "lstm_hidden_size": task.lstm_hidden_size,
             "lstm_layers": task.lstm_layers,
+            # beyond the reference report: the class-balance strategy is a
+            # training parameter too — without it a custom_weights run is
+            # not reproducible from its own artifact
+            "training_method": task.training_method,
+            "custom_weights": task.custom_weights,
         },
         "reproducibility_info": {
             "cbas_git_commit": _safe_git_hash(),

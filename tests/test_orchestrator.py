@@ -139,3 +139,33 @@ def test_no_test_split_keeps_ratio_for_training():
     without = TrainingConfig(name="d", behaviors=["a"], use_test=False, test_split=0.2)
     assert default_split_ratios(with_test) == (0.65, 0.15, 0.2)
     assert default_split_ratios(without) == (0.85, 0.15, 0.0)
+
+
+def test_custom_weights_method_trains_and_records(project, tmp_path):
+    """training_method=custom_weights flows from TrainingConfig through the
+    orchestrator into the loss weights (reference: workthreads.py:632-633,
+    weights ordered by the task's behavior list) and the report artifact."""
+
+    task = TrainingConfig(
+        name="behav",
+        behaviors=["walk", "rest"],
+        batch_size=64,
+        learning_rate=5e-3,
+        epochs=1,
+        sequence_length=7,
+        training_method="custom_weights",
+        custom_weights={"walk": 3.0},  # missing behaviors default to 1.0
+        num_runs=1,
+        num_trials=1,
+        use_test=False,
+        lstm_hidden_size=16,
+    )
+    model_dir = run_training_job(project, task, seed=7)
+    assert model_dir is not None
+    # the report lands in the dataset dir (reference: workthreads.py:917)
+    report = yaml.safe_load(
+        open(os.path.join(project.datasets["behav"].path, "performance_report.yaml"))
+    )
+    params = report["training_parameters"]
+    assert params["training_method"] == "custom_weights"
+    assert params["custom_weights"] == {"walk": 3.0}
