@@ -36,6 +36,19 @@ es.onmessage = (e) => {
   bus.emit(d.name, d.args || []);
 };
 
+// ---- metrics panel -----------------------------------------------------
+// Observability: per-stage throughput counters (Api.get_metrics — decode
+// fps, encode fps, inference windows/s, train steps/s) on demand.
+document.getElementById("metrics-btn").onclick = async () => {
+  const panel = document.getElementById("metrics-panel");
+  if (!panel.classList.toggle("hidden")) {
+    const m = await rpc("get_metrics");
+    panel.textContent = Object.keys(m || {}).length
+      ? Object.entries(m).map(([k, v]) => `${k}: ${JSON.stringify(v)}`).join("\n")
+      : "no samples yet — run an encode / inference / training first";
+  }
+};
+
 // ---- log panel ---------------------------------------------------------
 const logPanel = document.getElementById("log-panel");
 // Persist across reloads within the tab, like the reference log panel

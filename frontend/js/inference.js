@@ -4,10 +4,16 @@
   const $ = (id) => document.getElementById(id);
 
   async function refresh() {
-    const [models, tree] = await Promise.all([
+    const [models, tree, live] = await Promise.all([
       rpc("get_available_models"),
       rpc("get_recording_tree"),
+      rpc("get_live_inference_status"),
     ]);
+    if (live && live.model) {
+      $("if-live").checked = true;
+      $("if-status").textContent =
+        `live model: ${live.model} (${live.queued} file(s) queued)`;
+    }
     const sel = $("if-model");
     const current = sel.value;
     sel.innerHTML = "";

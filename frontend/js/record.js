@@ -3,6 +3,7 @@
 (() => {
   const $ = (id) => document.getElementById(id);
   let activeStreams = {}; // name -> epoch start time
+  let previewingCamera = null; // preview button is a toggle
   let timerInterval = null;
 
   // Per-camera elapsed recording timers, 1 Hz (reference:
@@ -96,8 +97,21 @@
       refreshCameras();
     };
     card.querySelector('[data-act="preview"]').onclick = async () => {
+      // toggle, like the reference's toggleLivePreview (record_page.js:233)
+      if (previewingCamera === cam.name) {
+        await rpc("stop_live_preview");
+        previewingCamera = null;
+        $("rc-preview").classList.add("hidden");
+        $("rc-preview-label").textContent = "preview stopped";
+        return;
+      }
+      previewingCamera = cam.name;
       $("rc-preview-label").textContent = `previewing ${cam.name} (30 s auto-stop)…`;
       await rpc("start_live_preview", cam.name);
+    };
+    card.querySelector("[data-thumb]").onclick = async () => {
+      const b64 = await rpc("get_single_camera_thumbnail", cam.name);
+      if (b64) card.querySelector("[data-thumb]").src = "data:image/jpeg;base64," + b64;
     };
     card.querySelector('[data-act="crop"]').onclick = () => openCropEditor(cam, card);
     card.querySelector('[data-act="del"]').onclick = async () => {
@@ -175,9 +189,46 @@
     };
   }
 
+  // Same editor, import mode: Apply writes the fractions into the
+  // crop-on-import fields instead of camera settings (reference:
+  // setupCropOnImportModal / initializeImportCropper,
+  // label_train_page.js:765-860 drag a box over the video's first frame).
+  async function openImportCropEditor() {
+    const first = $("rc-import-paths").value.split("\n").map((s) => s.trim()).filter(Boolean)[0];
+    if (!first) {
+      $("rc-import-progress").textContent = "enter a video path first";
+      return;
+    }
+    crop.cam = null;
+    crop.card = null;
+    crop.mode = "import";
+    $("rc-crop-cam").textContent = "import: " + first.split("/").pop();
+    $("rc-crop-editor").classList.remove("hidden");
+    const cv = $("rc-crop-canvas");
+    const f = (id, dflt) => {
+      const v = parseFloat($(id).value);
+      return Number.isFinite(v) ? v : dflt;
+    };
+    crop.rect = {
+      x: f("rc-imp-crop-x", 0) * cv.width,
+      y: f("rc-imp-crop-y", 0) * cv.height,
+      w: f("rc-imp-crop-w", 1) * cv.width,
+      h: f("rc-imp-crop-h", 1) * cv.height,
+    };
+    crop.img = null;
+    drawCropOverlay();
+    const b64 = await rpc("get_frame_from_video", first, 0);
+    if (b64) {
+      const img = new Image();
+      img.onload = () => { crop.img = img; drawCropOverlay(); };
+      img.src = "data:image/jpeg;base64," + b64;
+    }
+  }
+
   async function openCropEditor(cam, card) {
     crop.cam = cam;
     crop.card = card;
+    crop.mode = "camera";
     $("rc-crop-cam").textContent = cam.name;
     $("rc-crop-editor").classList.remove("hidden");
     const cv = $("rc-crop-canvas");
@@ -247,6 +298,17 @@
   $("rc-crop-canvas").addEventListener("mouseleave", endCropDrag);
 
   $("rc-crop-apply").onclick = async () => {
+    if (crop.mode === "import") {
+      const fr = cropFractions();
+      $("rc-imp-crop-x").value = fr.crop_left_x.toFixed(3);
+      $("rc-imp-crop-y").value = fr.crop_top_y.toFixed(3);
+      $("rc-imp-crop-w").value = fr.crop_width.toFixed(3);
+      $("rc-imp-crop-h").value = fr.crop_height.toFixed(3);
+      $("rc-imp-crop").checked =
+        !(fr.crop_left_x === 0 && fr.crop_top_y === 0 && fr.crop_width === 1 && fr.crop_height === 1);
+      $("rc-crop-editor").classList.add("hidden");
+      return;
+    }
     if (!crop.cam) return;
     const settings = Object.assign(
       { rtsp_url: crop.cam.rtsp_url, framerate: crop.cam.framerate,
@@ -286,6 +348,7 @@
     $("rc-preview-label").textContent = `live: ${name}`;
   });
   bus.on("end_live_preview", (name) => {
+    if (previewingCamera === name) previewingCamera = null;
     $("rc-preview").classList.add("hidden");
     $("rc-preview-label").textContent = `preview ended (${name})`;
   });
@@ -337,6 +400,7 @@
     await rpc("save_all_camera_settings", settings);
     refreshCameras();
   };
+  $("rc-imp-crop-drag").onclick = openImportCropEditor;
   $("rc-import").onclick = async () => {
     const sources = $("rc-import-paths").value.split("\n").map((s) => s.trim()).filter(Boolean);
     if (!sources.length) return;
