@@ -123,3 +123,29 @@ def test_fused_attention_bf16_io():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=2e-2, atol=2e-2
     )
+
+
+@pytest.mark.parametrize("N,n_valid", [(264, None), (272, 261), (1216, 1205)])
+def test_exact_n_kv_blocks_match_reference(N, n_valid):
+    """Sublane-granule-aligned N skips the 128-multiple rounding entirely
+    (_key_pad): K/V blocks are array-exact and the query dim may tile at
+    granule-aligned halvings. These are the production token counts
+    (261->272 @256x256, 1205->1216 @480p, bf16 granule 16; 264 covers the
+    fp32 granule-8 path interpret mode actually runs)."""
+    B, H, d = 1, 2, 64
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
+    scale = d ** -0.5
+    nv = n_valid or N
+    want = reference_attention(q[:, :, :nv], k[:, :, :nv], v[:, :, :nv], scale)
+    got = fused_attention(q, k, v, scale, n_valid=n_valid, interpret=True)[:, :, :nv]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+    got2 = _unpack_pairs(
+        fused_attention_packed(
+            _pack_pairs(q), _pack_pairs(k), _pack_pairs(v), scale,
+            n_valid=n_valid, interpret=True,
+        )
+    )[:, :, :nv]
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), rtol=2e-5, atol=2e-5)
