@@ -1,0 +1,241 @@
+"""Fleet encode: fan a video library out over every local TPU chip.
+
+The app's encode path shards one batch over a mesh (data parallelism); for a
+*library* of independent videos — the actual CBAS backfill workload, e.g.
+re-encoding a month of recordings after an encoder upgrade — whole-file
+parallelism wins: each chip runs its own FrameEncoder process at full batch
+size with no cross-chip synchronization at all (the reference has no
+equivalent; its one GPU encodes serially, backend/workthreads.py:201-300).
+
+    python -m cbas_tpu.tools.encode_fleet --project /path/to/project [--workers N]
+
+Architecture (one parent, N single-chip workers):
+
+- The parent scans the project for stale/missing embeddings (same rule as
+  the app's startup sweep: H5 absent, unstamped, or stamped by a different
+  encoder) and writes the todo list to a manifest. It never initializes an
+  accelerator backend.
+- Each worker binds one chip (``TPU_VISIBLE_CHIPS=<i>``, set before jax
+  import), builds one FrameEncoder, and drains the manifest.
+- Work is distributed by an ATOMIC CLAIM, not a queue: a worker owns a video
+  iff it created ``<h5>.claim`` with O_CREAT|O_EXCL. Claims are plain files
+  on the filesystem the recordings live on, so the same manifest can be
+  drained by workers on *other hosts* of a pod sharing that filesystem —
+  multi-host fan-out with zero coordination infrastructure. Claims older
+  than ``--claim-ttl`` are presumed dead (crashed worker) and broken.
+- Output H5s are written via the engine's tmp+rename path, so a killed
+  worker never leaves a half-written embedding file, and the claim file is
+  what makes retry safe.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from typing import List, Optional
+
+
+def _emit(obj: dict) -> None:
+    """One ATOMIC stdout write per record: workers share the parent's pipe,
+    and POSIX only guarantees non-interleaved pipe writes for a single
+    write() under PIPE_BUF — print()'s text layer may split the newline off
+    into a second syscall, shearing concurrent workers' lines together."""
+    os.write(sys.stdout.fileno(), (json.dumps(obj) + "\n").encode())
+
+
+def scan_todo(project_path: str) -> List[str]:
+    """Videos needing (re-)encode, by the app's own staleness rule."""
+    from cbas_tpu.core.project import Project
+
+    return Project(project_path).stale_or_missing_embeddings()
+
+
+# ---------------------------------------------------------------------------
+# claim protocol
+# ---------------------------------------------------------------------------
+
+def claim_path(video: str) -> str:
+    from cbas_tpu.utils.naming import h5_path_for_video
+
+    return h5_path_for_video(video) + ".claim"
+
+
+def try_claim(video: str, ttl_s: float) -> bool:
+    """Atomically claim ``video``; True iff this process now owns it.
+
+    A leftover claim older than ``ttl_s`` is broken (its worker died mid-file
+    — the H5 tmp+rename write means no partial output exists) and re-claimed.
+    """
+    path = claim_path(video)
+    for _ in range(2):  # second pass after breaking a stale claim
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()}@{time.time()}\n".encode())
+            os.close(fd)
+            return True
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                continue  # claim vanished between open and stat: race again
+            if age <= ttl_s:
+                return False
+            try:  # break the stale claim; the O_EXCL retry arbitrates racers
+                os.unlink(path)
+            except OSError:
+                pass
+    return False
+
+
+def release_claim(video: str) -> None:
+    try:
+        os.unlink(claim_path(video))
+    except OSError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# worker
+# ---------------------------------------------------------------------------
+
+def run_worker(manifest: str, encoder_path: str, chip: Optional[int],
+               force_cpu: bool, claim_ttl: float, batch: int) -> int:
+    """Drain the manifest on one chip. Prints one JSON line per file."""
+    if chip is not None and not force_cpu:
+        # must precede any jax import/backend init in this process
+        os.environ.setdefault("TPU_VISIBLE_CHIPS", str(chip))
+        os.environ.setdefault("TPU_PROCESS_BOUNDS", "1,1,1")
+
+    import jax
+
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from cbas_tpu.core import hdf5_store
+    from cbas_tpu.core.config import EncodeConfig
+    from cbas_tpu.engine.encode import EncodeStats, encode_file
+    from cbas_tpu.models.encoder import FrameEncoder
+    from cbas_tpu.utils.jax_setup import enable_compilation_cache
+    from cbas_tpu.utils.naming import h5_path_for_video
+
+    enable_compilation_cache()
+    videos = json.load(open(manifest))
+    enc = FrameEncoder(encoder_path)
+    cfg = EncodeConfig(chunk_frames=batch) if batch else EncodeConfig()
+    done = failed = 0
+    for video in videos:
+        # The claim is a LEASE (who is encoding now), not a done-marker: the
+        # stamp on the finished H5 is the done-marker. Check it first, or a
+        # worker arriving after a peer finished+released would re-encode.
+        h5 = h5_path_for_video(video)
+        if os.path.exists(h5) and hdf5_store.is_stamp_valid(h5, encoder_path):
+            continue
+        if not try_claim(video, claim_ttl):
+            continue
+        # re-check under the lease: the previous owner may have finished
+        # between our stamp check and our claim
+        if os.path.exists(h5) and hdf5_store.is_stamp_valid(h5, encoder_path):
+            release_claim(video)
+            continue
+        try:
+            st = EncodeStats()
+            out = encode_file(enc, video, config=cfg, stats=st)
+            done += 1
+            _emit({"video": video, "h5": out, "fps": round(st.fps, 1),
+                   "frames": st.frames})
+        except Exception as e:  # keep draining; the claim stays for retry TTL
+            failed += 1
+            _emit({"video": video, "error": f"{type(e).__name__}: {e}"})
+            continue
+        release_claim(video)
+    _emit({"worker_done": True, "encoded": done, "failed": failed})
+    return 0 if failed == 0 else 1
+
+
+# ---------------------------------------------------------------------------
+# parent
+# ---------------------------------------------------------------------------
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--project", required=True)
+    ap.add_argument("--workers", type=int, default=0,
+                    help="default: one per local chip")
+    ap.add_argument("--claim-ttl", type=float, default=3600.0,
+                    help="seconds before another worker may break a claim")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override EncodeConfig.chunk_frames")
+    ap.add_argument("--force-cpu", action="store_true",
+                    help="run workers on the CPU backend (tests/dev)")
+    ap.add_argument("--manifest", default=None,
+                    help="drain an existing manifest instead of scanning "
+                         "(multi-host: scan on one host, share the file)")
+    # internal: child mode
+    ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--chip", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--encoder", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args(argv)
+
+    if args.worker:
+        return run_worker(args.manifest, args.encoder, args.chip,
+                          args.force_cpu, args.claim_ttl, args.batch)
+
+    from cbas_tpu.core.project import Project
+
+    proj = Project(args.project)
+    encoder = proj.encoder_model_identifier
+    if args.manifest:
+        manifest = args.manifest
+        todo = json.load(open(manifest))
+    else:
+        todo = scan_todo(args.project)
+        manifest = os.path.join(args.project, f".encode_fleet_{os.getpid()}.json")
+        with open(manifest, "w") as f:
+            json.dump(todo, f)
+    if not todo:
+        _emit({"fleet_done": True, "videos": 0, "workers": 0})
+        return 0
+
+    n = args.workers
+    if n <= 0:
+        try:  # count chips WITHOUT initializing a backend in this process
+            out = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=120,
+            )
+            n = max(1, int(out.stdout.strip().splitlines()[-1]))
+        except Exception:
+            n = 1
+    n = min(n, len(todo))
+
+    cmd_base = [sys.executable, "-m", "cbas_tpu.tools.encode_fleet",
+                "--project", args.project, "--worker", "--manifest", manifest,
+                "--encoder", encoder, "--claim-ttl", str(args.claim_ttl),
+                "--batch", str(args.batch)]
+    if args.force_cpu:
+        cmd_base.append("--force-cpu")
+    t0 = time.time()
+    procs = [subprocess.Popen(cmd_base + ["--chip", str(i)]) for i in range(n)]
+    rc = max(p.wait() for p in procs)
+    wall = time.time() - t0
+
+    remaining = scan_todo(args.project) if not args.manifest else None
+    summary = {"fleet_done": True, "videos": len(todo), "workers": n,
+               "wall_s": round(wall, 1), "rc": rc}
+    if remaining is not None:
+        summary["still_stale"] = len(remaining)
+    _emit(summary)
+    if not args.manifest:
+        try:
+            os.unlink(manifest)
+        except OSError:
+            pass
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

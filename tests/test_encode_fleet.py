@@ -1,0 +1,69 @@
+"""Fleet encode: claim protocol and multi-process CPU fan-out."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import pytest
+
+from cbas_tpu.tools.encode_fleet import claim_path, release_claim, try_claim
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEMO = os.path.join(REPO, "examples", "demo_project")
+
+
+def test_claim_is_exclusive_until_released(tmp_path):
+    video = str(tmp_path / "cam_00001.mp4")
+    open(video, "w").close()
+    assert try_claim(video, ttl_s=3600)
+    assert not try_claim(video, ttl_s=3600)  # second claimer loses
+    release_claim(video)
+    assert try_claim(video, ttl_s=3600)  # released -> claimable again
+    release_claim(video)
+
+
+def test_stale_claim_is_broken(tmp_path):
+    video = str(tmp_path / "cam_00001.mp4")
+    open(video, "w").close()
+    assert try_claim(video, ttl_s=3600)
+    old = time.time() - 7200
+    os.utime(claim_path(video), (old, old))  # crashed-worker leftover
+    assert try_claim(video, ttl_s=3600)  # TTL elapsed -> broken and re-owned
+    release_claim(video)
+
+
+@pytest.mark.slow
+def test_two_cpu_workers_drain_the_demo_project(tmp_path):
+    """Parent scans, two single-chip(-equivalent) worker processes drain the
+    manifest via claims, every video ends up freshly stamped, no claim files
+    are left behind."""
+    root = str(tmp_path / "demo")
+    shutil.copytree(DEMO, root)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "cbas_tpu.tools.encode_fleet",
+         "--project", root, "--workers", "2", "--force-cpu", "--batch", "64"],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    summary = lines[-1]
+    assert summary["fleet_done"] and summary["workers"] == 2
+    assert summary["videos"] == 8 and summary["still_stale"] == 0
+
+    per_file = [l for l in lines if "h5" in l]
+    worker_tallies = [l for l in lines if "worker_done" in l]
+    assert len(per_file) == 8 and all(l["fps"] > 0 for l in per_file)
+    assert sum(w["encoded"] for w in worker_tallies) == 8
+    assert sum(w["failed"] for w in worker_tallies) == 0
+
+    from cbas_tpu.core.project import Project
+
+    proj = Project(root)
+    assert proj.stale_or_missing_embeddings() == []
+    leftovers = [f for _, _, fs in os.walk(root) for f in fs if f.endswith(".claim")]
+    assert leftovers == []
