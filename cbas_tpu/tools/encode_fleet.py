@@ -8,6 +8,11 @@ size with no cross-chip synchronization at all (the reference has no
 equivalent; its one GPU encodes serially, backend/workthreads.py:201-300).
 
     python -m cbas_tpu.tools.encode_fleet --project /path/to/project [--workers N]
+    python -m cbas_tpu.tools.encode_fleet --project ... --model NAME   # classify
+
+``--model NAME`` switches to classify mode: the same fan-out runs an
+InferenceSession per chip over every embedding H5 lacking the model's
+outputs CSV (the app's start_classification rule), CSVs written tmp+rename.
 
 Architecture (one parent, N single-chip workers):
 
@@ -54,23 +59,45 @@ def scan_todo(project_path: str) -> List[str]:
     return Project(project_path).stale_or_missing_embeddings()
 
 
+def scan_classify_todo(proj, model_name: str) -> List[str]:
+    """Embedding H5s lacking ``model_name``'s outputs CSV (the same rule as
+    Api.start_classification, app/api.py)."""
+    from cbas_tpu.utils.naming import h5_path_for_video, outputs_csv_for_h5
+
+    todo = []
+    for video in proj.all_video_files():
+        h5 = h5_path_for_video(video)
+        if os.path.exists(h5) and not os.path.exists(
+            outputs_csv_for_h5(h5, model_name)
+        ):
+            todo.append(h5)
+    return todo
+
+
 # ---------------------------------------------------------------------------
 # claim protocol
 # ---------------------------------------------------------------------------
 
-def claim_path(video: str) -> str:
+def claim_path(item: str, model: Optional[str] = None) -> str:
+    """Claim file sits next to the item's OUTPUT (encode: the video's H5;
+    classify: the H5's outputs CSV), on the same filesystem."""
+    if model:
+        from cbas_tpu.utils.naming import outputs_csv_for_h5
+
+        return outputs_csv_for_h5(item, model) + ".claim"
     from cbas_tpu.utils.naming import h5_path_for_video
 
-    return h5_path_for_video(video) + ".claim"
+    return h5_path_for_video(item) + ".claim"
 
 
-def try_claim(video: str, ttl_s: float) -> bool:
-    """Atomically claim ``video``; True iff this process now owns it.
+def try_claim(item: str, ttl_s: float, model: Optional[str] = None) -> bool:
+    """Atomically claim ``item``; True iff this process now owns it.
 
     A leftover claim older than ``ttl_s`` is broken (its worker died mid-file
-    — the H5 tmp+rename write means no partial output exists) and re-claimed.
+    — outputs are written tmp+rename, so no partial output exists) and
+    re-claimed.
     """
-    path = claim_path(video)
+    path = claim_path(item, model)
     for _ in range(2):  # second pass after breaking a stale claim
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -91,9 +118,9 @@ def try_claim(video: str, ttl_s: float) -> bool:
     return False
 
 
-def release_claim(video: str) -> None:
+def release_claim(item: str, model: Optional[str] = None) -> None:
     try:
-        os.unlink(claim_path(video))
+        os.unlink(claim_path(item, model))
     except OSError:
         pass
 
@@ -103,7 +130,8 @@ def release_claim(video: str) -> None:
 # ---------------------------------------------------------------------------
 
 def run_worker(manifest: str, encoder_path: str, chip: Optional[int],
-               force_cpu: bool, claim_ttl: float, batch: int) -> int:
+               force_cpu: bool, claim_ttl: float, batch: int,
+               model_dir: Optional[str] = None) -> int:
     """Drain the manifest on one chip. Prints one JSON line per file."""
     if chip is not None and not force_cpu:
         # must precede any jax import/backend init in this process
@@ -114,6 +142,9 @@ def run_worker(manifest: str, encoder_path: str, chip: Optional[int],
 
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if model_dir:
+        return _run_classify_worker(manifest, encoder_path, model_dir, claim_ttl)
 
     from cbas_tpu.core import hdf5_store
     from cbas_tpu.core.config import EncodeConfig
@@ -156,6 +187,46 @@ def run_worker(manifest: str, encoder_path: str, chip: Optional[int],
     return 0 if failed == 0 else 1
 
 
+def _run_classify_worker(manifest: str, encoder_path: str, model_dir: str,
+                         claim_ttl: float) -> int:
+    """Classify mode: drain a manifest of embedding H5s through one
+    InferenceSession. The outputs CSV is the done-marker, written tmp+rename
+    (infer_h5's direct write could leave a partial CSV that reads as done)."""
+    from cbas_tpu.engine.classifier import ClassifierBundle
+    from cbas_tpu.engine.infer import InferenceSession
+    from cbas_tpu.utils.naming import outputs_csv_for_h5
+
+    bundle = ClassifierBundle.load(model_dir, expected_encoder=encoder_path)
+    session = InferenceSession(bundle)
+    model = bundle.name
+    done = failed = 0
+    for h5 in json.load(open(manifest)):
+        csv = outputs_csv_for_h5(h5, model)
+        if os.path.exists(csv):
+            continue
+        if not try_claim(h5, claim_ttl, model=model):
+            continue
+        if os.path.exists(csv):  # finished by the prior lease holder
+            release_claim(h5, model=model)
+            continue
+        try:
+            t0 = time.time()
+            tmp = csv + ".tmp"
+            out = session.infer_h5(h5, output_csv=tmp)
+            if out:
+                os.replace(tmp, csv)
+            done += 1
+            _emit({"h5": h5, "csv": csv if out else None,
+                   "wall_s": round(time.time() - t0, 2)})
+        except Exception as e:
+            failed += 1
+            _emit({"h5": h5, "error": f"{type(e).__name__}: {e}"})
+            continue
+        release_claim(h5, model=model)
+    _emit({"worker_done": True, "classified": done, "failed": failed})
+    return 0 if failed == 0 else 1
+
+
 # ---------------------------------------------------------------------------
 # parent
 # ---------------------------------------------------------------------------
@@ -174,25 +245,38 @@ def main(argv=None) -> int:
     ap.add_argument("--manifest", default=None,
                     help="drain an existing manifest instead of scanning "
                          "(multi-host: scan on one host, share the file)")
+    ap.add_argument("--model", default=None,
+                    help="classify mode: run this model over every embedding "
+                         "H5 lacking its outputs CSV (instead of encoding)")
     # internal: child mode
     ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--chip", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--encoder", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--model-dir", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
 
     if args.worker:
         return run_worker(args.manifest, args.encoder, args.chip,
-                          args.force_cpu, args.claim_ttl, args.batch)
+                          args.force_cpu, args.claim_ttl, args.batch,
+                          model_dir=args.model_dir)
 
     from cbas_tpu.core.project import Project
 
     proj = Project(args.project)
     encoder = proj.encoder_model_identifier
+    model_dir = None
+    if args.model:
+        model = proj.models.get(args.model)
+        if model is None:
+            _emit({"error": f"model '{args.model}' not found in project"})
+            return 2
+        model_dir = model.path
     if args.manifest:
         manifest = args.manifest
         todo = json.load(open(manifest))
     else:
-        todo = scan_todo(args.project)
+        todo = (scan_classify_todo(proj, args.model) if args.model
+                else scan_todo(args.project))
         manifest = os.path.join(args.project, f".encode_fleet_{os.getpid()}.json")
         with open(manifest, "w") as f:
             json.dump(todo, f)
@@ -216,6 +300,8 @@ def main(argv=None) -> int:
                 "--project", args.project, "--worker", "--manifest", manifest,
                 "--encoder", encoder, "--claim-ttl", str(args.claim_ttl),
                 "--batch", str(args.batch)]
+    if model_dir:
+        cmd_base += ["--model-dir", model_dir]
     if args.force_cpu:
         cmd_base.append("--force-cpu")
     t0 = time.time()
@@ -223,7 +309,12 @@ def main(argv=None) -> int:
     rc = max(p.wait() for p in procs)
     wall = time.time() - t0
 
-    remaining = scan_todo(args.project) if not args.manifest else None
+    if args.manifest:
+        remaining = None
+    elif args.model:
+        remaining = scan_classify_todo(Project(args.project), args.model)
+    else:
+        remaining = scan_todo(args.project)
     summary = {"fleet_done": True, "videos": len(todo), "workers": n,
                "wall_s": round(wall, 1), "rc": rc}
     if remaining is not None:

@@ -67,3 +67,23 @@ def test_two_cpu_workers_drain_the_demo_project(tmp_path):
     assert proj.stale_or_missing_embeddings() == []
     leftovers = [f for _, _, fs in os.walk(root) for f in fs if f.endswith(".claim")]
     assert leftovers == []
+
+    # classify mode over the same fan-out: every H5 gains the committed
+    # model's outputs CSV exactly once
+    out = subprocess.run(
+        [sys.executable, "-m", "cbas_tpu.tools.encode_fleet",
+         "--project", root, "--workers", "2", "--force-cpu",
+         "--model", "demo_behaviors_model"],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert lines[-1]["still_stale"] == 0
+    per_file = [l for l in lines if "csv" in l]
+    assert len(per_file) == 8 and all(os.path.exists(l["csv"]) for l in per_file)
+    tallies = [l for l in lines if "worker_done" in l]
+    assert sum(w["classified"] for w in tallies) == 8
+    leftovers = [f for _, _, fs in os.walk(root) for f in fs
+                 if f.endswith(".claim") or f.endswith(".csv.tmp")]
+    assert leftovers == []
