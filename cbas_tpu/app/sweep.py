@@ -179,16 +179,14 @@ class SweepRunner:
 
     # -- phase 2: sweep ---------------------------------------------------------
 
-    def run_sweep(self) -> Optional[str]:
-        fingerprint = self._fingerprint()
+    def _sweep_combos(self) -> List[dict]:
+        """The grid as concrete param dicts, each with its derived batch size
+        and deterministic output dir — the unit of sweep parallelism."""
         keys, values = zip(*self.grid.items())
-        combos = [dict(zip(keys, v)) for v in itertools.product(*values)]
-        log_message(f"Sweep: {len(combos)} parameter combinations.")
-
         base_batch = int(self.fixed.get("batch_size", 1024))
-        results = []
-        for i, grid_params in enumerate(combos):
-            t0 = time.time()
+        combos = []
+        for v in itertools.product(*values):
+            grid_params = dict(zip(keys, v))
             params = dict(self.fixed)
             params.update(grid_params)
             params["batch_size"] = derive_batch_size_for_seq_len(
@@ -197,41 +195,74 @@ class SweepRunner:
                 base_seq=31,
                 batch_cap=base_batch,
             )
-            log_message(
-                f"--- Sweep job {i + 1}/{len(combos)}: {grid_params} "
-                f"(batch {params['batch_size']}) ---"
-            )
-            task = self._make_task(params)
-            provider = ManifestSplitProvider(self.sweep_manifest_path, fingerprint)
             param_str = "_".join(
                 f"{k.replace('_', '-')}-{v}" for k, v in grid_params.items()
             )
-            out_dir = os.path.join(self.experiments_dir, f"sweep_{param_str}")
-            run_training_job(
-                self.project, task, split_provider=provider, output_dir=out_dir,
-                plot_suffix="runs", seed=self.seed,
-            )
+            combos.append({
+                "grid": grid_params,
+                "params": params,
+                "out_dir": os.path.join(self.experiments_dir, f"sweep_{param_str}"),
+            })
+        return combos
 
-            report_path = os.path.join(out_dir, "performance_report.yaml")
+    def _drain_sweep_combos(self, combos: List[dict]) -> None:
+        """Run every combo lacking its report. Combos are claimed via atomic
+        lease files (utils/claims.py) and marked done by the combo's
+        performance_report.yaml, so any number of worker processes — across
+        chips or pod hosts — can drain the same grid concurrently, and an
+        interrupted sweep resumes where it stopped (the fingerprinted split
+        manifest pins the data; the dir name pins the params)."""
+        from cbas_tpu.utils.claims import release_claim_path, try_claim_path
+
+        fingerprint = self._fingerprint()
+        for i, combo in enumerate(combos):
+            report_path = os.path.join(combo["out_dir"], "performance_report.yaml")
             if os.path.exists(report_path):
-                report = load_yaml(report_path)
-                runs = report.get("run_results", [])
-                if runs:
-                    row = dict(params)
-                    row["effective_tokens_per_step"] = (
-                        params["batch_size"] * params["sequence_length"]
-                    )
-                    target = params.get("optimization_target", "weighted avg")
-                    scores = [
-                        r.get("validation_report", {}).get(target, {}).get("f1-score", 0.0)
-                        for r in runs
-                    ]
-                    row[f"avg_validation_f1_{target.replace(' ', '_')}"] = (
-                        sum(scores) / len(scores) if scores else 0.0
-                    )
-                    results.append(row)
+                continue
+            claim = combo["out_dir"] + ".claim"
+            if not try_claim_path(claim, ttl_s=6 * 3600.0):
+                continue
+            if os.path.exists(report_path):
+                release_claim_path(claim)
+                continue
+            t0 = time.time()
+            log_message(
+                f"--- Sweep job {i + 1}/{len(combos)}: {combo['grid']} "
+                f"(batch {combo['params']['batch_size']}) ---"
+            )
+            task = self._make_task(combo["params"])
+            provider = ManifestSplitProvider(self.sweep_manifest_path, fingerprint)
+            run_training_job(
+                self.project, task, split_provider=provider,
+                output_dir=combo["out_dir"], plot_suffix="runs", seed=self.seed,
+            )
+            release_claim_path(claim)
             log_message(f"--- Sweep job {i + 1} done in {time.time() - t0:.1f}s ---")
 
+    def _collect_sweep_results(self, combos: List[dict]) -> Optional[str]:
+        results = []
+        for combo in combos:
+            params = combo["params"]
+            report_path = os.path.join(combo["out_dir"], "performance_report.yaml")
+            if not os.path.exists(report_path):
+                continue
+            report = load_yaml(report_path)
+            runs = report.get("run_results", [])
+            if not runs:
+                continue
+            row = dict(params)
+            row["effective_tokens_per_step"] = (
+                params["batch_size"] * params["sequence_length"]
+            )
+            target = params.get("optimization_target", "weighted avg")
+            scores = [
+                r.get("validation_report", {}).get(target, {}).get("f1-score", 0.0)
+                for r in runs
+            ]
+            row[f"avg_validation_f1_{target.replace(' ', '_')}"] = (
+                sum(scores) / len(scores) if scores else 0.0
+            )
+            results.append(row)
         if not results:
             log_message("Sweep produced no results.", "WARN")
             return None
@@ -242,6 +273,52 @@ class SweepRunner:
         pd.DataFrame(results).to_csv(out, index=False)
         log_message(f"Sweep results saved to {out}")
         return out
+
+    def run_sweep(self, jobs: int = 1, drain_only: bool = False) -> Optional[str]:
+        """Run the grid; ``jobs`` > 1 fans combos out over that many
+        single-chip worker processes (TPU_VISIBLE_CHIPS binding), each
+        draining the shared claim-guarded grid. ``drain_only`` is the worker
+        mode: run combos, skip the results CSV (the parent collects)."""
+        combos = self._sweep_combos()
+        log_message(f"Sweep: {len(combos)} parameter combinations.")
+        jobs = min(jobs, len(combos))
+        if jobs <= 1:
+            self._drain_sweep_combos(combos)
+            if drain_only:
+                return None
+        else:
+            import subprocess
+            import sys
+
+            # Workers re-build the runner from the CLI, which defaults the
+            # grid — persist THIS runner's exact configuration so they drain
+            # the same combos (and multi-host workers can point --config at
+            # it over the shared filesystem).
+            config_path = os.path.join(self.experiments_dir, "sweep_config.json")
+            with open(config_path, "w") as f:
+                json.dump({
+                    "parameter_grid": self.grid,
+                    "fixed": self.fixed,
+                    "champion": self.champion,
+                    "n_sweep_splits": self.n_sweep_splits,
+                    "n_outer_splits": self.n_outer_splits,
+                }, f, indent=1)
+            cmd = [sys.executable, "-m", "cbas_tpu.app.sweep",
+                   "--project_path", self.project.path,
+                   "--dataset_name", self.dataset_name,
+                   "--phase", "sweep", "--seed", str(self.seed),
+                   "--jobs", "1", "--drain-only", "--config", config_path]
+            procs = []
+            for i in range(jobs):
+                env = dict(os.environ)
+                if not os.environ.get("CBAS_SWEEP_NO_CHIP_BINDING"):
+                    env.setdefault("TPU_VISIBLE_CHIPS", str(i))
+                    env.setdefault("TPU_PROCESS_BOUNDS", "1,1,1")
+                procs.append(subprocess.Popen(cmd, env=env))
+            rc = [p.wait() for p in procs]
+            if any(rc):
+                log_message(f"Sweep worker exit codes: {rc}", "WARN")
+        return self._collect_sweep_results(combos)
 
     # -- phase 3: evaluate ---------------------------------------------------------
 
@@ -392,13 +469,36 @@ def main(argv: Optional[List[str]] = None) -> None:
         choices=["precompute", "sweep", "evaluate", "train_final"],
     )
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument(
+        "--jobs", type=int, default=1,
+        help="sweep phase: fan combos out over this many single-chip "
+             "worker processes (claim-guarded, resumable)",
+    )
+    parser.add_argument("--drain-only", action="store_true", help=argparse.SUPPRESS)
+    parser.add_argument(
+        "--config", default=None,
+        help="sweep_config.json written by a fan-out parent (or hand-written):"
+             " parameter_grid/fixed/champion/n_*_splits overrides",
+    )
     args = parser.parse_args(argv)
 
+    if os.environ.get("CBAS_FORCE_CPU"):
+        # Tests/dev: the TPU plugin's sitecustomize overrides the
+        # JAX_PLATFORMS env var, so CPU must be forced via jax.config
+        # before the backend initializes.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     project = Project(args.project_path)
-    runner = SweepRunner(project, args.dataset_name, seed=args.seed)
+    cfg = {}
+    if args.config:
+        with open(args.config) as f:
+            cfg = json.load(f)
+    runner = SweepRunner(project, args.dataset_name, seed=args.seed, **cfg)
     phase = {
         "precompute": runner.precompute_splits,
-        "sweep": runner.run_sweep,
+        "sweep": lambda: runner.run_sweep(jobs=args.jobs, drain_only=args.drain_only),
         "evaluate": runner.run_final_evaluation,
         "train_final": runner.train_final_model,
     }[args.phase]

@@ -91,38 +91,17 @@ def claim_path(item: str, model: Optional[str] = None) -> str:
 
 
 def try_claim(item: str, ttl_s: float, model: Optional[str] = None) -> bool:
-    """Atomically claim ``item``; True iff this process now owns it.
+    """Atomically claim ``item``; True iff this process now owns it
+    (utils/claims.py holds the lease protocol)."""
+    from cbas_tpu.utils.claims import try_claim_path
 
-    A leftover claim older than ``ttl_s`` is broken (its worker died mid-file
-    — outputs are written tmp+rename, so no partial output exists) and
-    re-claimed.
-    """
-    path = claim_path(item, model)
-    for _ in range(2):  # second pass after breaking a stale claim
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()}@{time.time()}\n".encode())
-            os.close(fd)
-            return True
-        except FileExistsError:
-            try:
-                age = time.time() - os.path.getmtime(path)
-            except OSError:
-                continue  # claim vanished between open and stat: race again
-            if age <= ttl_s:
-                return False
-            try:  # break the stale claim; the O_EXCL retry arbitrates racers
-                os.unlink(path)
-            except OSError:
-                pass
-    return False
+    return try_claim_path(claim_path(item, model), ttl_s)
 
 
 def release_claim(item: str, model: Optional[str] = None) -> None:
-    try:
-        os.unlink(claim_path(item, model))
-    except OSError:
-        pass
+    from cbas_tpu.utils.claims import release_claim_path
+
+    release_claim_path(claim_path(item, model))
 
 
 # ---------------------------------------------------------------------------

@@ -112,3 +112,38 @@ def test_train_final_phase(runner, project):
     assert "metrics" in cfg
     assert "Train Inst (Frames)" in cfg["metrics"]["walk"]
     assert "F1 Score" in cfg["metrics"]["walk"]
+
+
+def test_sweep_fanout_two_jobs(project):
+    """jobs=2 drains a 2-combo grid through two claim-guarded worker
+    processes and the parent collects both rows; completed combos are
+    skipped on a rerun (resume semantics)."""
+    import os as _os
+
+    _os.environ["CBAS_SWEEP_NO_CHIP_BINDING"] = "1"
+    _os.environ["CBAS_FORCE_CPU"] = "1"
+    try:
+        r2 = SweepRunner(
+            project,
+            "d",
+            parameter_grid={"learning_rate": [5e-3, 1e-3], "sequence_length": [7]},
+            fixed=dict(TINY, training_method="oversampling", use_test=False,
+                       test_split=0.0, optimization_target="weighted avg",
+                       lstm_hidden_size=8, lstm_layers=1),
+            n_sweep_splits=2,
+            n_outer_splits=2,
+        )
+        out = r2.run_sweep(jobs=2)
+        assert out and os.path.exists(out)
+        df = pd.read_csv(out)
+        assert len(df) == 2 and set(df["learning_rate"]) == {5e-3, 1e-3}
+        # resume: both combos have reports now, a rerun only re-collects
+        t0 = __import__("time").time()
+        out2 = r2.run_sweep(jobs=1)
+        assert out2 and len(pd.read_csv(out2)) == 2
+        assert __import__("time").time() - t0 < 30  # no retraining happened
+        leftovers = [f for f in os.listdir(r2.experiments_dir) if f.endswith(".claim")]
+        assert leftovers == []
+    finally:
+        _os.environ.pop("CBAS_SWEEP_NO_CHIP_BINDING", None)
+        _os.environ.pop("CBAS_FORCE_CPU", None)
