@@ -94,8 +94,11 @@ def test_live_multistream_loop(tmp_path):
                 videos.append(v)
             time.sleep(0.3)
 
-        # Everything must flow through without intervention.
-        deadline = time.monotonic() + 90
+        # Everything must flow through without intervention. Healthy runs
+        # finish in seconds; the generous ceiling absorbs cold XLA compiles
+        # on a loaded 1-vCPU CI host (observed >90 s late in a full-suite
+        # run), where a tight deadline only manufactures flakes.
+        deadline = time.monotonic() + 240
         expected_csvs = [
             outputs_csv_for_h5(h5_path_for_video(v), "live") for v in videos
         ]
