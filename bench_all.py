@@ -119,6 +119,12 @@ def _head_train_row(seq_len=31, hidden=128, n_behaviors=9, batch=480, n_iters=10
 
 
 def main() -> None:
+    from bench import wait_for_device
+
+    if not wait_for_device():
+        print(json.dumps({"error": "TPU backend unreachable (tunnel down?)"}))
+        sys.exit(1)
+
     import jax
 
     from cbas_tpu.utils.jax_setup import enable_compilation_cache
