@@ -293,3 +293,73 @@ def test_playback_mode_is_read_only(project):
     assert s.delete_instance() is None
     assert s.save()["status"] == "error"
     s.close()
+
+
+def test_fuzz_labeling_invariants(project):
+    """Randomized operation sequences preserve the engine's invariants:
+    instances stay in-bounds with start < end, never overlap, counts() always
+    re-derives from the buffer, and the final buffer round-trips through
+    save() into a fresh session. 3 seeds x 250 ops."""
+    proj, video, rel = project
+
+    def assert_invariants(s, tag):
+        insts = sorted(s.buffer, key=lambda i: (i["start"], i["end"]))
+        for inst in insts:
+            assert 0 <= inst["start"] < inst["end"] <= s.total_frames - 1, (tag, inst)
+            assert inst["label"] in s.behaviors, (tag, inst)
+        for a, b in zip(insts, insts[1:]):
+            assert a["end"] < b["start"], (tag, "overlap", a, b)
+        counts = s.counts()
+        expect = {b: 0 for b in s.behaviors}
+        for inst in insts:
+            expect[inst["label"]] += inst["end"] - inst["start"] + 1
+        assert counts == expect, (tag, counts, expect)
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        s = make_session(project)
+        try:
+            for step in range(250):
+                op = rng.integers(0, 8)
+                if op == 0:
+                    s.jump_to_frame(int(rng.integers(-5, 110)))
+                elif op == 1:
+                    s.next_frame(int(rng.integers(-16, 17)))
+                elif op == 2:
+                    s.label_frame(int(rng.integers(0, 2)))
+                elif op == 3:
+                    s.delete_instance()
+                elif op == 4:
+                    s.undo_last()
+                elif op == 5:
+                    s.jump_to_instance(int(rng.choice([-1, 1])))
+                elif op == 6:
+                    s.update_instance_boundary(
+                        "start" if rng.integers(0, 2) else "end"
+                    )
+                else:
+                    s.click_timeline(int(rng.integers(0, 1000)))
+                assert_invariants(s, f"seed{seed} step{step} op{op}")
+
+            # settle any pending label, then round-trip through save()
+            s.pending_type, s.pending_start = -1, -1
+            final = [
+                {"start": i["start"], "end": i["end"], "label": i["label"]}
+                for i in s.buffer
+            ]
+            s.dirty.add("fuzz")  # force a write even if ops net out to no-op
+            result = s.save()
+            assert result["status"] in ("success", "no_changes", "ok"), result
+        finally:
+            s.close()
+
+        s2 = make_session(project)
+        try:
+            reloaded = [
+                {"start": i["start"], "end": i["end"], "label": i["label"]}
+                for i in s2.buffer
+            ]
+            key = lambda i: (i["start"], i["end"], i["label"])
+            assert sorted(reloaded, key=key) == sorted(final, key=key), seed
+        finally:
+            s2.close()
