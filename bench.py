@@ -189,18 +189,26 @@ def wait_for_device(retries: int = 6, probe_timeout_s: int = 90, wait_s: int = 3
 
 def main() -> None:
     if not wait_for_device():
-        print(
-            json.dumps(
-                {
-                    "metric": "dinov3_vitb16_encode_fps_per_chip_480p",
-                    "value": 0,
-                    "unit": "frames/s",
-                    "vs_baseline": 0,
-                    "error": "TPU backend unreachable: PJRT client creation hung/failed "
-                    "in every probe (tunnel down?)",
-                }
+        err = {
+            "metric": "dinov3_vitb16_encode_fps_per_chip_480p",
+            "value": 0,
+            "unit": "frames/s",
+            "vs_baseline": 0,
+            "error": "TPU backend unreachable: PJRT client creation hung/failed "
+            "in every probe (tunnel down?)",
+        }
+        try:  # carry the last measured table so the artifact isn't a bare zero
+            repo = os.path.dirname(os.path.abspath(__file__))
+            table = json.load(open(os.path.join(repo, "benchmarks", "bench_all.json")))
+            row = next(
+                r for r in table["rows"]
+                if r["program"].startswith("dinov3-vitb16") and r["geometry"].startswith("640x480")
             )
-        )
+            err["last_measured_fps"] = row["frames_per_s"]
+            err["last_measured_device"] = table.get("device")
+        except Exception:
+            pass
+        print(json.dumps(err))
         sys.exit(1)
 
     import jax.numpy as jnp
