@@ -894,6 +894,23 @@ class Api:
             df, behaviors, framerate, binsize_minutes, threshold, out_path
         )
 
+    def read_text_file(self, path: str) -> Optional[str]:
+        """Contents of a PROJECT-INTERNAL text artifact (e.g. an export the
+        desktop shell re-saves via its native dialog). Paths outside the
+        project root resolve to None — this is reachable from the wire, so
+        it must not be a general file-read primitive."""
+        if not self.state.project:
+            return None
+        root = os.path.realpath(self.state.project.path)
+        real = os.path.realpath(path)
+        if not real.startswith(root + os.sep):
+            return None
+        try:
+            with open(real, "r", encoding="utf-8") as f:
+                return f.read()
+        except (OSError, UnicodeDecodeError):
+            return None
+
     def generate_ethogram(self, csv_path: str, framerate: float) -> Optional[str]:
         if not os.path.exists(csv_path):
             return None

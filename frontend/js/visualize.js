@@ -127,7 +127,16 @@
       parseInt($("vz-bin").value, 10),
       parseFloat($("vz-thr").value)
     );
-    alert(path ? "wrote " + path : "no data for selection");
+    if (!path) return alert("no data for selection");
+    // Under the desktop shell, additionally offer a native save-as of the
+    // generated CSV (reference save-file-to-disk, main.js:131-139).
+    if (window.electronAPI && window.electronAPI.saveData) {
+      const csv = await rpc("read_text_file", path);
+      if (csv !== null)
+        await window.electronAPI.saveData(path.split("/").pop(), csv);
+      return;
+    }
+    alert("wrote " + path);
   };
 
   $("vz-ethogram").onclick = async () => {

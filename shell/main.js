@@ -21,6 +21,20 @@ let pythonProc = null;
 let mainWindow = null;
 let quitting = false;
 
+// Single instance: two backends would race on the same project tree and
+// recorder processes (reference main.js:10-20). A second launch focuses the
+// existing window instead.
+if (!app.requestSingleInstanceLock()) {
+  app.quit();
+} else {
+  app.on('second-instance', () => {
+    if (mainWindow) {
+      if (mainWindow.isMinimized()) mainWindow.restore();
+      mainWindow.focus();
+    }
+  });
+}
+
 function pythonExecutable() {
   // Prefer a sibling venv (like the reference's hardcoded venv path, but
   // discovered rather than assumed); fall back to PATH.
@@ -111,6 +125,19 @@ ipcMain.handle('dialog:openFiles', async (_e, filters) => {
 ipcMain.handle('dialog:saveFile', async (_e, defaultName) => {
   const r = await dialog.showSaveDialog(mainWindow, { defaultPath: defaultName });
   return r.canceled ? null : r.filePath;
+});
+// Renderer-supplied contents to a user-chosen path (reference
+// save-file-to-disk, main.js:131-139): used for exporting generated CSVs.
+ipcMain.handle('dialog:saveData', async (_e, defaultName, data) => {
+  const r = await dialog.showSaveDialog(mainWindow, { defaultPath: defaultName });
+  if (r.canceled || !r.filePath) return null;
+  try {
+    require('fs').writeFileSync(r.filePath, data);
+    return r.filePath;
+  } catch (err) {
+    dialog.showErrorBox('Save Error', 'Could not save the file: ' + err.message);
+    return null;
+  }
 });
 
 app.whenReady().then(() => {

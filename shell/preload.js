@@ -6,4 +6,5 @@ contextBridge.exposeInMainWorld('electronAPI', {
   openDirectory: () => ipcRenderer.invoke('dialog:openDirectory'),
   openFiles: (filters) => ipcRenderer.invoke('dialog:openFiles', filters),
   saveFile: (defaultName) => ipcRenderer.invoke('dialog:saveFile', defaultName),
+  saveData: (defaultName, data) => ipcRenderer.invoke('dialog:saveData', defaultName, data),
 });

@@ -265,3 +265,15 @@ def test_playback_session_loads_predictions_read_only(api):
     assert api.save_session_labels()["status"] == "error"
     # no predictions -> refused with an error callback
     assert not api.start_playback_session("d", "nomodel", video)
+
+
+def test_read_text_file_is_project_scoped(api):
+    """read_text_file serves project-internal artifacts only: absolute paths
+    outside the project root (and traversal into them) return None."""
+    proj = api.state.project
+    inside = os.path.join(proj.path, "note.txt")
+    open(inside, "w").write("hello")
+    assert api.read_text_file(inside) == "hello"
+    assert api.read_text_file("/etc/passwd") is None
+    assert api.read_text_file(os.path.join(proj.path, "..", "..", "etc", "passwd")) is None
+    assert api.read_text_file(os.path.join(proj.path, "missing.txt")) is None
