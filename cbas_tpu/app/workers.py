@@ -38,7 +38,17 @@ class EncodeWorker(threading.Thread):
         super().__init__(daemon=True, name="EncodeWorker")
         self.state = state
         self.poll_s = poll_s
-        self.config = config or EncodeConfig()
+        self._config = config
+
+    @property
+    def config(self) -> EncodeConfig:
+        """Explicit config wins; else the loaded project's ``encode:`` YAML
+        section (where e.g. reuse_threshold is set per deployment)."""
+        if self._config is not None:
+            return self._config
+        if self.state.project is not None:
+            return self.state.project.settings.encode
+        return EncodeConfig()
 
     def process_one(self) -> bool:
         path = self.state.encode_tasks.pop()

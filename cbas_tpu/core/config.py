@@ -108,12 +108,17 @@ class ProjectSettings:
 
     encoder_model_identifier: str = DEFAULT_ENCODER
     runtime: "RuntimeConfig" = None  # type: ignore[assignment]
+    encode: "EncodeConfig" = None  # type: ignore[assignment]
 
     def __post_init__(self) -> None:
         if self.runtime is None:
             self.runtime = RuntimeConfig()
         elif isinstance(self.runtime, dict):
             self.runtime = _from_dict(RuntimeConfig, self.runtime)
+        if self.encode is None:
+            self.encode = EncodeConfig()
+        elif isinstance(self.encode, dict):
+            self.encode = _from_dict(EncodeConfig, self.encode)
 
     @classmethod
     def from_dict(cls, data: Optional[Dict[str, Any]]) -> "ProjectSettings":
@@ -189,6 +194,16 @@ class EncodeConfig:
     chunk_frames: int = 480
     h5_chunk_rows: int = 8192     # HDF5 chunking of the "cls" dataset
     prefetch_chunks: int = 2      # host-side decode lookahead (double buffering)
+    # Opt-in inter-frame embedding reuse (0 = off, exact parity). A frame
+    # whose green plane differs from the last ENCODED (key) frame by less
+    # than this mean-absolute-difference (0-255 units) copies that key's
+    # embedding instead of re-encoding. Home-cage video is mostly static, so
+    # modest thresholds (~2-4) cut device batches severalfold; an
+    # APPROXIMATION by construction — downstream heads see stepwise-constant
+    # embeddings through static spans. Keys are compared against the last
+    # key (not the previous frame), so drift cannot accumulate past the
+    # threshold.
+    reuse_threshold: float = 0.0
 
 
 @dataclass

@@ -44,6 +44,8 @@ class EncodeStats:
         self.decode_s = 0.0
         self.device_s = 0.0
         self.wall_s = 0.0
+        self.key_frames = 0     # frames actually encoded (reuse mode)
+        self.reused_frames = 0  # frames that copied a key's embedding
 
     @property
     def fps(self) -> float:
@@ -63,6 +65,10 @@ def encode_file(
     up), mirroring the reference's error contract (backend/cbas.py:447-456).
     """
     cfg = config or EncodeConfig()
+    if cfg.reuse_threshold > 0:
+        return _encode_file_reuse(
+            encoder, path, progress_callback, cfg, cancel_event, stats
+        )
     reader = open_video(path)
     abort = threading.Event()  # consumer-side failure -> stop the decode thread
     t_decode = None
@@ -185,6 +191,214 @@ def encode_file(
         # The decode thread may be mid-read; closing the decoder under it is a
         # use-after-free. Signal it, drain the queue so a blocked put wakes,
         # and join before releasing the reader.
+        abort.set()
+        if t_decode is not None:
+            while t_decode.is_alive():
+                try:
+                    chunk_q.get_nowait()
+                except queue.Empty:
+                    pass
+                t_decode.join(timeout=0.2)
+        reader.close()
+
+
+def _encode_file_reuse(
+    encoder: FrameEncoder,
+    path: str,
+    progress_callback: Optional[Callable[[float], None]],
+    cfg: EncodeConfig,
+    cancel_event: Optional[threading.Event],
+    stats: Optional[EncodeStats],
+) -> Optional[str]:
+    """Reuse-gated encode (``EncodeConfig.reuse_threshold`` > 0, opt-in).
+
+    Home-cage video is mostly static, so most frames' green planes are
+    within a small mean-absolute-difference of the previous ones. Here a
+    frame within ``reuse_threshold`` MAD of the last ENCODED frame (the
+    "key" — compared against the key, never the previous frame, so drift
+    cannot creep past the threshold) copies that key's embedding row instead
+    of re-encoding. Keys are compacted into a staging buffer and dispatched
+    only when a FULL device batch accumulates — the MXU always sees dense
+    full-size batches, and both device work and H2D traffic shrink by the
+    reuse ratio. Output rows are re-ordered back to frame order before the
+    H5 append, so the artifact is indistinguishable in shape/stamp from a
+    dense encode (one (N, D) fp16 table).
+
+    This is an APPROXIMATION (embeddings become stepwise-constant through
+    static spans); threshold 0 — the default everywhere — keeps exact
+    dense parity.
+    """
+    reader = open_video(path)
+    abort = threading.Event()
+    t_decode = None
+    try:
+        video_len = len(reader)
+        if video_len == 0:
+            print(f"Warning: video {path} contains no frames; skipping.")
+            return None
+        out_path = h5_path_for_video(path)
+        t0 = time.perf_counter()
+
+        chunk_q: "queue.Queue" = queue.Queue(maxsize=max(1, cfg.prefetch_chunks))
+        decode_err: list = []
+
+        def decode_worker() -> None:
+            try:
+                for start in range(0, video_len, cfg.chunk_frames):
+                    if abort.is_set() or (
+                        cancel_event is not None and cancel_event.is_set()
+                    ):
+                        break
+                    n = min(cfg.chunk_frames, video_len - start)
+                    t = time.perf_counter()
+                    planes = reader.read_green_batch(start, n)
+                    metrics.add(DECODE_FRAMES, len(planes), time.perf_counter() - t)
+                    if stats is not None:
+                        stats.decode_s += time.perf_counter() - t
+                    while not abort.is_set():
+                        try:
+                            chunk_q.put((start, planes), timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if len(planes) < n:
+                        log_message(
+                            f"Decode ended early at frame {start + len(planes)}"
+                            f"/{video_len} for {path}; truncating embeddings.",
+                            "WARN",
+                        )
+                        break
+            except Exception as e:
+                decode_err.append(e)
+            finally:
+                while not abort.is_set():
+                    try:
+                        chunk_q.put(_SENTINEL, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        t_decode = threading.Thread(target=decode_worker, daemon=True)
+        t_decode.start()
+
+        writer = EmbeddingWriter(
+            out_path,
+            encoder_identifier=encoder.identifier,
+            embed_dim=encoder.embed_dim,
+            chunk_rows=cfg.h5_chunk_rows,
+        )
+
+        staging: Optional[np.ndarray] = None  # (chunk_frames, H, W) key planes
+        staged = 0
+        last_key: Optional[np.ndarray] = None
+        key_ref = (0, 0)          # (batch_idx, slot) of the current key
+        pending_rows: list = []   # per output frame, in frame order
+        batches_done: dict = {}   # batch_idx -> host (n, D) embeddings
+        next_batch = 0            # index the staging buffer will dispatch as
+        in_flight = None          # (batch_idx, pending)
+        emitted = 0
+        keys = reused = 0
+
+        def resolve_in_flight() -> None:
+            nonlocal in_flight
+            if in_flight is None:
+                return
+            bidx, pending = in_flight
+            in_flight = None
+            t = time.perf_counter()
+            batches_done[bidx] = encoder.to_host(pending)
+            if stats is not None:
+                stats.device_s += time.perf_counter() - t
+
+        def dispatch_staging() -> None:
+            nonlocal staged, in_flight, next_batch
+            if staged == 0:
+                return
+            resolve_in_flight()  # keep exactly one device batch in flight
+            t_enc = time.perf_counter()
+            pending = encoder.encode_planes_async(
+                staging[:staged].copy(), batch=cfg.chunk_frames
+            )
+            meter = ENCODE_FRAMES if pending[2] else ENCODE_FRAMES_COLD
+            metrics.add(meter, staged, time.perf_counter() - t_enc)
+            in_flight = (next_batch, pending)
+            next_batch += 1
+            staged = 0
+
+        def flush_rows() -> None:
+            """Append the longest frame-order prefix whose batches are done,
+            then drop batches nothing can reference anymore."""
+            nonlocal emitted
+            rows = []
+            while pending_rows and pending_rows[0][0] in batches_done:
+                b, s = pending_rows.pop(0)
+                rows.append(batches_done[b][s])
+            if rows:
+                t = time.perf_counter()
+                block = np.stack(rows)
+                writer.append(block)
+                metrics.add(H5_ROWS, block.shape[0], time.perf_counter() - t)
+                emitted += block.shape[0]
+                if progress_callback:
+                    progress_callback(emitted / video_len * 100.0)
+            still_needed = {b for b, _ in pending_rows} | {key_ref[0]}
+            for b in [b for b in batches_done if b not in still_needed]:
+                del batches_done[b]
+
+        try:
+            while True:
+                item = chunk_q.get()
+                if item is _SENTINEL:
+                    break
+                _, planes = item
+                if staging is None:
+                    staging = np.empty(
+                        (cfg.chunk_frames,) + planes.shape[1:], np.uint8
+                    )
+                for plane in planes:
+                    if last_key is None or float(
+                        np.mean(np.abs(plane.astype(np.int16) - last_key))
+                    ) >= cfg.reuse_threshold:
+                        if staged == cfg.chunk_frames:
+                            dispatch_staging()
+                        staging[staged] = plane
+                        key_ref = (next_batch, staged)
+                        last_key = plane.astype(np.int16)
+                        staged += 1
+                        keys += 1
+                    else:
+                        reused += 1
+                    pending_rows.append(key_ref)
+                flush_rows()
+            dispatch_staging()
+            resolve_in_flight()
+            flush_rows()
+            if decode_err:
+                raise decode_err[0]
+            if (
+                cancel_event is not None
+                and cancel_event.is_set()
+                and emitted < video_len
+            ):
+                writer.close(success=False)
+                return None
+            assert not pending_rows, "reuse bookkeeping left unresolved rows"
+        except BaseException:
+            writer.close(success=False)
+            raise
+        result = writer.close(success=True)
+        if stats is not None:
+            stats.frames += emitted
+            stats.wall_s += time.perf_counter() - t0
+            stats.key_frames += keys
+            stats.reused_frames += reused
+        if keys + reused:
+            log_message(
+                f"Reuse-gated encode: {keys} keys / {reused} reused "
+                f"({100.0 * reused / (keys + reused):.1f}% static) for {path}."
+            )
+        return result
+    finally:
         abort.set()
         if t_decode is not None:
             while t_decode.is_alive():

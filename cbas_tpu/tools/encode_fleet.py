@@ -110,7 +110,8 @@ def release_claim(item: str, model: Optional[str] = None) -> None:
 
 def run_worker(manifest: str, encoder_path: str, chip: Optional[int],
                force_cpu: bool, claim_ttl: float, batch: int,
-               model_dir: Optional[str] = None) -> int:
+               model_dir: Optional[str] = None,
+               project_path: Optional[str] = None) -> int:
     """Drain the manifest on one chip. Prints one JSON line per file."""
     if chip is not None and not force_cpu:
         # must precede any jax import/backend init in this process
@@ -135,7 +136,17 @@ def run_worker(manifest: str, encoder_path: str, chip: Optional[int],
     enable_compilation_cache()
     videos = json.load(open(manifest))
     enc = FrameEncoder(encoder_path)
-    cfg = EncodeConfig(chunk_frames=batch) if batch else EncodeConfig()
+    # project encode settings (e.g. reuse_threshold) apply here too;
+    # an explicit --batch overrides the chunk size
+    cfg = EncodeConfig()
+    if project_path:
+        from cbas_tpu.core.project import Project
+
+        cfg = Project(project_path).settings.encode
+    if batch:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, chunk_frames=batch)
     done = failed = 0
     for video in videos:
         # The claim is a LEASE (who is encoding now), not a done-marker: the
@@ -237,7 +248,8 @@ def main(argv=None) -> int:
     if args.worker:
         return run_worker(args.manifest, args.encoder, args.chip,
                           args.force_cpu, args.claim_ttl, args.batch,
-                          model_dir=args.model_dir)
+                          model_dir=args.model_dir,
+                          project_path=args.project)
 
     from cbas_tpu.core.project import Project
 

@@ -261,3 +261,48 @@ def test_encode_stops_at_decode_truncation(video_path, small_encoder, monkeypatc
     rows = hdf5_store.read_all(out).shape[0]
     assert rows == 16 + (16 - 3)  # first full chunk + truncated second, then stop
     assert rows < N_FRAMES
+
+
+def test_reuse_gated_encode(small_encoder, tmp_path):
+    """reuse_threshold > 0: static frames copy their key's embedding row,
+    output stays frame-ordered and full-length, key rows match the dense
+    encode, and cross-batch reuse bookkeeping resolves (chunk 16 forces
+    several compacted device batches)."""
+    path = str(tmp_path / "static_00001.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (RES, RES))
+    rng = np.random.default_rng(7)
+    scene_a = rng.integers(0, 256, (RES, RES, 3), np.uint8)
+    scene_b = rng.integers(0, 256, (RES, RES, 3), np.uint8)
+    for i in range(60):  # A x20, B x20, A x20 — two hard scene cuts
+        w.write(scene_a if (i // 20) % 2 == 0 else scene_b)
+    w.release()
+
+    stats = EncodeStats()
+    cfg = EncodeConfig(chunk_frames=16, reuse_threshold=3.0)
+    out = encode_file(small_encoder, path, config=cfg, stats=stats)
+    data = hdf5_store.read_all(out)
+    assert data.shape == (60, 64)
+    assert stats.frames == 60
+    assert stats.key_frames + stats.reused_frames == 60
+    assert stats.reused_frames >= 40, (stats.key_frames, stats.reused_frames)
+
+    # Reused rows are exact copies: each static span is a constant block.
+    for span in (slice(0, 20), slice(20, 40), slice(40, 60)):
+        block = data[span]
+        # codec noise may promote an extra key inside a span; every row must
+        # still equal SOME row of the span's first frame or its later keys —
+        # the strong invariant is spans of consecutive equal rows
+        uniq = np.unique(block, axis=0)
+        assert len(uniq) <= 3, f"span {span} has {len(uniq)} distinct rows"
+
+    # Key rows equal the dense (threshold 0) encode at the same positions.
+    os.remove(out)
+    dense = hdf5_store.read_all(
+        encode_file(small_encoder, path, config=EncodeConfig(chunk_frames=16))
+    )
+    np.testing.assert_allclose(
+        data[0].astype(np.float32), dense[0].astype(np.float32), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        data[20].astype(np.float32), dense[20].astype(np.float32), atol=2e-3
+    )
