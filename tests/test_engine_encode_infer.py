@@ -306,3 +306,50 @@ def test_reuse_gated_encode(small_encoder, tmp_path):
     np.testing.assert_allclose(
         data[20].astype(np.float32), dense[20].astype(np.float32), atol=2e-3
     )
+
+
+def test_reuse_encode_truncation_and_cancel(video_path, small_encoder,
+                                            monkeypatch, tmp_path):
+    """The reuse path keeps the dense path's failure contracts: a short
+    decode truncates (no gap), and a pre-set cancel event leaves no H5."""
+    import shutil
+    import threading
+
+    from cbas_tpu.engine import encode as encode_mod
+
+    # private copy: this test writes/removes H5s next to the shared video
+    vid = str(tmp_path / "v_00001.mp4")
+    shutil.copy(video_path, vid)
+
+    real_open = encode_mod.open_video
+
+    class TruncatingReader:
+        def __init__(self, inner):
+            self._inner = inner
+            self.frame_count = inner.frame_count
+
+        def __len__(self):
+            return self._inner.frame_count
+
+        def read_green_batch(self, start, count):
+            got = self._inner.read_green_batch(start, count)
+            return got[: count - 3] if start > 0 else got
+
+        def close(self):
+            self._inner.close()
+
+    monkeypatch.setattr(
+        encode_mod, "open_video", lambda p: TruncatingReader(real_open(p))
+    )
+    cfg = EncodeConfig(chunk_frames=16, reuse_threshold=1.0)
+    out = encode_mod.encode_file(small_encoder, vid, config=cfg)
+    rows = hdf5_store.read_all(out).shape[0]
+    assert rows == 16 + (16 - 3)
+    os.remove(out)
+
+    cancel = threading.Event()
+    cancel.set()
+    assert encode_mod.encode_file(small_encoder, vid, config=cfg,
+                                  cancel_event=cancel) is None
+    assert not os.path.exists(out)
+    assert [f for f in os.listdir(os.path.dirname(vid)) if f.endswith(".tmp")] == []
