@@ -167,3 +167,24 @@ def test_training_dialog_covers_all_hyperparams():
     assert exposed <= fields, f"dialog invents: {sorted(exposed - fields)}"
     # the custom-weights panel wires data-behavior inputs into kw.custom_weights
     assert "custom_weights" in src and "tr-weight" in src
+
+
+def test_every_dom_id_referenced_in_js_exists_in_markup():
+    """$(\"id\")/getElementById lookups in the page scripts must resolve:
+    a dangling id is a silent runtime TypeError in the browser that no
+    Python test would otherwise catch."""
+    html = open(os.path.join(FRONTEND, "index.html")).read()
+    ids = set(re.findall(r'id="([^"]+)"', html))
+    # modal bodies and cards are built from JS template strings: ids defined
+    # there (id="..." inside any JS source) count as markup too
+    for src in _js_sources().values():
+        ids |= set(re.findall(r'id="([^"$]+)"', src))
+    missing = {}
+    for path, src in sorted(_js_sources().items()):
+        refs = set(re.findall(r'\$\("([^"]+)"\)', src))
+        refs |= set(re.findall(r'getElementById\("([^"]+)"\)', src))
+        # template-built ids (contain ${) are per-datum, not static markup
+        bad = {r for r in refs - ids if "${" not in r}
+        if bad:
+            missing[os.path.basename(path)] = sorted(bad)
+    assert not missing, f"JS references ids absent from any markup: {missing}"
