@@ -48,6 +48,7 @@ import numpy as np
 
 BENCH_VIDEO = os.path.expanduser("~/.cache/cbas_tpu/bench480.mp4")
 BENCH_VIDEO_256 = os.path.expanduser("~/.cache/cbas_tpu/bench256.mp4")
+BENCH_VIDEO_CAGE = os.path.expanduser("~/.cache/cbas_tpu/bench256_cage.mp4")
 N_FRAMES = 2000
 
 
@@ -68,6 +69,36 @@ def ensure_bench_video(path: str = BENCH_VIDEO, width: int = 640, height: int = 
         frame = (base % 256).astype(np.uint8)
         noise = rng.integers(0, 30, (height, width), np.uint8)
         w.write(cv2.merge([frame, cv2.add(frame, noise), frame]))
+    w.release()
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_cage_video(path: str = BENCH_VIDEO_CAGE, size: int = 256) -> str:
+    """Home-cage-like clip: long static spans with short movement bursts
+    (~85% static), the workload reuse gating exists for."""
+    if os.path.exists(path):
+        return path
+    import cv2
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp.mp4"
+    rng = np.random.default_rng(1)
+    w = cv2.VideoWriter(tmp, cv2.VideoWriter_fourcc(*"mp4v"), 10, (size, size))
+    scene = rng.integers(0, 200, (size, size, 3), np.uint8)
+    moving = False
+    for t in range(N_FRAMES):
+        if t % 100 == 0:
+            moving = (t // 100) % 7 == 0  # one 10 s movement burst per 70 s
+        frame = scene.copy()
+        if moving:
+            blob = max(8, size // 8)
+            y0 = min(blob, size - blob)
+            x = (t * 9) % (size - blob)
+            frame[y0 : y0 + blob, x : x + blob] = rng.integers(
+                0, 255, (blob, blob, 3), np.uint8
+            )
+        w.write(frame)
     w.release()
     os.replace(tmp, path)
     return path
@@ -260,6 +291,30 @@ def main() -> None:
         # binding stage (H2D here; the device program sustains ~1.6k fps and
         # decode ~3.5k fps at this geometry) saturated.
         extras["h2d_fps_ceiling_256"] = round(h2d["median"] * 1e6 / (256 * 256), 1)
+
+        # Reuse-gated encode on a cage-like (mostly static) clip: both H2D
+        # and device batches shrink by the reuse ratio, so this row shows
+        # the workload-level multiplier the opt-in approximation buys
+        # (docs/TPU.md "Inter-frame embedding reuse").
+        from cbas_tpu.core.config import EncodeConfig
+        from cbas_tpu.engine.encode import EncodeStats, encode_file
+
+        cage = ensure_cage_video()
+        st = EncodeStats()
+        cfgr = EncodeConfig(chunk_frames=384, reuse_threshold=3.0)
+        outp = encode_file(enc, cage, config=cfgr, stats=st)  # warm compile
+        if outp:
+            os.remove(outp)
+        rates = []
+        for _ in range(3):
+            st = EncodeStats()
+            outp = encode_file(enc, cage, config=cfgr, stats=st)
+            if outp:
+                os.remove(outp)
+            rates.append(st.fps)
+        extras["end_to_end_fps_256_reuse"] = _spread(rates)["median"]
+        total = max(1, st.key_frames + st.reused_frames)
+        extras["reuse_static_pct"] = round(100.0 * st.reused_frames / total, 1)
         # The relay serializes H2D against device compute (measured, see
         # module docstring), so through this harness the expected pipeline
         # ceiling is the harmonic rate of the two stages, not min(stages).
