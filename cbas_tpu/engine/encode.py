@@ -314,16 +314,26 @@ def _encode_file_reuse(
             nonlocal staged, in_flight, next_batch
             if staged == 0:
                 return
-            resolve_in_flight()  # keep exactly one device batch in flight
+            # Dispatch N+1 BEFORE resolving N (same order as the dense
+            # consumer): the new batch computes while the host blocks on the
+            # old one's device_get, keeping one batch always in flight.
+            # staging is .copy()'d, so refilling it under the new dispatch
+            # is safe.
             t_enc = time.perf_counter()
             pending = encoder.encode_planes_async(
                 staging[:staged].copy(), batch=cfg.chunk_frames
             )
             meter = ENCODE_FRAMES if pending[2] else ENCODE_FRAMES_COLD
             metrics.add(meter, staged, time.perf_counter() - t_enc)
-            in_flight = (next_batch, pending)
+            prev, in_flight = in_flight, (next_batch, pending)
             next_batch += 1
             staged = 0
+            if prev is not None:
+                bidx, p = prev
+                t = time.perf_counter()
+                batches_done[bidx] = encoder.to_host(p)
+                if stats is not None:
+                    stats.device_s += time.perf_counter() - t
 
         def flush_rows() -> None:
             """Append the longest frame-order prefix whose batches are done,
