@@ -19,13 +19,55 @@ import os
 import time
 
 
+_BREAK_GUARD_TTL_S = 60.0
+
+
+def _break_stale(path: str, ttl_s: float) -> None:
+    """Unlink ``path`` iff it is still stale, under a breaker guard file.
+
+    A bare stat-then-unlink is racy: between one breaker's stat (stale) and
+    its unlink, another breaker may have broken the claim AND a new owner
+    re-created it — the unlink then destroys a LIVE lease (observed as two
+    claim winners under thread contention). The guard (``<path>.break``,
+    O_EXCL) serializes breakers, and staleness is re-checked under it; new
+    claims only appear after an unlink, and only guard holders unlink, so a
+    fresh claim is never seen stale by a holder. The guard clears itself
+    after 60 s if its holder died (that one-level-down race window is
+    milliseconds against a 60 s bound).
+    """
+    guard = path + ".break"
+    try:
+        fd = os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        try:
+            if time.time() - os.path.getmtime(guard) > _BREAK_GUARD_TTL_S:
+                os.unlink(guard)  # breaker died mid-break
+        except OSError:
+            pass
+        return
+    except OSError:
+        return
+    try:
+        try:
+            if time.time() - os.path.getmtime(path) > ttl_s:
+                os.unlink(path)
+        except OSError:
+            pass
+    finally:
+        try:
+            os.unlink(guard)
+        except OSError:
+            pass
+
+
 def try_claim_path(path: str, ttl_s: float) -> bool:
     """Atomically create the claim file; True iff this process now owns it.
 
-    A leftover claim older than ``ttl_s`` is broken and re-contended (the
-    O_EXCL retry arbitrates between racing breakers).
+    A leftover claim older than ``ttl_s`` is broken (guard-serialized, see
+    :func:`_break_stale`) and re-contended via the O_EXCL retry.
     """
-    for _ in range(2):  # second pass after breaking a stale claim
+    for _ in range(3):  # retries after a break or a vanished claim
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, f"{os.getpid()}@{time.time()}\n".encode())
@@ -38,10 +80,7 @@ def try_claim_path(path: str, ttl_s: float) -> bool:
                 continue  # claim vanished between open and stat: race again
             if age <= ttl_s:
                 return False
-            try:
-                os.unlink(path)
-            except OSError:
-                pass
+            _break_stale(path, ttl_s)
     return False
 
 

@@ -87,3 +87,35 @@ def test_two_cpu_workers_drain_the_demo_project(tmp_path):
     leftovers = [f for _, _, fs in os.walk(root) for f in fs
                  if f.endswith(".claim") or f.endswith(".csv.tmp")]
     assert leftovers == []
+
+
+def test_claim_contention_exactly_one_winner(tmp_path):
+    """N threads racing for the same claim: exactly one wins per round, even
+    when rounds are interleaved with releases and stale-claim breaking."""
+    import threading
+
+    from cbas_tpu.utils.claims import release_claim_path, try_claim_path
+
+    path = str(tmp_path / "work.claim")
+    for round_no in range(20):
+        wins = []
+        barrier = threading.Barrier(8)
+
+        def racer():
+            barrier.wait()
+            if try_claim_path(path, ttl_s=3600):
+                wins.append(1)
+
+        threads = [threading.Thread(target=racer) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(wins) == 1, f"round {round_no}: {len(wins)} winners"
+        if round_no % 2:
+            release_claim_path(path)  # next round contends on a fresh file
+        else:
+            old = time.time() - 7200  # next round must break a stale claim
+            os.utime(path, (old, old))
+    leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".break")]
+    assert leftovers == [], "breaker guards must clean up after themselves"
