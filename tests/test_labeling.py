@@ -363,3 +363,54 @@ def test_fuzz_labeling_invariants(project):
             assert sorted(reloaded, key=key) == sorted(final, key=key), seed
         finally:
             s2.close()
+
+
+def test_fuzz_clean_and_sort_properties():
+    """Random messy label docs: after cleaning, per-video instances are
+    sorted, non-overlapping, within the original span set, and cleaning is
+    idempotent (clean(clean(x)) == clean(x)); conflict count drops to 0."""
+    import numpy as np
+
+    from cbas_tpu.core.labels import analyze_label_conflicts, clean_and_sort_labels
+
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        behaviors = ["walk", "rest", "groom"]
+        doc = {"labels": {b: [] for b in behaviors}}
+        for _ in range(rng.integers(5, 60)):
+            b = behaviors[rng.integers(0, 3)]
+            v = f"recordings/s/m{rng.integers(0, 3)}/v_00001.mp4"
+            start = int(rng.integers(0, 400))
+            end = start + int(rng.integers(0, 80))
+            doc["labels"][b].append(
+                {"video": v, "start": start, "end": end, "label": b}
+            )
+            if rng.random() < 0.3:  # exact duplicate
+                doc["labels"][b].append(
+                    {"video": v, "start": start, "end": end, "label": b}
+                )
+
+        cleaned = clean_and_sort_labels({"labels": {k: list(map(dict, v)) for k, v in doc["labels"].items()}})
+
+        per_video = {}
+        for b, insts in cleaned["labels"].items():
+            for inst in insts:
+                assert inst["label"] == b
+                assert inst["start"] <= inst["end"]
+                per_video.setdefault(inst["video"], []).append(inst)
+        for v, insts in per_video.items():
+            insts.sort(key=lambda i: i["start"])
+            for a, c in zip(insts, insts[1:]):
+                assert a["end"] < c["start"], (seed, v, a, c)
+
+        conflicts = analyze_label_conflicts(cleaned)
+        assert all(v == 0 for v in conflicts.values()), (seed, conflicts)
+
+        again = clean_and_sort_labels(
+            {"labels": {k: list(map(dict, vv)) for k, vv in cleaned["labels"].items()}}
+        )
+        norm = lambda d: {
+            b: sorted(((i["video"], i["start"], i["end"]) for i in ii))
+            for b, ii in d["labels"].items()
+        }
+        assert norm(again) == norm(cleaned), seed
