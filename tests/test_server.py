@@ -120,3 +120,50 @@ def test_cross_origin_posts_rejected(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 403
+
+
+def test_concurrent_requests_with_sse_held_open(server):
+    """The UI holds a persistent /events stream while issuing API calls: N
+    parallel POSTs must all complete (and deliver their own SSE events)
+    while two streams stay attached — guards against any regression to a
+    single-threaded accept loop."""
+    import time
+
+    srv, api = server
+    streams_got = [[], []]
+
+    def reader(idx):
+        req = urllib.request.Request(f"http://localhost:{srv.port}/events")
+        with urllib.request.urlopen(req, timeout=15) as resp:
+            for raw in resp:
+                line = raw.decode().strip()
+                if line.startswith("data: "):
+                    streams_got[idx].append(json.loads(line[6:]))
+                    if len(streams_got[idx]) >= 8:
+                        return
+
+    readers = [threading.Thread(target=reader, args=(i,), daemon=True) for i in (0, 1)]
+    for t in readers:
+        t.start()
+    time.sleep(0.3)
+
+    results, errors = [], []
+
+    def caller(i):
+        try:
+            results.append(rpc(srv.port, "get_cbas_status"))
+            api.state.callbacks.emit("burst_event", i)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    callers = [threading.Thread(target=caller, args=(i,)) for i in range(8)]
+    for t in callers:
+        t.start()
+    for t in callers:
+        t.join(timeout=15)
+    assert not errors and len(results) == 8
+    for t in readers:
+        t.join(timeout=10)
+    for got in streams_got:
+        bursts = {g["args"][0] for g in got if g.get("name") == "burst_event"}
+        assert bursts == set(range(8)), bursts
