@@ -25,8 +25,24 @@ from cbas_tpu.utils.naming import h5_path_for_video
 
 
 def run_preflight_check(project: Project, dataset_name: str, test_split: float) -> dict:
-    """Fast file-only simulation of the split a training run would make."""
+    """Dry-run of the split a training run would actually make.
+
+    The reference's preflight allocates by INSTANCE fractions while its real
+    splitter slices SUBJECT counts (label_train_page.py:43-122 vs
+    splits.py:50-141) — with few subjects preflight can approve a split whose
+    validation set comes out empty, silently disabling early stopping. Here
+    the check runs the production ``RandomSplitProvider`` at the same ratios
+    the orchestrator derives (``default_split_ratios``), so what's validated
+    is what will run:
+
+    - subject-count slicing (empty-val detection is exact, seed-free)
+    - 3 trial seeds of the stratified 10-attempt search; if none covers
+      every behavior in train+val, training would take the relaxed fallback
+      — reported as a warning, not a pass.
+    """
     try:
+        from cbas_tpu.core.splits import RandomSplitProvider
+
         dataset = project.datasets.get(dataset_name)
         if dataset is None:
             return {"is_valid": False, "message": "Dataset not found."}
@@ -35,66 +51,66 @@ def run_preflight_check(project: Project, dataset_name: str, test_split: float) 
         if not behaviors:
             return {"is_valid": False, "message": "Dataset has no defined behaviors."}
 
-        group_insts: Dict[str, list] = defaultdict(list)
         group_behaviors: Dict[str, set] = defaultdict(set)
         for inst in all_insts:
-            g = subject_of(inst)
-            group_insts[g].append(inst)
-            group_behaviors[g].add(inst["label"])
-        groups = sorted(group_insts.keys())
+            group_behaviors[subject_of(inst)].add(inst["label"])
+        groups = sorted(group_behaviors.keys())
         if len(groups) < 3:
             return {
                 "is_valid": False,
                 "message": f"Not enough subjects/groups ({len(groups)}) to form a 3-way split.",
             }
 
-        total = len(all_insts)
-        test_groups, val_groups, train_groups = set(), set(), set()
-        test_count = 0
-        for g in groups:
-            if total > 0 and (test_count / total) < test_split:
-                test_groups.add(g)
-                test_count += len(group_insts[g])
-        remaining = [g for g in groups if g not in test_groups]
-        remaining_total = sum(len(group_insts[g]) for g in remaining)
-        val_count = 0
-        if remaining_total > 0:
-            for g in remaining:
-                if val_count / remaining_total < 0.2:
-                    val_groups.add(g)
-                    val_count += len(group_insts[g])
-                else:
-                    train_groups.add(g)
-        else:
-            train_groups = set(remaining)
+        test = max(0.0, float(test_split))
+        if test >= 0.7:
+            return {
+                "is_valid": False,
+                "message": f"Test split {test:.0%} leaves too little for train+validation.",
+            }
+        # same ratio derivation as the orchestrator (default_split_ratios)
+        ratios = (1.0 - test - 0.15, 0.15, test)
+        provider = RandomSplitProvider(seed=0, split_ratios=ratios)
 
-        if not train_groups or not val_groups:
+        # Structural sizing via the provider's own slicer: exact and
+        # seed-independent (shuffles permute, counts don't change).
+        train_s, val_s, _ = provider._slice_by_ratio(list(groups))
+        if not train_s or not val_s:
             return {
                 "is_valid": False,
-                "message": "Split resulted in an empty train or validation set.",
-            }
-        train_b = {b for g in train_groups for b in group_behaviors[g]}
-        if train_b != behaviors:
-            return {
-                "is_valid": False,
-                "message": f"Train set would be missing behaviors: {', '.join(sorted(behaviors - train_b))}",
-            }
-        val_b = {b for g in val_groups for b in group_behaviors[g]}
-        if val_b != behaviors:
-            return {
-                "is_valid": False,
-                "message": f"Validation set would be missing behaviors: {', '.join(sorted(behaviors - val_b))}",
-            }
-        test_b = {b for g in test_groups for b in group_behaviors[g]}
-        if test_b and test_b != behaviors:
-            return {
-                "is_valid": True,
                 "message": (
-                    f"Warning: Test set will be missing behaviors: "
-                    f"{', '.join(sorted(behaviors - test_b))}. Proceed with caution."
+                    f"With {len(groups)} subjects at these ratios the "
+                    "validation set would be EMPTY — training would run "
+                    "without early stopping. Add labeled subjects or reduce "
+                    "the test split."
                 ),
             }
-        return {"is_valid": True, "message": "Split is valid. Ready to train."}
+
+        # Stratification: mirror training's shuffle search on trial seeds.
+        for seed in (0, 1, 2):
+            try:
+                t_g, v_g, test_g = RandomSplitProvider(
+                    seed=seed, split_ratios=ratios
+                ).get_split(0, groups, all_insts, sorted(behaviors))
+            except RuntimeError:
+                continue
+            test_b = {b for g in test_g for b in group_behaviors[g]}
+            if test_b and test_b != behaviors:
+                return {
+                    "is_valid": True,
+                    "message": (
+                        f"Warning: Test set will be missing behaviors: "
+                        f"{', '.join(sorted(behaviors - test_b))}. Proceed with caution."
+                    ),
+                }
+            return {"is_valid": True, "message": "Split is valid. Ready to train."}
+        return {
+            "is_valid": True,
+            "message": (
+                "Warning: no behavior-covering train/validation split found "
+                "on trial seeds — training will fall back to a plain subject "
+                "split and rare behaviors may be missing from validation."
+            ),
+        }
     except Exception as e:
         return {"is_valid": False, "message": f"An unexpected error occurred: {e}"}
 

@@ -127,9 +127,16 @@ def test_preflight_gates(api):
     # H5s missing -> not ready.
     ready, msg = check_dataset_files_ready(proj, "d")
     assert not ready and ".h5" in msg
-    # Preflight: 4 subjects, every subject has both behaviors.
+    # Preflight dry-runs the REAL splitter: 4 subjects at (0.65, 0.15, 0.2)
+    # slice to val = int(0.15*4) = 0 subjects — the exact configuration the
+    # old instance-fraction heuristic wrongly approved (training would then
+    # run without early stopping). Must be reported invalid, naming the
+    # empty validation set.
     res = run_preflight_check(proj, "d", 0.2)
-    assert res["is_valid"], res["message"]
+    assert not res["is_valid"] and "EMPTY" in res["message"], res
+    # Without a test reservation, leftovers become validation: valid.
+    res_no_test = run_preflight_check(proj, "d", 0.0)
+    assert res_no_test["is_valid"], res_no_test["message"]
     res2 = run_preflight_check(proj, "nope", 0.2)
     assert not res2["is_valid"]
 
