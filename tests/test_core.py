@@ -289,3 +289,23 @@ def test_classifications_bind_to_longest_video_stem(tmp_path):
     rec = Recording(str(d))
     assert set(rec.classifications) == {"m"}
     assert len(rec.classifications["m"]) == 2
+
+
+def test_project_settings_encode_section_roundtrip(tmp_path):
+    """The encode: YAML section (reuse_threshold etc.) loads into typed
+    EncodeConfig and survives a settings round-trip."""
+    from cbas_tpu.core.config import ProjectSettings, dump_yaml, load_yaml
+
+    s = ProjectSettings.from_dict(
+        {"encoder_model_identifier": "enc",
+         "encode": {"reuse_threshold": 2.5, "chunk_frames": 128}}
+    )
+    assert s.encode.reuse_threshold == 2.5 and s.encode.chunk_frames == 128
+    assert s.encode.h5_chunk_rows == 8192  # unspecified fields keep defaults
+
+    p = tmp_path / "cbas_config.yaml"
+    dump_yaml(s.to_dict(), str(p))
+    s2 = ProjectSettings.from_dict(load_yaml(str(p)))
+    assert s2.encode.reuse_threshold == 2.5
+    # default settings leave reuse off (exact dense parity)
+    assert ProjectSettings().encode.reuse_threshold == 0.0
