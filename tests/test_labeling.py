@@ -414,3 +414,36 @@ def test_fuzz_clean_and_sort_properties():
             for b, ii in d["labels"].items()
         }
         assert norm(again) == norm(cleaned), seed
+
+
+def test_fuzz_subtract_intervals_frame_exact():
+    """Random holes: the surviving pieces are exactly the instance's frames
+    minus every hole frame — disjoint, ordered, within bounds."""
+    import numpy as np
+
+    from cbas_tpu.core.labels import subtract_intervals
+
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        start = int(rng.integers(0, 50))
+        end = start + int(rng.integers(0, 200))
+        inst = {"video": "v", "start": start, "end": end, "label": "walk"}
+        holes = []
+        for _ in range(rng.integers(0, 8)):
+            hs = int(rng.integers(start - 20, end + 20))
+            holes.append((hs, hs + int(rng.integers(0, 60))))
+
+        pieces = subtract_intervals(inst, holes)
+
+        want = set(range(start, end + 1))
+        for hs, he in holes:
+            want -= set(range(hs, he + 1))
+        got = set()
+        for p in pieces:
+            ps, pe = int(p["start"]), int(p["end"])
+            assert start <= ps <= pe <= end, (seed, p)
+            span = set(range(ps, pe + 1))
+            assert not (span & got), (seed, "pieces overlap")
+            got |= span
+            assert p["label"] == "walk" and p["video"] == "v"
+        assert got == want, (seed, sorted(want - got)[:5], sorted(got - want)[:5])
