@@ -498,8 +498,13 @@
     $("lt-labeling").classList.add("hidden");
   };
   $("lt-close").onclick = () => $("lt-labeling").classList.add("hidden");
+  // Mode matches the reference's below/above radio pair (reference:
+  // frontend/js/label_train_page.js:1215-1246): "below" keeps predictions the
+  // model is UNSURE about (confidence <= thr, the review-the-doubtful flow),
+  // "above" keeps confident ones (spot-check flow).
   $("lt-refilter").onclick = () =>
-    rpc("refilter_instances", parseInt($("lt-filter-thr").value, 10));
+    rpc("refilter_instances", parseInt($("lt-filter-thr").value, 10),
+        $("lt-filter-mode").value);
 
   $("lt-start").onclick = () =>
     rpc("start_labeling", $("lt-ds-select").value, $("lt-video-select").value);
