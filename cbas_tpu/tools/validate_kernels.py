@@ -37,7 +37,9 @@ def _oracle(q, k, v, scale):
     return np.einsum("bhqk,bhkd->bhqd", p, v.astype(np.float64))
 
 
-def main() -> int:
+def main(geometries=None) -> int:
+    """Run the validation sweep; ``geometries`` overrides the production
+    list (the CPU test suite passes tiny shapes to smoke the harness)."""
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +59,7 @@ def main() -> int:
     rng = np.random.default_rng(0)
     failures = 0
 
-    for B, H, N, d, rope in GEOMETRIES:
+    for B, H, N, d, rope in (GEOMETRIES if geometries is None else geometries):
         scale = d ** -0.5
         q, k, v = (rng.normal(size=(B, H, N, d)).astype(np.float32) for _ in range(3))
         if rope:
@@ -114,16 +116,18 @@ def main() -> int:
                 f"{'ok' if ok else 'FAIL'}"
             )
 
-    # Production bf16 path vs unfused bf16.
+    # Production bf16 path vs unfused bf16 (480p ViT-B shape, or the last
+    # override geometry when the test suite passes tiny shapes).
+    bB, bH, bN, bd = (2, 12, 1205, 64) if geometries is None else geometries[-1][:4]
     q, k, v = (
-        jnp.asarray(rng.normal(size=(2, 12, 1205, 64)).astype(np.float32)).astype(jnp.bfloat16)
+        jnp.asarray(rng.normal(size=(bB, bH, bN, bd)).astype(np.float32)).astype(jnp.bfloat16)
         for _ in range(3)
     )
     err = float(
         jnp.max(
             jnp.abs(
-                fused_attention(q, k, v, 0.125).astype(jnp.float32)
-                - reference_attention(q, k, v, 0.125).astype(jnp.float32)
+                fused_attention(q, k, v, bd ** -0.5).astype(jnp.float32)
+                - reference_attention(q, k, v, bd ** -0.5).astype(jnp.float32)
             )
         )
     )
