@@ -232,11 +232,19 @@ class SweepRunner:
             )
             task = self._make_task(combo["params"])
             provider = ManifestSplitProvider(self.sweep_manifest_path, fingerprint)
-            run_training_job(
-                self.project, task, split_provider=provider,
-                output_dir=combo["out_dir"], plot_suffix="runs", seed=self.seed,
-            )
-            release_claim_path(claim)
+            try:
+                run_training_job(
+                    self.project, task, split_provider=provider,
+                    output_dir=combo["out_dir"], plot_suffix="runs", seed=self.seed,
+                )
+            except Exception as e:  # noqa: BLE001 — one bad combo must not stall the grid
+                # Release the claim so a resumed/parallel worker can retry
+                # immediately (a leaked claim blocks the combo for the full
+                # TTL), and keep draining the remaining combos.
+                log_message(f"Sweep job {i + 1} ({combo['grid']}) failed: {e}", "ERROR")
+                continue
+            finally:
+                release_claim_path(claim)
             log_message(f"--- Sweep job {i + 1} done in {time.time() - t0:.1f}s ---")
 
     def _collect_sweep_results(self, combos: List[dict]) -> Optional[str]:
@@ -312,8 +320,10 @@ class SweepRunner:
             for i in range(jobs):
                 env = dict(os.environ)
                 if not os.environ.get("CBAS_SWEEP_NO_CHIP_BINDING"):
-                    env.setdefault("TPU_VISIBLE_CHIPS", str(i))
-                    env.setdefault("TPU_PROCESS_BOUNDS", "1,1,1")
+                    # assign, don't setdefault: an inherited TPU_VISIBLE_CHIPS
+                    # would pin every worker to the same chip
+                    env["TPU_VISIBLE_CHIPS"] = str(i)
+                    env["TPU_PROCESS_BOUNDS"] = "1,1,1"
                 procs.append(subprocess.Popen(cmd, env=env))
             rc = [p.wait() for p in procs]
             if any(rc):

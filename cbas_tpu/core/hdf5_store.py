@@ -122,13 +122,12 @@ def is_stamp_valid(h5_path: str, expected_encoder: str) -> bool:
             stamp = f.attrs.get("encoder_model_identifier")
             if stamp is None:
                 return False
-            from cbas_tpu.utils.naming import canonical_encoder_identity
+            from cbas_tpu.utils.naming import identities_equivalent
 
             # Compare machine-independent identities: stamps written against
-            # a project-local encoder must survive the project moving hosts.
-            return canonical_encoder_identity(str(stamp)) == canonical_encoder_identity(
-                expected_encoder
-            )
+            # a project-local encoder must survive the project moving hosts
+            # AND fingerprint-algorithm upgrades (legacy stamps accepted).
+            return identities_equivalent(str(stamp), expected_encoder)
     except Exception:
         return False
 

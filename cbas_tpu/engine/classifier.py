@@ -112,14 +112,13 @@ class ClassifierBundle:
                 "hyperparameters": dict(config or {}),
             }
 
-        from cbas_tpu.utils.naming import canonical_encoder_identity
+        from cbas_tpu.utils.naming import identities_equivalent
 
         model_encoder = meta.get("encoder_model_identifier")
         if (
             expected_encoder
             and model_encoder
-            and canonical_encoder_identity(model_encoder)
-            != canonical_encoder_identity(expected_encoder)
+            and not identities_equivalent(model_encoder, expected_encoder)
         ):
             raise ValueError(
                 f"Encoder mismatch: project uses '{expected_encoder}' but model "

@@ -13,6 +13,7 @@ The output file keeps the reference contract: "cls" (N, 768) float16, chunks
 
 from __future__ import annotations
 
+import collections
 import os
 import queue
 import threading
@@ -292,7 +293,9 @@ def _encode_file_reuse(
         staged = 0
         last_key: Optional[np.ndarray] = None
         key_ref = (0, 0)          # (batch_idx, slot) of the current key
-        pending_rows: list = []   # per output frame, in frame order
+        # per output frame, in frame order; a deque because high-reuse video
+        # holds thousands of rows here and flush pops from the FRONT
+        pending_rows: collections.deque = collections.deque()
         batches_done: dict = {}   # batch_idx -> host (n, D) embeddings
         next_batch = 0            # index the staging buffer will dispatch as
         in_flight = None          # (batch_idx, pending)
@@ -341,7 +344,7 @@ def _encode_file_reuse(
             nonlocal emitted
             rows = []
             while pending_rows and pending_rows[0][0] in batches_done:
-                b, s = pending_rows.pop(0)
+                b, s = pending_rows.popleft()
                 rows.append(batches_done[b][s])
             if rows:
                 t = time.perf_counter()

@@ -114,9 +114,12 @@ def run_worker(manifest: str, encoder_path: str, chip: Optional[int],
                project_path: Optional[str] = None) -> int:
     """Drain the manifest on one chip. Prints one JSON line per file."""
     if chip is not None and not force_cpu:
-        # must precede any jax import/backend init in this process
-        os.environ.setdefault("TPU_VISIBLE_CHIPS", str(chip))
-        os.environ.setdefault("TPU_PROCESS_BOUNDS", "1,1,1")
+        # must precede any jax import/backend init in this process; assign
+        # (not setdefault) — a leftover TPU_VISIBLE_CHIPS in the operator's
+        # shell would otherwise bind every worker to the same chip and
+        # silently collapse the fan-out
+        os.environ["TPU_VISIBLE_CHIPS"] = str(chip)
+        os.environ["TPU_PROCESS_BOUNDS"] = "1,1,1"
 
     import jax
 
@@ -297,7 +300,11 @@ def main(argv=None) -> int:
         cmd_base.append("--force-cpu")
     t0 = time.time()
     procs = [subprocess.Popen(cmd_base + ["--chip", str(i)]) for i in range(n)]
-    rc = max(p.wait() for p in procs)
+    codes = [p.wait() for p in procs]
+    # Signal-killed workers exit NEGATIVE (-9 for an OOM SIGKILL), which a
+    # max() would mask behind a healthy worker's 0 — any nonzero code means
+    # part of the library may not have been drained.
+    rc = 0 if not any(codes) else 1
     wall = time.time() - t0
 
     if args.manifest:
@@ -307,7 +314,7 @@ def main(argv=None) -> int:
     else:
         remaining = scan_todo(args.project)
     summary = {"fleet_done": True, "videos": len(todo), "workers": n,
-               "wall_s": round(wall, 1), "rc": rc}
+               "wall_s": round(wall, 1), "rc": rc, "worker_rcs": codes}
     if remaining is not None:
         summary["still_stale"] = len(remaining)
     _emit(summary)

@@ -35,12 +35,17 @@ def outputs_csv_for_h5(h5_path: str, model_name: str) -> str:
 _FP_CACHE: dict = {}
 
 
-def _checkpoint_fingerprint(path: str) -> Optional[str]:
+def _checkpoint_fingerprint(path: str, legacy: bool = False) -> Optional[str]:
     """Content fingerprint of a local checkpoint dir/file: sha256 over the
     file name + size plus a strided sample (head, middle, tail) of each file's
     bytes, so an in-place weights swap with unchanged early tensors (frozen
     patch embeddings etc.) still changes the fingerprint. Stable across
-    machines (content-based); cached per (realpath, mtime)."""
+    machines (content-based); cached per (realpath, mtime).
+
+    ``legacy=True`` reproduces the pre-strided algorithm (head 64 KiB only)
+    so stamps written by earlier releases still validate — without it, a
+    version upgrade would re-fingerprint every unchanged local checkpoint and
+    silently queue a full re-encode of the video library."""
     import hashlib
 
     try:
@@ -55,8 +60,9 @@ def _checkpoint_fingerprint(path: str) -> Optional[str]:
         files = [f for f in files if os.path.isfile(f)]
         if not files:
             return None
+        cache_key = (real, legacy)
         key = (real, tuple(os.path.getmtime(f) for f in files))
-        hit = _FP_CACHE.get(real)
+        hit = _FP_CACHE.get(cache_key)
         if hit and hit[0] == key:
             return hit[1]
         h = hashlib.sha256()
@@ -67,14 +73,15 @@ def _checkpoint_fingerprint(path: str) -> Optional[str]:
             h.update(str(size).encode())
             with open(f, "rb") as fh:
                 h.update(fh.read(window))
-                if size > 2 * window:
-                    fh.seek((size - window) // 2)
-                    h.update(fh.read(window))
-                if size > window:
-                    fh.seek(max(size - window, window))
-                    h.update(fh.read(window))
+                if not legacy:
+                    if size > 2 * window:
+                        fh.seek((size - window) // 2)
+                        h.update(fh.read(window))
+                    if size > window:
+                        fh.seek(max(size - window, window))
+                        h.update(fh.read(window))
         fp = h.hexdigest()[:8]
-        _FP_CACHE[real] = (key, fp)
+        _FP_CACHE[cache_key] = (key, fp)
         return fp
     except OSError:
         return None
@@ -114,6 +121,33 @@ def canonical_encoder_identity(identifier: str) -> str:
         fp = _checkpoint_fingerprint(s)
         return f"{base}#{fp}" if fp else base
     return s
+
+
+def encoder_identity_candidates(identifier: str) -> tuple:
+    """All identities this identifier may legitimately appear stamped as.
+
+    The primary (current-algorithm) identity first, then the legacy
+    head-only-hash identity for local checkpoints — so embeddings stamped by
+    an earlier release keep validating after an upgrade instead of queueing
+    a full library re-encode. New stamps are always written with the primary
+    identity (EmbeddingWriter uses :func:`canonical_encoder_identity`)."""
+    primary = canonical_encoder_identity(identifier)
+    out = [primary]
+    if "#" in primary:
+        s = identifier.rstrip("/\\")
+        legacy_fp = _checkpoint_fingerprint(s, legacy=True)
+        if legacy_fp:
+            legacy = f"{os.path.basename(s)}#{legacy_fp}"
+            if legacy != primary:
+                out.append(legacy)
+    return tuple(out)
+
+
+def identities_equivalent(a: str, b: str) -> bool:
+    """True iff two encoder identifiers denote the same checkpoint, accepting
+    either side's legacy-fingerprint form."""
+    ca, cb = encoder_identity_candidates(a), encoder_identity_candidates(b)
+    return not set(ca).isdisjoint(cb)
 
 
 def outputs_csv_for_video(video_path: str, model_name: str) -> str:

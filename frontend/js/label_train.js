@@ -579,8 +579,11 @@
     // Preflight first (reference: checkAndShowTrainModal runs the split
     // validity check before opening the dialog): warn-and-confirm instead of
     // silently training with an empty validation split.
+    // test fraction is only reserved when the held-out-test box is checked
+    // (mirrors orchestrator.default_split_ratios) — otherwise preflight
+    // would validate ratios the training run won't use
     const pf = await rpc("run_preflight_check", $("tr-ds").value,
-                         parseFloat($("tr-test").value));
+                         $("tr-usetest").checked ? parseFloat($("tr-test").value) : 0);
     if (pf && pf.is_valid === false &&
         !confirm(`Preflight: ${pf.message || "split looks invalid"}\nTrain anyway?`))
       return;

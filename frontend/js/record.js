@@ -348,7 +348,12 @@
     $("rc-preview-label").textContent = `live: ${name}`;
   });
   bus.on("end_live_preview", (name) => {
-    if (previewingCamera === name) previewingCamera = null;
+    // Only react to the CURRENT camera's stream ending: switching preview
+    // A->B fires A's on_end asynchronously after B is already live, and
+    // hiding the pane then would make B's preview look dead until its
+    // first RTSP frame arrives.
+    if (previewingCamera !== name) return;
+    previewingCamera = null;
     $("rc-preview").classList.add("hidden");
     $("rc-preview-label").textContent = `preview ended (${name})`;
   });

@@ -276,6 +276,44 @@ def test_canonical_encoder_identity_fingerprints_local_checkpoints(tmp_path):
     assert cid("/some/other/host/encoder") == "encoder"
 
 
+def test_legacy_fingerprint_stamps_still_validate(tmp_path):
+    """Stamps written by the pre-strided (head-64KiB-only) fingerprint must
+    keep validating after an upgrade — otherwise every unchanged checkpoint
+    would queue a full library re-encode (r3 review finding)."""
+    import hashlib
+    import json
+
+    from cbas_tpu.utils.naming import (
+        canonical_encoder_identity as cid,
+        encoder_identity_candidates,
+        identities_equivalent,
+    )
+
+    d = tmp_path / "encoder"
+    d.mkdir()
+    cfg_bytes = json.dumps({"hidden_size": 8}).encode()
+    # > 2*64KiB so the strided algorithm reads middle+tail and DIFFERS from
+    # the legacy head-only hash
+    blob = bytes(range(256)) * 1024  # 256 KiB
+    (d / "config.json").write_bytes(cfg_bytes)
+    (d / "model.safetensors").write_bytes(blob)
+
+    # reproduce the legacy (r2) algorithm independently
+    h = hashlib.sha256()
+    for name, data in (("config.json", cfg_bytes), ("model.safetensors", blob)):
+        h.update(name.encode())
+        h.update(str(len(data)).encode())
+        h.update(data[:65536])
+    legacy_stamp = f"encoder#{h.hexdigest()[:8]}"
+
+    primary = cid(str(d))
+    assert primary != legacy_stamp  # the algorithms genuinely diverge here
+    assert legacy_stamp in encoder_identity_candidates(str(d))
+    assert identities_equivalent(legacy_stamp, str(d))      # old stamp, new code
+    assert identities_equivalent(primary, str(d))           # new stamp
+    assert not identities_equivalent("encoder#deadbeef", str(d))  # wrong content
+
+
 def test_classifications_bind_to_longest_video_stem(tmp_path):
     """cam_00001_aug's outputs must not parse as phantom model 'aug_m' on
     cam_00001 (review r3 finding: first prefix match won by scandir order)."""
@@ -309,3 +347,17 @@ def test_project_settings_encode_section_roundtrip(tmp_path):
     assert s2.encode.reuse_threshold == 2.5
     # default settings leave reuse off (exact dense parity)
     assert ProjectSettings().encode.reuse_threshold == 0.0
+
+
+def test_example_config_parses_into_project_settings():
+    """examples/cbas_config.yaml.example (the reference's
+    cbas_config.yaml.example analogue) must stay loadable by the typed
+    config tree — it's the documented starting point for users."""
+    from cbas_tpu.core.config import ProjectSettings, load_yaml
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "cbas_config.yaml.example")
+    s = ProjectSettings.from_dict(load_yaml(path))
+    assert s.encoder_model_identifier == "facebook/dinov2-with-registers-base"
+    assert s.runtime.mesh_axis_names == ["data"]
+    assert s.encode.chunk_frames == 480 and s.encode.reuse_threshold == 0.0

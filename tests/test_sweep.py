@@ -147,3 +147,43 @@ def test_sweep_fanout_two_jobs(project):
     finally:
         _os.environ.pop("CBAS_SWEEP_NO_CHIP_BINDING", None)
         _os.environ.pop("CBAS_FORCE_CPU", None)
+
+
+def test_failed_combo_releases_claim_and_drain_continues(project, monkeypatch):
+    """One bad combo must not stall the grid: its claim is released (a leaked
+    claim blocks retries for the full 6 h TTL) and the remaining combos still
+    run (r3 review finding)."""
+    import cbas_tpu.app.sweep as sweep_mod
+
+    # grid values distinct from the other tests': this test needs FRESH
+    # (report-less) combo out_dirs in the shared module-scope project
+    r = SweepRunner(
+        project,
+        "d",
+        parameter_grid={"learning_rate": [2e-3, 3e-3], "sequence_length": [7]},
+        fixed=dict(TINY, training_method="oversampling", use_test=False,
+                   test_split=0.0, optimization_target="weighted avg",
+                   lstm_hidden_size=8, lstm_layers=1),
+        n_sweep_splits=2,
+        n_outer_splits=2,
+    )
+    r.precompute_splits()
+    combos = r._sweep_combos()
+    assert len(combos) == 2
+
+    ran = []
+
+    def boom_then_ok(project_, task, **kw):
+        ran.append(kw["output_dir"])
+        if len(ran) == 1:
+            raise RuntimeError("synthetic OOM")
+        os.makedirs(kw["output_dir"], exist_ok=True)
+        with open(os.path.join(kw["output_dir"], "performance_report.yaml"), "w") as f:
+            f.write("run_results: []\n")
+
+    monkeypatch.setattr(sweep_mod, "run_training_job", boom_then_ok)
+    r._drain_sweep_combos(combos)
+
+    assert len(ran) == 2  # the second combo still ran after the first failed
+    leftovers = [f for f in os.listdir(r.experiments_dir) if f.endswith(".claim")]
+    assert leftovers == []  # the failed combo's claim was released
