@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cbas_tpu.core.config import dump_yaml, load_yaml
+from cbas_tpu.utils.logging import log_message
 from cbas_tpu.models.heads import (
     DeltasHeadConfig,
     LegacyHeadConfig,
@@ -58,25 +59,36 @@ class ClassifierBundle:
     # -- persistence ---------------------------------------------------------
 
     def save(self, model_dir: str, extra_meta: Optional[dict] = None) -> None:
+        """Write the bundle with hot-reload-safe ordering.
+
+        A live ClassifyWorker reloads when it sees a fresh ``model.npz``, so
+        metadata is written FIRST and the weights LAST (each file staged to a
+        tmp name and os.replace'd, never partially visible): any reader that
+        observes the new npz also observes the matching metadata. The reverse
+        interleaving (old weights + new meta) is tolerated by ``load()``,
+        which trusts weight shapes over metadata hyperparameters.
+        """
         os.makedirs(model_dir, exist_ok=True)
-        np.savez(os.path.join(model_dir, "model.npz"), **{
-            k: np.asarray(v) for k, v in self.params.items()
-        })
-        try:
-            from cbas_tpu.models.torch_port import save_pth
 
-            save_pth(self.params, os.path.join(model_dir, "model.pth"))
-        except ImportError:
-            pass
+        def _replace(write_fn, name: str) -> None:
+            # keep the real extension on the tmp name (np.savez appends
+            # ".npz" to names without it)
+            stem, ext = os.path.splitext(name)
+            tmp = os.path.join(model_dir, f"{stem}.tmp{ext}")
+            write_fn(tmp)
+            os.replace(tmp, os.path.join(model_dir, name))
 
-        dump_yaml(
-            {
-                "name": self.name,
-                "behaviors": self.behaviors,
-                "seq_len": self.seq_len,
-                "architecture": self.architecture,
-            },
-            os.path.join(model_dir, "config.yaml"),
+        _replace(
+            lambda p: dump_yaml(
+                {
+                    "name": self.name,
+                    "behaviors": self.behaviors,
+                    "seq_len": self.seq_len,
+                    "architecture": self.architecture,
+                },
+                p,
+            ),
+            "config.yaml",
         )
 
         meta = {
@@ -94,8 +106,22 @@ class ClassifierBundle:
         }
         if extra_meta:
             meta.update(extra_meta)
-        with open(os.path.join(model_dir, "model_meta.json"), "w", encoding="utf-8") as f:
-            json.dump(meta, f, indent=4)
+
+        def _write_meta(p: str) -> None:
+            with open(p, "w", encoding="utf-8") as f:
+                json.dump(meta, f, indent=4)
+
+        _replace(_write_meta, "model_meta.json")
+
+        try:
+            from cbas_tpu.models.torch_port import save_pth
+
+            _replace(lambda p: save_pth(self.params, p), "model.pth")
+        except ImportError:
+            pass
+
+        host_params = {k: np.asarray(v) for k, v in self.params.items()}
+        _replace(lambda p: np.savez(p, **host_params), "model.npz")
 
     @classmethod
     def load(cls, model_dir: str, expected_encoder: Optional[str] = None) -> "ClassifierBundle":
@@ -140,11 +166,31 @@ class ClassifierBundle:
         arch = meta.get("head_architecture_version", LEGACY_ARCH)
 
         if arch.startswith(DELTAS_ARCH):
+            # Weight shapes are ground truth for the params actually loaded:
+            # when metadata disagrees (e.g. a hot reload caught save() between
+            # writing weights and metadata), trusting meta crashes the LSTM
+            # scan with a contraction mismatch — trust the shapes instead.
             inferred = infer_deltas_hparams(params)
-            hidden = int(hp.get("lstm_hidden_size") or inferred["lstm_hidden_size"])
-            layers = int(hp.get("lstm_layers") or inferred["lstm_layers"])
-            use_acc = bool(hp.get("use_acceleration", "acc_bottleneck.0.weight" in params))
+            hidden = int(inferred["lstm_hidden_size"])
+            layers = int(inferred["lstm_layers"])
+            meta_hidden = hp.get("lstm_hidden_size")
+            if meta_hidden and int(meta_hidden) != hidden:
+                log_message(
+                    f"Bundle '{os.path.basename(model_dir)}' metadata says "
+                    f"lstm_hidden_size={meta_hidden} but weights are {hidden} "
+                    "(stale metadata mid-save?); using weight shapes.",
+                    "WARN",
+                )
+            use_acc = "acc_bottleneck.0.weight" in params
             arch = DELTAS_ARCH
+            out_dim = int(params["lin2.weight"].shape[0])
+            if behaviors and len(behaviors) != out_dim:
+                raise ValueError(
+                    f"Bundle '{os.path.basename(model_dir)}' lists "
+                    f"{len(behaviors)} behaviors but the output layer is "
+                    f"{out_dim}-wide — metadata and weights are out of sync "
+                    "(mid-save read?). Retry the load."
+                )
         else:
             hidden, layers, use_acc, arch = 64, 1, False, LEGACY_ARCH
 

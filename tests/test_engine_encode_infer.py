@@ -353,3 +353,78 @@ def test_reuse_encode_truncation_and_cancel(video_path, small_encoder,
                                   cancel_event=cancel) is None
     assert not os.path.exists(out)
     assert [f for f in os.listdir(os.path.dirname(vid)) if f.endswith(".tmp")] == []
+
+
+def test_bundle_load_trusts_weight_shapes_over_stale_meta(tmp_path):
+    """Hot reload can catch save() between files: metadata claiming a
+    different lstm_hidden_size must not poison the LSTM config (weights are
+    ground truth), and a behaviors/out-layer count mismatch must raise a
+    CLEAR error instead of a deep jit shape crash (r3 E2E finding)."""
+    import json
+
+    from cbas_tpu.engine.classifier import ClassifierBundle
+    from cbas_tpu.models.heads import DeltasHeadConfig, init_deltas_params
+
+    cfg = DeltasHeadConfig(in_features=32, out_features=2, seq_len=7, lstm_hidden_size=16)
+    params = jax.device_get(init_deltas_params(jax.random.key(0), cfg))
+    b = ClassifierBundle(
+        name="m", behaviors=["a", "b"], seq_len=7,
+        params={k: np.asarray(v) for k, v in params.items()},
+        lstm_hidden_size=16, lstm_layers=1, encoder_identifier="e",
+    )
+    d = str(tmp_path / "m")
+    b.save(d)
+
+    # stale meta: hidden size from a previous training run
+    meta_path = os.path.join(d, "model_meta.json")
+    meta = json.load(open(meta_path))
+    meta["hyperparameters"]["lstm_hidden_size"] = 32
+    json.dump(meta, open(meta_path, "w"))
+    loaded = ClassifierBundle.load(d)
+    assert loaded.lstm_hidden_size == 16  # weights win
+    # and the head actually runs
+    probs = loaded.probs_fn()(
+        {k: jnp.asarray(v) for k, v in loaded.params.items()},
+        jnp.zeros((4, 7, 32), jnp.float32),
+    )
+    assert probs.shape == (4, 2)
+
+    # behaviors count out of sync with the output layer: clear error
+    meta["hyperparameters"]["behaviors"] = ["a", "b", "c"]
+    meta["hyperparameters"]["lstm_hidden_size"] = 16
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="out of sync"):
+        ClassifierBundle.load(d)
+
+
+def test_bundle_save_writes_weights_last(tmp_path):
+    """model.npz is the hot-reload trigger, so it must be the LAST file the
+    save sequence makes visible (metadata-before-weights ordering)."""
+    from cbas_tpu.engine.classifier import ClassifierBundle
+    from cbas_tpu.models.heads import DeltasHeadConfig, init_deltas_params
+
+    cfg = DeltasHeadConfig(in_features=16, out_features=2, seq_len=7, lstm_hidden_size=8)
+    params = jax.device_get(init_deltas_params(jax.random.key(0), cfg))
+    b = ClassifierBundle(
+        name="m", behaviors=["a", "b"], seq_len=7,
+        params={k: np.asarray(v) for k, v in params.items()},
+        lstm_hidden_size=8, lstm_layers=1, encoder_identifier="e",
+    )
+
+    order = []
+    real_replace = os.replace
+
+    def spying_replace(src, dst):
+        order.append(os.path.basename(dst))
+        return real_replace(src, dst)
+
+    os.replace, _ = spying_replace, None
+    try:
+        b.save(str(tmp_path / "m"))
+    finally:
+        os.replace = real_replace
+    assert "model.npz" in order and "model_meta.json" in order
+    assert order.index("model_meta.json") < order.index("model.npz")
+    assert order[-1] == "model.npz"
+    # no tmp leftovers
+    assert not [f for f in os.listdir(tmp_path / "m") if ".tmp" in f]
