@@ -31,6 +31,7 @@ from cbas_tpu.core.splits import (
     SplitProvider,
     dataset_fingerprint,
     subject_of,
+    write_split_manifest,
 )
 from cbas_tpu.engine.orchestrator import run_training_job
 from cbas_tpu.utils.logging import log_message
@@ -161,20 +162,17 @@ class SweepRunner:
              "outer_evaluation"),
         ):
             provider = RandomSplitProvider(seed=self.seed, split_ratios=ratios)
-            manifest = {
-                "manifest_type": mtype,
-                "dataset_fingerprint": fingerprint,
-                "splits": [],
-            }
+            splits = []
             for i in range(n):
                 train, val, test = provider.get_split(
                     i, subjects, instances, behaviors, allow_relaxed_fallback=True
                 )
-                manifest["splits"].append(
-                    {"train": train, "validation": val, "test": test}
-                )
-            with open(path, "w", encoding="utf-8") as f:
-                json.dump(manifest, f, indent=4)
+                splits.append({"train": train, "validation": val, "test": test})
+            # single source of truth for the manifest format (it must stay
+            # readable by ManifestSplitProvider across both writers)
+            write_split_manifest(
+                path, splits, fingerprint, metadata={"manifest_type": mtype}
+            )
             log_message(f"Saved {n} splits to {path}")
 
     # -- phase 2: sweep ---------------------------------------------------------

@@ -100,17 +100,30 @@ def stitch_outputs(directory: str, model: str) -> Optional[pd.DataFrame]:
 # Actogram
 # ---------------------------------------------------------------------------
 
-def _light_pattern(light_cycle: Sequence[bool], bins_per_hour: float, bin_size_minutes: int):
+def _light_pattern(light_cycle: Sequence[bool], bins_per_period: int):
+    """Per-bin light/dark underlay, exactly ``bins_per_period`` wide.
+
+    The pattern is built by sampling the 24-entry cycle at each bin's
+    position in the period, so it stays aligned for ANY bin size — the
+    reference's ``np.repeat(cycle, 60 // bsm)`` (cbas.py:605) collapses to an
+    empty underlay for bins over 60 min and drifts for bin sizes that don't
+    divide 60 (24 pattern columns stretched over e.g. 32 bins). Documented
+    deviation: docs/Compatibility.md.
+    """
     light_yellow, dark_yellow = "#FEFDE3", "#E8D570"
     light_grey, dark_grey = "#D3D3D3", "#A9A9A9"
-    if all(light_cycle):  # LL
-        pattern = [1] * int(12 * 60 / bin_size_minutes) + [0] * int(12 * 60 / bin_size_minutes)
+    n = max(1, int(bins_per_period))
+    if all(light_cycle):  # LL: 12 h light / 12 h "shadow" gradient halves
+        half = (n + 1) // 2
+        pattern = [1] * half + [0] * (n - half)
         cmap = LinearSegmentedColormap.from_list("light_cmap", [dark_yellow, light_yellow])
     elif not any(light_cycle):  # DD
-        pattern = [1] * int(12 * 60 / bin_size_minutes) + [0] * int(12 * 60 / bin_size_minutes)
+        half = (n + 1) // 2
+        pattern = [1] * half + [0] * (n - half)
         cmap = LinearSegmentedColormap.from_list("light_cmap", [dark_grey, light_grey])
-    else:  # LD
-        pattern = np.repeat([int(b) for b in light_cycle], int(60 // bin_size_minutes))
+    else:  # LD: sample the 24 h cycle at each bin's fraction of the period
+        cyc = [int(b) for b in light_cycle]
+        pattern = [cyc[int(i * len(cyc) / n) % len(cyc)] for i in range(n)]
         cmap = LinearSegmentedColormap.from_list("light_cmap", [dark_grey, light_yellow])
     return np.asarray(pattern), cmap
 
@@ -146,7 +159,13 @@ def render_actogram_figure(
                 continue
             act = np.nan_to_num(day_act)
             phase = math.atan2((act * np.sin(t)).sum(), (act * np.cos(t)).sum())
-            hour = ((phase / (2 * np.pi)) * 24 + 24 + start_hour_offset) % 24
+            # The daily grid is ALREADY time-of-day aligned (front-padded by
+            # start_hour_offset above), so the circular mean is an absolute
+            # hour — the reference adds start_hour_offset a second time here
+            # (cbas.py:592), plotting every marker that many hours late; it
+            # also hardcodes 24 where the plot axis spans tau. Documented
+            # deviation: docs/Compatibility.md.
+            hour = ((phase / (2 * np.pi)) * tau + tau) % tau
             acrophase_points.append((day, hour))
 
     right = np.full_like(daily, np.nan)
@@ -154,7 +173,7 @@ def render_actogram_figure(
         right[:-1] = daily[1:]
     double_plotted = np.concatenate([daily, right], axis=1)
 
-    pattern, light_cmap = _light_pattern(light_cycle, 60 / bin_size_minutes, bin_size_minutes)
+    pattern, light_cmap = _light_pattern(light_cycle, bins_per_period)
     double_light = np.array([np.concatenate([pattern, pattern]) for _ in range(num_days)])
 
     if base_color:

@@ -1,9 +1,14 @@
 """Label instances: prediction→instance conversion and label hygiene.
 
 Pure host-side transformations over the labels.yaml instance schema
-(``{"video": rel_path, "start": int, "end": int, "label": str[, "confidence"]}``).
+(``{"video": rel_path, "start": int|float, "end": int|float, "label": str
+[, "confidence"]}``) — :func:`clean_and_sort_labels` normalizes start/end to
+float, matching the reference's cleanup output (label_train_page.py:888-889)
+so cleaned files round-trip between implementations.
 Behavior mirrors the reference's conversion and cleanup tools
-(reference: backend/cbas.py:903-956, backend/label_train_page.py:797-978).
+(reference: backend/cbas.py:903-956, backend/label_train_page.py:797-978),
+except that same-label overlaps UNION instead of losing the remainder — see
+docs/Compatibility.md "Documented deviations".
 """
 
 from __future__ import annotations
@@ -224,8 +229,13 @@ def clean_and_sort_labels(labels_doc: dict) -> dict:
                     if max(p0, e0) > min(p1, e1):  # disjoint
                         survivors.append(piece)
                         continue
-                    if piece["label"] == existing["label"]:
-                        continue  # same-label overlap: absorbed by the earlier one
+                    # Trim the overlap regardless of label: the step-3 merge
+                    # re-unions same-label neighbours, so a same-label
+                    # overlap resolves to the interval UNION. (The reference
+                    # instead discards the whole overlapping piece,
+                    # label_train_page.py:920 — walk[0,10] + walk[5,20]
+                    # loses frames 11-20 of user labels permanently.
+                    # Documented deviation: docs/Compatibility.md.)
                     if p0 < e0:
                         survivors.append({**piece, "end": e0 - 1})
                     if p1 > e1:
@@ -261,10 +271,15 @@ def coverage_report(
     labels_doc: dict, behaviors: Sequence[str]
 ) -> Dict[str, Dict[str, int]]:
     """Per-subject frame counts for each behavior (labeling coverage view)."""
+    from cbas_tpu.core.splits import subject_of
+
     report: Dict[str, Dict[str, int]] = defaultdict(lambda: {b: 0 for b in behaviors})
     for insts in labels_doc.get("labels", {}).values():
         for inst in insts:
-            subj = str(inst.get("video", "")).replace("\\", "/").rsplit("/", 1)[0]
+            # the SAME subject definition that governs train/val/test
+            # grouping (splits.subject_of), so the coverage view can never
+            # drift from what the splitter will actually do
+            subj = subject_of(inst)
             label = str(inst.get("label"))
             if label in report[subj]:
                 report[subj][label] += int(inst["end"]) - int(inst["start"]) + 1

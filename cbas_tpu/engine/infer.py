@@ -148,12 +148,15 @@ class InferenceSession:
             chunk_dev = jax.device_put(jnp.asarray(features))
 
         out = np.empty((n_targets, len(self.bundle.behaviors)), np.float32)
+        t0 = time.perf_counter()
         if n_targets <= wb:
             probs = np.asarray(self._program(self._params, chunk_dev, 0))
             out[:] = probs[:n_targets]
+            # count the fast path too — short segments are the common case
+            # this telemetry exists to observe
+            metrics.add(INFER_WINDOWS, n_targets, time.perf_counter() - t0)
             return out
         offset = 0
-        t0 = time.perf_counter()
         while offset < n_targets:
             take = min(wb, n_targets - offset)
             # Clamp the final batch so it re-reads overlapping windows instead

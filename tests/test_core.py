@@ -361,3 +361,19 @@ def test_example_config_parses_into_project_settings():
     assert s.encoder_model_identifier == "facebook/dinov2-with-registers-base"
     assert s.runtime.mesh_axis_names == ["data"]
     assert s.encode.chunk_frames == 480 and s.encode.reuse_threshold == 0.0
+
+
+def test_clean_same_label_overlap_unions_instead_of_losing_frames():
+    """walk[0,10] + walk[5,20] must clean to walk[0,20] — the reference drops
+    the overlapping piece wholesale (label_train_page.py:920), permanently
+    losing frames 11-20 of user labels; we deviate (documented) and union."""
+    doc = {
+        "behaviors": ["walk"],
+        "labels": {"walk": [
+            {"video": "v.mp4", "start": 0, "end": 10, "label": "walk"},
+            {"video": "v.mp4", "start": 5, "end": 20, "label": "walk"},
+        ]},
+    }
+    cleaned = clean_and_sort_labels(doc)
+    assert [(i["start"], i["end"]) for i in cleaned["labels"]["walk"]] == [(0.0, 20.0)]
+    assert clean_and_sort_labels(cleaned) == cleaned  # still idempotent

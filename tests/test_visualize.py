@@ -102,6 +102,48 @@ def test_render_actogram_acrophase_points():
     plt.close(fig)
 
 
+def _acrophase_xs(fig):
+    """X positions of the red acrophase markers on the left (first-plot) half."""
+    ax = fig.axes[0]
+    xs = [ln.get_xdata()[0] for ln in ax.lines if ln.get_marker() == "o"]
+    return sorted(x for x in xs if x < 24)
+
+
+def test_acrophase_not_double_shifted_by_start_hour(tmp_path):
+    """Recording starts at 06:00 with all activity at real hours 6-12: the
+    marker must sit near the activity's center (~09:00) — the reference adds
+    start_hour_offset to an already time-of-day-aligned grid (cbas.py:592)
+    and would plot it at ~15:00 (documented deviation)."""
+    import matplotlib.pyplot as plt
+
+    binned = np.full(18, 0.0)  # 18 hours recorded: 06:00 -> 24:00
+    binned[0:6] = 10           # activity 06:00-12:00
+    fig = render_actogram_figure(
+        binned, [h < 12 for h in range(24)], 24.0, 60, "t", 6.0,
+        plot_acrophase=True,
+    )
+    xs = _acrophase_xs(fig)
+    plt.close(fig)
+    assert len(xs) == 1
+    assert 7.0 < xs[0] < 11.0  # ~9h, NOT ~15h
+
+
+def test_light_underlay_survives_odd_bin_sizes():
+    """90-minute bins: the reference's repeat(60//90)=0 erases the LD
+    underlay; the per-bin sampling keeps it exactly bins_per_period wide."""
+    from cbas_tpu.app.visualize import _light_pattern
+
+    cycle = [h < 12 for h in range(24)]
+    for bsm in (90, 45, 60, 7):
+        bp = int(24 * 60 / bsm)
+        pattern, _ = _light_pattern(cycle, bp)
+        assert pattern.shape == (bp,)
+        assert pattern[0] == 1 and pattern[-1] == 0  # light morning, dark night
+    # transition lands at noon for a divisor bin size
+    pattern, _ = _light_pattern(cycle, 24)
+    assert list(pattern[:12]) == [1] * 12 and list(pattern[12:]) == [0] * 12
+
+
 def test_export_binned_csv(tmp_path):
     df = make_prob_df(2000)
     fr = 1000 / 86400
