@@ -124,6 +124,21 @@ class Api:
         if self._workers is None:
             self._workers = start_workers(st)
             self.train_worker = self._workers[2]
+        else:
+            # A previous shutdown's bounded join left stragglers running.
+            # shutdown is cleared, so live members resume; respawn only the
+            # roles whose threads exited (never a duplicate over one queue).
+            from cbas_tpu.app.workers import ClassifyWorker, EncodeWorker, TrainWorker
+
+            time.sleep(0.5)  # let members mid-exit finish dying
+            roles = (EncodeWorker, ClassifyWorker, TrainWorker)
+            ws = list(self._workers)
+            for i, cls in enumerate(roles):
+                if not ws[i].is_alive():
+                    ws[i] = cls(st)
+                    ws[i].start()
+            self._workers = tuple(ws)
+            self.train_worker = self._workers[2]
         return {"success": True, "path": st.project.path}
 
     def _queue_external_video(self, path: str) -> None:
@@ -193,7 +208,17 @@ class Api:
         if self._workers:
             for w in self._workers:
                 w.join(timeout=10.0)
-            self._workers = None
+            if any(w.is_alive() for w in self._workers):
+                # Keep the references: load_project must know stragglers
+                # exist, or it would start a second trio over the same
+                # queues while these still run.
+                log_message(
+                    "Worker(s) still draining after shutdown join: "
+                    + ", ".join(w.name for w in self._workers if w.is_alive()),
+                    "WARN",
+                )
+            else:
+                self._workers = None
 
     # ------------------------------------------------------------------
     # Record page (cameras)

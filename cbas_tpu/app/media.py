@@ -9,6 +9,7 @@ same 30s auto-timeout.
 from __future__ import annotations
 
 import base64
+import os
 import threading
 import time
 from typing import Callable, Optional, Tuple
@@ -37,15 +38,21 @@ def grab_frame(
             return None
         if frame_index > 0:
             cap.set(cv2.CAP_PROP_POS_FRAMES, frame_index)
-        deadline = time.monotonic() + timeout_s
-        while time.monotonic() < deadline:
+        # Retrying makes sense only for network streams (an RTSP camera may
+        # need a moment to deliver the first frame); for local FILES a failed
+        # read is permanent (EOF / corrupt / index past end) — retrying would
+        # stall thumbnail rendering 10 s per bad file and pin pool workers.
+        is_file = os.path.exists(str(source))
+        deadline = time.monotonic() + (0.0 if is_file else timeout_s)
+        while True:
             ok, frame = cap.read()
             if ok and frame is not None:
                 if resize:
                     frame = cv2.resize(frame, resize, interpolation=cv2.INTER_AREA)
                 return _to_jpeg_b64(frame)
+            if time.monotonic() >= deadline:
+                return None
             time.sleep(0.05)  # failed read: don't busy-spin a core for 10 s
-        return None
     finally:
         cap.release()
 

@@ -70,7 +70,13 @@ class EncodeWorker(threading.Thread):
                 st.callbacks.emit("update_global_encoding_progress", done, total, pct)
 
             out = encode_file(
-                st.encoder, path, progress_callback=per_file_progress, config=self.config
+                st.encoder, path, progress_callback=per_file_progress,
+                config=self.config,
+                # shutdown interrupts an in-flight encode at the next batch
+                # boundary — without it, kill_all_processes' bounded join
+                # times out on hour-long videos and a subsequent
+                # load_project would race a still-running worker
+                cancel_event=st.shutdown,
             )
             st.note_encode_done()
             done, total = st.encode_progress()
@@ -82,6 +88,10 @@ class EncodeWorker(threading.Thread):
             st.note_encode_done()
             log_message(f"Encoding failed for '{path}': {e}", "ERROR")
             traceback.print_exc()
+            # the failure still advances the batch — without this the global
+            # overlay freezes below 100% when the last queued file fails
+            done, total = st.encode_progress()
+            st.callbacks.emit("update_global_encoding_progress", done, total, 100.0)
             return False
 
     def run(self) -> None:
@@ -114,7 +124,7 @@ class ClassifyWorker(threading.Thread):
                 model = st.project.models.get(name)
                 if model is None:
                     log_message(f"Model '{name}' not found in project.", "ERROR")
-                    st.live_inference_model_name = None
+                    self._fail_batch(name, "model not found")
                     return None
                 try:
                     bundle = ClassifierBundle.load(
@@ -124,8 +134,26 @@ class ClassifyWorker(threading.Thread):
                     log_message(f"Model '{name}' loaded for live inference.")
                 except Exception as e:
                     log_message(f"Error loading model bundle '{name}': {e}", "ERROR")
-                    st.live_inference_model_name = None
+                    self._fail_batch(name, f"model load failed: {e}")
         return self._session
+
+    def _fail_batch(self, model_name: Optional[str], reason: str) -> None:
+        """Deselect the model AND complete the batch as failed: queued tasks
+        would otherwise sit silently forever (no session ever pops them) with
+        the UI showing a batch that never starts."""
+        st = self.state
+        dropped = 0
+        while st.classify_tasks.pop() is not None:
+            dropped += 1
+        st.live_inference_model_name = None
+        st.batch_classification_active = False
+        self._batch_total = self._batch_done = 0
+        if dropped:
+            log_message(f"Dropped {dropped} queued classification task(s): {reason}", "ERROR")
+        st.callbacks.emit(
+            "updateInferenceProgress", model_name or "?", 100.0,
+            f"Inference failed: {reason}",
+        )
 
     def process_one(self) -> bool:
         st = self.state
@@ -146,35 +174,49 @@ class ClassifyWorker(threading.Thread):
             return False
         model_name = self._loaded_model
         log_message(f"Classifying: {path} with model '{model_name}'")
+        ok = True
         try:
             session.infer_h5(path)
             st.callbacks.emit("notify_new_data_available")
-            self._batch_done += 1
-            if self._batch_total:
-                pct = self._batch_done / self._batch_total * 100.0
-                st.callbacks.emit(
-                    "updateInferenceProgress", model_name, pct,
-                    f"Processing {self._batch_done}/{self._batch_total}",
-                )
-                if self._batch_done >= self._batch_total and not len(st.classify_tasks):
-                    st.callbacks.emit(
-                        "updateInferenceProgress", model_name, 100.0, "Inference complete."
-                    )
-                    if st.project is not None:
-                        st.project.reload()
-                    # Only an explicit start_classification batch deselects
-                    # the live model at completion (reference queue-complete
-                    # semantics); live-chained segments during recording must
-                    # keep it selected or live inference dies after one file.
-                    if st.batch_classification_active:
-                        st.batch_classification_active = False
-                        st.live_inference_model_name = None
-                    self._batch_total = self._batch_done = 0
-            return True
         except Exception as e:
+            ok = False
             log_message(f"Failed to classify '{path}': {e}", "ERROR")
             traceback.print_exc()
-            return False
+        # A failed file still advances the batch — otherwise _batch_done can
+        # never reach _batch_total, progress sticks below 100%, the project
+        # never reloads, and batch_classification_active stays latched (a
+        # later live-chained segment would then satisfy the stale total and
+        # deselect the live model mid-recording).
+        self._batch_done += 1
+        if self._batch_total:
+            pct = self._batch_done / self._batch_total * 100.0
+            st.callbacks.emit(
+                "updateInferenceProgress", model_name, pct,
+                f"Processing {self._batch_done}/{self._batch_total}"
+                + ("" if ok else " (last file failed)"),
+            )
+            if self._batch_done >= self._batch_total and not len(st.classify_tasks):
+                st.callbacks.emit(
+                    "updateInferenceProgress", model_name, 100.0, "Inference complete."
+                )
+                if st.project is not None:
+                    st.project.reload()
+                # Only an explicit start_classification batch deselects the
+                # live model at completion (reference queue-complete
+                # semantics); live-chained segments during recording must
+                # keep it selected or live inference dies after one file.
+                # Re-check the selection: a start_classification that landed
+                # during the project reload above (new batch, possibly a
+                # different model) must not have its selection wiped.
+                if (
+                    st.batch_classification_active
+                    and st.live_inference_model_name == model_name
+                    and not len(st.classify_tasks)
+                ):
+                    st.batch_classification_active = False
+                    st.live_inference_model_name = None
+                self._batch_total = self._batch_done = 0
+        return ok
 
     def run(self) -> None:
         while not self.state.shutdown.is_set():
@@ -193,7 +235,9 @@ class TrainWorker(threading.Thread):
         self._lock = threading.Lock()
 
     def queue_task(self, task: TrainingConfig) -> None:
-        self.state.training_cancel.clear()
+        # No cancel-flag clear here: a cancel aimed at the RUNNING job must
+        # not be erased by queueing the next one. Each job starts with a
+        # fresh flag (cleared in process_one just before the run).
         with self._lock:
             self._queue.append(task)
         log_message(f"Queued training task for dataset: {task.name}")
@@ -208,6 +252,9 @@ class TrainWorker(threading.Thread):
         if task is None:
             return False
         st = self.state
+        # Fresh cancel flag for this job: cancellation is scoped to the job
+        # that is running when the user clicks cancel.
+        st.training_cancel.clear()
 
         def progress(message: str) -> None:
             st.callbacks.emit("updateTrainingStatusOnUI", task.name, message)
@@ -224,10 +271,6 @@ class TrainWorker(threading.Thread):
                 st.callbacks.emit("refreshAllDatasets")
             else:
                 progress("Training failed or cancelled.")
-            # Cancellation applies to the job that was running; clear it so
-            # remaining queued tasks still execute.
-            if st.training_cancel.is_set():
-                st.training_cancel.clear()
             return True
         except Exception as e:
             log_message(f"Critical error during training for {task.name}: {e}", "ERROR")
@@ -237,9 +280,6 @@ class TrainWorker(threading.Thread):
 
     def run(self) -> None:
         while not self.state.shutdown.is_set():
-            if self.state.training_cancel.is_set():
-                self.state.shutdown.wait(self.poll_s)
-                continue
             if not self.process_one():
                 self.state.shutdown.wait(self.poll_s)
 

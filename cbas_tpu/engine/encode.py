@@ -53,6 +53,67 @@ class EncodeStats:
         return self.frames / self.wall_s if self.wall_s else 0.0
 
 
+
+def _start_decode_prefetch(reader, path, video_len, cfg, abort, cancel_event, stats):
+    """Decode-prefetch thread over a bounded queue, shared by the dense and
+    reuse encode paths (one copy of the truncation + sentinel protocol).
+
+    A bounded queue keeps at most ``prefetch_chunks`` decoded chunks in
+    flight so memory stays bounded on hour-long videos. Returns
+    ``(chunk_q, decode_err, thread)``; the consumer must drain until the
+    sentinel or set ``abort``.
+    """
+    chunk_q: "queue.Queue" = queue.Queue(maxsize=max(1, cfg.prefetch_chunks))
+    decode_err: list = []
+
+    def decode_worker() -> None:
+        try:
+            for start in range(0, video_len, cfg.chunk_frames):
+                if abort.is_set() or (
+                    cancel_event is not None and cancel_event.is_set()
+                ):
+                    break
+                n = min(cfg.chunk_frames, video_len - start)
+                t = time.perf_counter()
+                planes = reader.read_green_batch(start, n)
+                metrics.add(DECODE_FRAMES, len(planes), time.perf_counter() - t)
+                if stats is not None:
+                    stats.decode_s += time.perf_counter() - t
+                while not abort.is_set():
+                    try:
+                        chunk_q.put((start, planes), timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if len(planes) < n:
+                    # Decoder delivered fewer frames than asked (corrupt
+                    # tail / container overcount): the usable video ends
+                    # HERE. Continuing at start+chunk_frames would leave a
+                    # silent gap and misalign every later embedding row
+                    # against video frame numbers.
+                    log_message(
+                        f"Decode ended early at frame {start + len(planes)}"
+                        f"/{video_len} for {path}; truncating embeddings.",
+                        "WARN",
+                    )
+                    break
+        except Exception as e:  # surfaced by the consumer
+            decode_err.append(e)
+        finally:
+            # The sentinel must reach the consumer or it blocks forever in
+            # get(); retry while it still listens (abort set = it stopped).
+            while not abort.is_set():
+                try:
+                    chunk_q.put(_SENTINEL, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    t_decode = threading.Thread(target=decode_worker, daemon=True, name="DecodePrefetch")
+    t_decode.start()
+    return chunk_q, decode_err, t_decode
+
+
 def encode_file(
     encoder: FrameEncoder,
     path: str,
@@ -82,56 +143,9 @@ def encode_file(
         out_path = h5_path_for_video(path)
         t0 = time.perf_counter()
 
-        # Decode prefetch: a bounded queue keeps at most `prefetch_chunks`
-        # decoded chunks in flight so memory stays bounded on hour-long videos.
-        chunk_q: "queue.Queue" = queue.Queue(maxsize=max(1, cfg.prefetch_chunks))
-        decode_err: list = []
-
-        def decode_worker() -> None:
-            try:
-                for start in range(0, video_len, cfg.chunk_frames):
-                    if abort.is_set() or (
-                        cancel_event is not None and cancel_event.is_set()
-                    ):
-                        break
-                    n = min(cfg.chunk_frames, video_len - start)
-                    t = time.perf_counter()
-                    planes = reader.read_green_batch(start, n)
-                    metrics.add(DECODE_FRAMES, len(planes), time.perf_counter() - t)
-                    if stats is not None:
-                        stats.decode_s += time.perf_counter() - t
-                    while not abort.is_set():
-                        try:
-                            chunk_q.put((start, planes), timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
-                    if len(planes) < n:
-                        # Decoder delivered fewer frames than asked (corrupt
-                        # tail / container overcount): the usable video ends
-                        # HERE. Continuing at start+chunk_frames would leave a
-                        # silent gap and misalign every later embedding row
-                        # against video frame numbers.
-                        log_message(
-                            f"Decode ended early at frame {start + len(planes)}"
-                            f"/{video_len} for {path}; truncating embeddings.",
-                            "WARN",
-                        )
-                        break
-            except Exception as e:  # surfaced by the consumer
-                decode_err.append(e)
-            finally:
-                # The sentinel must reach the consumer or it blocks forever in
-                # get(); retry while it still listens (abort set = it stopped).
-                while not abort.is_set():
-                    try:
-                        chunk_q.put(_SENTINEL, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
-
-        t_decode = threading.Thread(target=decode_worker, daemon=True)
-        t_decode.start()
+        chunk_q, decode_err, t_decode = _start_decode_prefetch(
+            reader, path, video_len, cfg, abort, cancel_event, stats
+        )
 
         writer = EmbeddingWriter(
             out_path,
@@ -240,47 +254,9 @@ def _encode_file_reuse(
         out_path = h5_path_for_video(path)
         t0 = time.perf_counter()
 
-        chunk_q: "queue.Queue" = queue.Queue(maxsize=max(1, cfg.prefetch_chunks))
-        decode_err: list = []
-
-        def decode_worker() -> None:
-            try:
-                for start in range(0, video_len, cfg.chunk_frames):
-                    if abort.is_set() or (
-                        cancel_event is not None and cancel_event.is_set()
-                    ):
-                        break
-                    n = min(cfg.chunk_frames, video_len - start)
-                    t = time.perf_counter()
-                    planes = reader.read_green_batch(start, n)
-                    metrics.add(DECODE_FRAMES, len(planes), time.perf_counter() - t)
-                    if stats is not None:
-                        stats.decode_s += time.perf_counter() - t
-                    while not abort.is_set():
-                        try:
-                            chunk_q.put((start, planes), timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
-                    if len(planes) < n:
-                        log_message(
-                            f"Decode ended early at frame {start + len(planes)}"
-                            f"/{video_len} for {path}; truncating embeddings.",
-                            "WARN",
-                        )
-                        break
-            except Exception as e:
-                decode_err.append(e)
-            finally:
-                while not abort.is_set():
-                    try:
-                        chunk_q.put(_SENTINEL, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
-
-        t_decode = threading.Thread(target=decode_worker, daemon=True)
-        t_decode.start()
+        chunk_q, decode_err, t_decode = _start_decode_prefetch(
+            reader, path, video_len, cfg, abort, cancel_event, stats
+        )
 
         writer = EmbeddingWriter(
             out_path,

@@ -112,6 +112,10 @@ class RecordingManager:
         except Exception as e:
             log_message(f"Error stopping recorder for {camera_name}: {e}; killing.", "WARN")
             proc.kill()
+            try:
+                proc.wait(timeout=5)  # reap — kill() alone leaves a zombie
+            except Exception:
+                pass
 
         # Queue the final (still-unwatched) segment for encoding
         # (reference: backend/cbas.py:814-828).

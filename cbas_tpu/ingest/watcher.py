@@ -33,6 +33,10 @@ class RecordingWatcher(threading.Thread):
         # path -> (size, mtime, first_seen_stable)
         self._pending: Dict[str, tuple] = {}
         self._known: Set[str] = set()
+        # path -> consecutive scans it was absent from disk; entries are
+        # purged after a few misses so dedupe state doesn't grow without
+        # bound over multi-week recording sessions with manual deletions
+        self._missing: Dict[str, int] = {}
         self._lock = threading.Lock()
 
     def prime_existing(self) -> None:
@@ -92,6 +96,22 @@ class RecordingWatcher(threading.Thread):
                     self._known.add(path)
                     del self._pending[path]
                     ready.append(path)
+            # Purge tracking for files deleted from disk (after 3 straight
+            # absent scans — a freshly mark_handled import may not have
+            # materialized yet, and one scan can race the writer). A path
+            # that reappears later is a new file and is tracked afresh.
+            seen = {p for p, _ in stats}
+            for path in list(self._known) + list(self._pending):
+                if path in seen:
+                    self._missing.pop(path, None)
+                    continue
+                misses = self._missing.get(path, 0) + 1
+                if misses >= 3:
+                    self._known.discard(path)
+                    self._pending.pop(path, None)
+                    self._missing.pop(path, None)
+                else:
+                    self._missing[path] = misses
         for path in ready:
             try:
                 self.on_ready(path)

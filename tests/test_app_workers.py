@@ -256,3 +256,86 @@ def test_self_heal_retries_after_cooldown(monkeypatch):
     mgr._last_restart["cam"] = 0.0  # cooldown elapsed
     mgr.check_and_heal(cams)
     assert started == ["cam"] and "cam" not in mgr._pending_restart
+
+
+def test_failed_classify_still_completes_batch(app_project):
+    """A file that raises in infer_h5 must still advance the batch: progress
+    reaches 100%, batch flag clears, the model deselects (r3 review finding:
+    failures froze the batch below 100% and latched the flag)."""
+    proj, state, video = app_project
+    cfg = DeltasHeadConfig(in_features=64, out_features=2, seq_len=7, lstm_hidden_size=8)
+    params = jax.device_get(init_deltas_params(jax.random.key(2), cfg))
+    bundle = ClassifierBundle(
+        name="failmodel", behaviors=["a", "b"], seq_len=7,
+        params={k: np.asarray(v) for k, v in params.items()},
+        lstm_hidden_size=8, encoder_identifier=proj.encoder_model_identifier,
+    )
+    bundle.save(os.path.join(proj.models_dir, "failmodel"))
+    proj.reload()
+
+    state.classify_tasks.clear()
+    progress = []
+    state.callbacks.register(
+        "updateInferenceProgress", lambda m, pct, msg: progress.append((pct, msg))
+    )
+    # a bogus H5 path: infer_h5 will raise
+    bogus = os.path.join(proj.recordings_dir, "nope_cls.h5")
+    n = start_classification(state, "failmodel", [bogus])
+    assert n == 1
+    cw = ClassifyWorker(state, config=InferenceConfig(chunk_frames=50, window_batch=16))
+    assert cw.process_one() is False  # the file failed...
+    assert any(pct == 100.0 for pct, _ in progress)  # ...but the batch completed
+    assert state.batch_classification_active is False
+    assert state.live_inference_model_name is None
+
+
+def test_classify_model_load_failure_fails_batch_loudly(app_project):
+    """A bundle that cannot load must complete the batch as FAILED (drain the
+    queue + 100% error event) instead of stranding tasks forever."""
+    proj, state, video = app_project
+    os.makedirs(os.path.join(proj.models_dir, "brokenmodel"), exist_ok=True)
+    # config.yaml exists but there are no weights files at all
+    with open(os.path.join(proj.models_dir, "brokenmodel", "config.yaml"), "w") as f:
+        f.write("name: brokenmodel\nbehaviors: [a, b]\nseq_len: 7\n")
+    proj.reload()
+
+    state.classify_tasks.clear()
+    progress = []
+    state.callbacks.register(
+        "updateInferenceProgress", lambda m, pct, msg: progress.append((pct, msg))
+    )
+    n = start_classification(state, "brokenmodel",
+                             [os.path.join(proj.recordings_dir, "x_cls.h5")])
+    assert n == 1
+    cw = ClassifyWorker(state)
+    assert cw.process_one() is False
+    assert len(state.classify_tasks) == 0  # queue drained, not stranded
+    assert state.batch_classification_active is False
+    assert any(pct == 100.0 and "failed" in msg.lower() for pct, msg in progress)
+
+
+def test_queueing_training_does_not_erase_inflight_cancel():
+    """queue_task must not clear a cancel aimed at the RUNNING job; the flag
+    is cleared when the next job starts (r3 review finding)."""
+    from cbas_tpu.core.config import TrainingConfig
+
+    state = AppState()
+    tw = TrainWorker(state)
+    state.training_cancel.set()  # user cancels the (conceptually running) job
+    tw.queue_task(TrainingConfig(name="d2", behaviors=["a"], sequence_length=31))
+    assert state.training_cancel.is_set()  # still set for the running job
+
+
+def test_watcher_purges_deleted_files(tmp_path):
+    """Dedupe state must not grow forever: entries for files deleted from
+    disk are purged after 3 absent scans (and a reappearing path is new)."""
+    ready = []
+    w = RecordingWatcher(str(tmp_path), on_ready=ready.append, settle_s=0.0)
+    p = str(tmp_path / "seg.mp4")
+    open(p, "wb").write(b"data")
+    w.poll_once(now=1.0)
+    assert w.poll_once(now=2.0) == 1  # promoted into _known
+    os.unlink(p)
+    for now in (3.0, 4.0, 5.0):
+        w.poll_once(now=now)
+    assert p not in w._known and p not in w._pending and p not in w._missing

@@ -58,7 +58,11 @@ def test_resume_restores_best_not_last_weights(tmp_path):
 
 
 def test_train_cancel_clears_for_next_task(tmp_path):
-    """A cancelled job must not starve later queued jobs (finding #3)."""
+    """A cancelled job must not starve later queued jobs (finding #3).
+
+    Semantics since the r3 worker review: the flag is cleared when the NEXT
+    job STARTS (each job begins with a fresh flag), not by queue_task — so a
+    cancel aimed at the running job can't be erased by queueing another."""
     from cbas_tpu.app.workers import TrainWorker
 
     state = AppState()
@@ -82,8 +86,8 @@ def test_train_cancel_clears_for_next_task(tmp_path):
             worker._queue.append(TrainingConfig(name="d", behaviors=["a"]))
         state.project = object()
         assert worker.process_one()
-        # The flag was set during the job but cleared afterwards.
-        assert ran == [True]
+        # The next job started with a FRESH flag (stale cancel not inherited)
+        assert ran == [False]
         assert not state.training_cancel.is_set()
     finally:
         workers_mod.run_training_job = orig
