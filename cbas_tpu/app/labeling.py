@@ -290,6 +290,13 @@ class LabelingSession:
         removed = self.buffer.pop(idx)
         if "confidence" in removed:
             self.suppressed_ids.add(_sig(removed))
+        if "_parent_id" in removed:
+            # A PROMOTED prediction (edited, confidence stripped) keeps its
+            # original identity in _parent_id; without suppressing it the
+            # next refilter resurrects the ghost the user just deleted.
+            # (The reference only suppresses the confidence-bearing case,
+            # label_train_page.py:1595-1598 — same resurrection there.)
+            self.suppressed_ids.add(tuple(removed["_parent_id"]))
         self.dirty.add(f"deleted_{removed['label']}")
         if removed in self.history:
             self.history.remove(removed)
@@ -316,6 +323,12 @@ class LabelingSession:
         if not 0 <= self.selected_index < len(self.buffer):
             return None
         inst = self.buffer[self.selected_index]
+        if self._blocked_by_filter(inst):
+            # Same guard as every other edit path: in review-by-behavior
+            # mode, Tab can land on an off-target prediction — confirming it
+            # would commit it as a human label and bypass the mode's scope.
+            log_message("Edit blocked: cannot confirm a non-target behavior.", "WARN")
+            return None
         inst["_confirmed"] = not inst.get("_confirmed", False)
         return inst["_confirmed"]
 
@@ -355,7 +368,11 @@ class LabelingSession:
                     nb["end"] = new_start - 1
                 elif boundary_type == "end" and new_end >= nb["start"]:
                     nb["start"] = new_end + 1
-                if nb["start"] >= nb["end"]:
+                if nb["start"] > nb["end"]:
+                    # Strict: [f, f] is a VALID 1-frame label everywhere else
+                    # (counts, manifests, subtraction). The reference's >=
+                    # (label_train_page.py:1452) silently destroys a label on
+                    # a frame the edit never claimed.
                     drop.append(i)
         for i in sorted(drop, reverse=True):
             if i < self.selected_index:

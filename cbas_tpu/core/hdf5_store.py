@@ -164,7 +164,21 @@ class HandleCache:
             return h
 
     def read_window(self, path: str, start: int, end: int) -> np.ndarray:
-        return self.get(path)[DATASET_NAME][start:end]
+        try:
+            return self.get(path)[DATASET_NAME][start:end]
+        except Exception:
+            # The read runs outside the lock, so a concurrent close_all (end
+            # of another job in this process) can close the handle mid-read.
+            # Retrying with a fresh handle keeps the read correct instead of
+            # letting gather() mask it as a corrupt window (label -1).
+            with self._lock:
+                h = self._handles.pop(path, None)
+                if h is not None:
+                    try:
+                        h.close()
+                    except Exception:
+                        pass
+            return self.get(path)[DATASET_NAME][start:end]
 
     def close_all(self) -> None:
         with self._lock:

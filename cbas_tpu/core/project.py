@@ -109,12 +109,22 @@ class Dataset:
         if not os.path.exists(self.config_path):
             raise FileNotFoundError(f"Dataset config not found: {self.config_path}")
         self.config = load_yaml(self.config_path)
+        if self.config is None:
+            # yaml.safe_load of an empty/null file returns None — a truncated
+            # config would otherwise crash every .get() downstream
+            raise ValueError(f"Dataset config is empty: {self.config_path}")
         if not os.path.exists(self.labels_path):
             behaviors = self.config.get("behaviors", [])
             self.labels = {"behaviors": behaviors, "labels": {b: [] for b in behaviors}}
             dump_yaml(self.labels, self.labels_path)
         else:
             self.labels = load_yaml(self.labels_path)
+            if self.labels is None:
+                # empty/truncated labels.yaml: heal like the missing-file
+                # branch instead of surfacing NoneType errors mid-session
+                behaviors = self.config.get("behaviors", [])
+                self.labels = {"behaviors": behaviors, "labels": {b: [] for b in behaviors}}
+                dump_yaml(self.labels, self.labels_path)
 
     @property
     def behaviors(self) -> List[str]:

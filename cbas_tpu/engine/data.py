@@ -225,7 +225,6 @@ class BalancedSampler:
     """Class-balanced oversampling index stream (see module docstring)."""
 
     def __init__(self, manifest: Sequence[ManifestEntry], num_behaviors: int, seed: int = 0):
-        self.buckets: List[np.ndarray] = []
         buckets: Dict[int, List[int]] = defaultdict(list)
         for i, (_, _, label) in enumerate(manifest):
             if 0 <= label < num_behaviors:

@@ -13,7 +13,6 @@ import json
 import os
 import subprocess
 import threading
-from collections import Counter
 from typing import Callable, List, Optional
 
 import numpy as np
@@ -412,46 +411,27 @@ def _save_results(
 def _update_dataset_card(
     dataset: Dataset, task: TrainingConfig, best_run: dict, model_name: str
 ) -> None:
-    config = load_yaml(dataset.config_path)
     val_rep = best_run.get("validation_report", {})
     test_rep = best_run.get("test_report", {})
 
-    metrics = {}
+    dataset.config = load_yaml(dataset.config_path)
     for b in task.behaviors:
         v = val_rep.get(b, {})
         t = test_rep.get(b, {})
-        metrics[b] = {
-            "Precision": round(float(v.get("precision", 0.0)), 2),
-            "Recall": round(float(v.get("recall", 0.0)), 2),
-            "F1 Score": round(float(v.get("f1-score", 0.0)), 2),
-            "Test F1": "N/A" if not task.use_test else round(float(t.get("f1-score", 0.0)), 2),
-        }
-
-    all_insts = dataset.all_instances()
-    subjects = list({subject_of(i) for i in all_insts})
-    provider = RandomSplitProvider(seed=42, split_ratios=(0.8, 0.0, 0.2), stratify=False)
-    train_subj, _, test_subj = provider.get_split(0, subjects, all_insts, task.behaviors)
-    train_set, test_set = set(train_subj), set(test_subj)
-
-    def count(selected):
-        chosen = [i for i in all_insts if subject_of(i) in selected]
-        n = Counter(i["label"] for i in chosen)
-        fr: Counter = Counter()
-        for i in chosen:
-            fr[i["label"]] += int(i["end"]) - int(i["start"]) + 1
-        return n, fr
-
-    tr_n, tr_f = count(train_set)
-    te_n, te_f = count(test_set)
-    for b in task.behaviors:
-        metrics[b]["Train Inst (Frames)"] = f"{tr_n.get(b, 0)} ({int(tr_f.get(b, 0))})"
-        metrics[b]["Test Inst (Frames)"] = f"{te_n.get(b, 0)} ({int(te_f.get(b, 0))})"
-
-    config["metrics"] = metrics
-    config["state"] = "trained"
-    config["trained_model"] = model_name
-    dump_yaml(config, dataset.config_path)
-    dataset.config = config
+        dataset.set_metric(b, "Precision", round(float(v.get("precision", 0.0)), 2))
+        dataset.set_metric(b, "Recall", round(float(v.get("recall", 0.0)), 2))
+        dataset.set_metric(b, "F1 Score", round(float(v.get("f1-score", 0.0)), 2))
+        dataset.set_metric(
+            b, "Test F1",
+            "N/A" if not task.use_test else round(float(t.get("f1-score", 0.0)), 2),
+        )
+    dataset.config["state"] = "trained"
+    dataset.config["trained_model"] = model_name
+    # The instance/frame counts come from ONE implementation of the fixed
+    # seed-42 80/0/20 card split (project.py) — a second inline copy here
+    # drifted from it would make card numbers depend on which code path
+    # last wrote them. This also dumps the config.
+    dataset.update_instance_counts_in_config()
 
 
 def default_split_ratios(task: TrainingConfig) -> tuple:
@@ -487,11 +467,20 @@ def generate_disagreement_report(
         if not os.path.exists(h5_path):
             continue
         # The saved model is named f"{task.name}_model" (run_training_job):
-        # reuse its outputs if live inference already wrote them, and write
-        # any fresh ones under the same model name so they don't masquerade
-        # as a phantom model called task.name in Recording.classifications.
+        # reuse its outputs only when they were written by THIS model
+        # version (CSV newer than the saved weights) — after a retrain, a
+        # stale CSV would make the report audit the previous model. Fresh
+        # ones are written under the same model name so they don't
+        # masquerade as a phantom model called task.name.
         csv_path = outputs_csv_for_h5(h5_path, f"{task.name}_model")
-        if not os.path.exists(csv_path):
+        npz = os.path.join(project.models_dir, f"{task.name}_model", "model.npz")
+        stale = True
+        if os.path.exists(csv_path):
+            try:
+                stale = os.path.getmtime(csv_path) < os.path.getmtime(npz)
+            except OSError:
+                stale = False  # no saved weights to compare: trust the CSV
+        if stale:
             if session is None:
                 session = InferenceSession(bundle)
             csv_path = session.infer_h5(h5_path, output_csv=csv_path)

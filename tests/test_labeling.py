@@ -447,3 +447,65 @@ def test_fuzz_subtract_intervals_frame_exact():
             got |= span
             assert p["label"] == "walk" and p["video"] == "v"
         assert got == want, (seed, sorted(want - got)[:5], sorted(got - want)[:5])
+
+
+def test_deleting_promoted_prediction_stays_deleted_after_refilter(project):
+    """Edit (promote) a prediction, then delete it: refilter must not
+    resurrect the original ghost via its _parent_id (r3 review finding —
+    the reference only suppresses confidence-bearing instances,
+    label_train_page.py:1595-1598)."""
+    _, _, rel = project
+    preds = [{"video": rel, "start": 50, "end": 60, "label": "rest", "confidence": 0.3}]
+    s = make_session(project, preloaded=preds)
+    s.selected_index = next(i for i, x in enumerate(s.buffer) if x["start"] == 50)
+    s.jump_to_frame(62)
+    assert s.update_instance_boundary("end")  # promotes, sets _parent_id
+    inst = s.buffer[s.selected_index]
+    assert "confidence" not in inst and "_parent_id" in inst
+    s.jump_to_frame(55)
+    removed = s.delete_instance()
+    assert removed is not None and removed["start"] == 50
+    s.refilter(100, "below")
+    assert all(i["start"] != 50 for i in s.buffer)  # ghost stays dead
+    s.close()
+
+
+def test_nudge_keeps_single_frame_neighbor(project):
+    """Trimming a neighbor down to exactly one frame must KEEP it — [f, f]
+    is a valid label everywhere else (r3 review finding: >= dropped it)."""
+    proj, video, rel = project
+    ds = proj.datasets["d"]
+    ds.labels["labels"]["rest"] = [
+        {"video": rel, "start": 22, "end": 23, "label": "rest"}
+    ]
+    ds.save_labels()
+    proj.reload()
+    s = make_session(project)  # human labels: walk(10,20), rest(22,23)
+    s.selected_index = next(i for i, x in enumerate(s.buffer) if x["label"] == "walk")
+    s.jump_to_frame(22)
+    assert s.update_instance_boundary("end")  # walk claims frame 22
+    spans = sorted((i["start"], i["end"], i["label"]) for i in s.buffer)
+    assert (10, 22, "walk") in spans
+    assert (23, 23, "rest") in spans  # the 1-frame remainder survives
+    s.close()
+
+
+def test_confirm_blocked_for_non_target_behavior(project):
+    """Review-by-behavior: confirming an off-target prediction must be
+    blocked like every other edit path (r3 review finding)."""
+    _, _, rel = project
+    preds = [
+        {"video": rel, "start": 50, "end": 60, "label": "rest", "confidence": 0.3},
+        {"video": rel, "start": 70, "end": 80, "label": "walk", "confidence": 0.3},
+    ]
+    s = make_session(project, preloaded=preds, filter_for_behavior="walk")
+    s.selected_index = next(
+        i for i, x in enumerate(s.buffer) if x["label"] == "rest" and "confidence" in x
+    )
+    assert s.confirm_selected() is None  # blocked
+    assert not s.buffer[s.selected_index].get("_confirmed", False)
+    s.selected_index = next(
+        i for i, x in enumerate(s.buffer) if x["label"] == "walk" and "confidence" in x
+    )
+    assert s.confirm_selected() is True  # target behavior confirms fine
+    s.close()
