@@ -22,7 +22,6 @@ from cbas_tpu.app.media import (
     LivePreview,
     grab_frame,
     grab_frames_parallel,
-    video_thumbnail,
 )
 from cbas_tpu.app.preflight import (
     check_dataset_files_ready,
@@ -113,6 +112,12 @@ class Api:
             )
             st.encoder = None
 
+        if self.recorder is not None:
+            # Switching projects must not orphan project A's ffmpeg
+            # recorders: the new manager's dict can never reach them, so
+            # they'd record into the old tree until process exit.
+            self.recorder.stop_all()
+        self.stop_live_preview()
         self.recorder = RecordingManager(
             st.project.recordings_dir,
             on_final_segment=self._queue_external_video,
@@ -677,7 +682,23 @@ class Api:
         if model is None:
             return False
         ds = proj.datasets.get(dataset_name)
-        bundle = ClassifierBundle.load(model.path, expected_encoder=proj.encoder_model_identifier)
+        h5 = h5_path_for_video(video_path)
+        if not os.path.exists(h5):
+            # still queued / encode failed: a friendly error beats the raw
+            # OSError 500 h5py would raise (matches start_playback_session)
+            self.state.callbacks.emit(
+                "showErrorOnLabelTrainPage",
+                "Video has no embeddings yet (encoding pending or failed); "
+                "guided labeling needs the encoded file.",
+            )
+            return False
+        try:
+            bundle = ClassifierBundle.load(
+                model.path, expected_encoder=proj.encoder_model_identifier
+            )
+        except Exception as e:
+            self.state.callbacks.emit("showErrorOnLabelTrainPage", str(e))
+            return False
         if ds is not None:
             missing = [b for b in ds.behaviors if b not in bundle.behaviors]
             if missing:
@@ -686,10 +707,15 @@ class Api:
                     f"Model lacks dataset behaviors: {', '.join(missing)}",
                 )
                 return False
-        h5 = h5_path_for_video(video_path)
         csv = outputs_csv_for_h5(h5, model_name)
         if not os.path.exists(csv):
-            csv = InferenceSession(bundle, mesh=self.state.mesh).infer_h5(h5, output_csv=csv)
+            try:
+                csv = InferenceSession(bundle, mesh=self.state.mesh).infer_h5(h5, output_csv=csv)
+            except Exception as e:
+                self.state.callbacks.emit(
+                    "showErrorOnLabelTrainPage", f"Inference failed: {e}"
+                )
+                return False
             if csv is None:
                 return False
         df = pd.read_csv(csv)
@@ -703,6 +729,10 @@ class Api:
                        model_name="", **session_kw) -> bool:
         if self.state.labeling_session is not None:
             self.state.labeling_session.close()
+            # Clear BEFORE constructing the replacement: if the constructor
+            # raises, a half-dead (capture-released) session must not stay
+            # installed — keystrokes would edit a video the user can't see.
+            self.state.labeling_session = None
         try:
             session = LabelingSession(
                 self.state.project,
@@ -745,7 +775,11 @@ class Api:
         model = proj.models.get(model_name)
         behaviors = None
         if model is not None:
-            behaviors = ClassifierBundle.load(model.path).behaviors
+            # behavior names only — reading them from the already-parsed
+            # config.yaml avoids deserializing the full weights per playback
+            # click (and read-only playback keeps working even if the weights
+            # file is corrupt)
+            behaviors = list(model.config.get("behaviors") or []) or None
         df = pd.read_csv(csv)
         rel = os.path.relpath(video_path, proj.path).replace("\\", "/")
         behaviors = behaviors or list(df.columns)
@@ -808,7 +842,9 @@ class Api:
                 z0 = max(0, start - context)
                 z1 = min(s.total_frames, end + context)
                 if z1 > z0:
-                    s.jump_to_frame(int(z0 + (x / 500.0) * (z1 - z0)))
+                    from cbas_tpu.app.labeling import TIMELINE_WIDTH
+
+                    s.jump_to_frame(int(z0 + (x / TIMELINE_WIDTH) * (z1 - z0)))
 
         return self._with_session(zoom)
 

@@ -122,8 +122,15 @@ def main(argv=None) -> None:
         port = server.start()
         print(f"Eel server starting on http://localhost:{port}")  # shell contract
         try:
-            while not api.state.shutdown.is_set():
-                time.sleep(1.0)
+            while True:
+                if api.state.shutdown.wait(timeout=1.0):
+                    # Grace window: kill_all_processes + load_project is the
+                    # documented in-place revival flow — if a load_project
+                    # clears the flag within a few seconds, keep serving
+                    # instead of racing the client to process exit.
+                    time.sleep(5.0)
+                    if api.state.shutdown.is_set():
+                        break
         except KeyboardInterrupt:
             pass
         finally:

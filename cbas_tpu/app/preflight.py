@@ -67,8 +67,15 @@ def run_preflight_check(project: Project, dataset_name: str, test_split: float) 
                 "is_valid": False,
                 "message": f"Test split {test:.0%} leaves too little for train+validation.",
             }
-        # same ratio derivation as the orchestrator (default_split_ratios)
-        ratios = (1.0 - test - 0.15, 0.15, test)
+        # THE orchestrator's derivation, not a copy of it — preflight exists
+        # to validate exactly what training will run, so the two must be
+        # mechanically incapable of drifting apart.
+        from cbas_tpu.core.config import TrainingConfig
+        from cbas_tpu.engine.orchestrator import default_split_ratios
+
+        ratios = default_split_ratios(
+            TrainingConfig(use_test=test > 0, test_split=test)
+        )
         provider = RandomSplitProvider(seed=0, split_ratios=ratios)
 
         # Structural sizing via the provider's own slicer: exact and

@@ -171,6 +171,13 @@ class RpcServer:
 
             def do_GET(self):
                 if self.path == "/events":
+                    # Same rebinding guard as POST: /events carries log lines
+                    # (project paths) and base64 frame payloads — a DNS-
+                    # rebound page's EventSource is same-origin to the
+                    # browser and would read the whole stream otherwise.
+                    if not self._origin_ok():
+                        self._send_json({"error": "forbidden origin"}, 403)
+                        return
                     self._serve_events()
                     return
                 path = self.path.split("?", 1)[0]
@@ -301,12 +308,19 @@ class RpcServer:
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
+        self._stopped = threading.Event()
 
     def _log_broadcaster(self) -> None:
         """Fan log lines out through the callback bus so every SSE client
         receives every line (per-client drains of the single log_queue would
-        deliver each line to only one client)."""
-        while not self.api.state.shutdown.is_set():
+        deliver each line to only one client).
+
+        Keyed on the SERVER's lifetime, not state.shutdown: a
+        kill_all_processes + load_project revival clears state.shutdown and
+        reconnected SSE clients keep working — a broadcaster that exited on
+        the first shutdown would freeze the log panel for the process life.
+        """
+        while not self._stopped.is_set():
             try:
                 line = log_queue.get(timeout=0.5)
             except queue.Empty:
@@ -321,5 +335,6 @@ class RpcServer:
         return self.port
 
     def stop(self) -> None:
+        self._stopped.set()
         self._httpd.shutdown()
         self._httpd.server_close()

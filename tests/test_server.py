@@ -122,6 +122,28 @@ def test_cross_origin_posts_rejected(server):
     assert e.value.code == 403
 
 
+def test_events_stream_rejects_rebound_host(server):
+    """GET /events carries log lines and frame payloads, so the same
+    rebinding guard as POST applies: a rebound Host is refused, a localhost
+    Host (with or without Origin) connects (r3 review finding)."""
+    srv, _ = server
+    url = f"http://localhost:{srv.port}/events"
+
+    req = urllib.request.Request(url, headers={"Host": "attacker.example"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 403
+
+    req = urllib.request.Request(url, headers={"Origin": "https://evil.example"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 403
+
+    with urllib.request.urlopen(urllib.request.Request(url), timeout=5) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+
+
 def test_concurrent_requests_with_sse_held_open(server):
     """The UI holds a persistent /events stream while issuing API calls: N
     parallel POSTs must all complete (and deliver their own SSE events)
