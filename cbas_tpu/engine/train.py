@@ -413,6 +413,7 @@ def train_head(
     epoch_reports: List[PerformanceReport] = []
     no_improve = 0
     start_epoch = 0
+    best_report_payload: Optional[dict] = None
 
     import os
 
@@ -433,9 +434,36 @@ def train_head(
         # Replay the sampler so epoch streams continue where they left off.
         for _ in range(start_epoch):
             train_sampler.epoch_indices()
+        # Keep epoch_reports index-aligned with ABSOLUTE epoch numbers:
+        # callers index reports[best_epoch], so the resumed-over epochs get
+        # empty placeholders (plot series render them as gaps).
+        epoch_reports.extend(
+            PerformanceReport({}, np.array([]), {}, np.array([]))
+            for _ in range(start_epoch)
+        )
+        best_report_payload = meta.get("best_reports")
+        if best_report_payload and 0 <= best_epoch < start_epoch:
+            # restore the real report at the checkpointed best epoch
+            epoch_reports[best_epoch] = PerformanceReport(
+                best_report_payload.get("train_report") or {},
+                np.asarray(best_report_payload.get("train_cm") or []),
+                best_report_payload.get("val_report") or {},
+                np.asarray(best_report_payload.get("val_cm") or []),
+            )
+        if has_val and no_improve >= patience:
+            # The checkpointed run had already early-stopped; training even
+            # one more epoch would drift past the stop the first run
+            # committed to.
+            print("Checkpoint is already early-stopped; not training further.")
+            start_epoch = epochs
 
     for e in range(start_epoch, epochs):
         if cancel_event.is_set():
+            if best_params is None and not has_val and epoch_reports:
+                # No-val runs never set best_params inside the loop (nothing
+                # to compare); a cancel must still return the trained-so-far
+                # weights, not discard every completed epoch.
+                best_params, best_epoch = params, len(epoch_reports) - 1
             return (jax.device_get(best_params) if best_params is not None else None,
                     epoch_reports, best_epoch)
         if progress_callback:
@@ -482,6 +510,9 @@ def train_head(
                 params, logits_prog, train_source, eval_sampler, batch_size, cancel_event
             )
         if t_true.size == 0:
+            # Keep reports index-aligned with epoch numbers even for a
+            # skipped evaluation (callers index reports[best_epoch]).
+            epoch_reports.append(PerformanceReport({}, np.array([]), {}, np.array([])))
             no_improve += 1
             if no_improve >= patience:
                 break
@@ -523,6 +554,13 @@ def train_head(
             best_f1, best_epoch = cur_val, e
             best_params = jax.tree.map(lambda a: a.copy(), params)
             no_improve = 0
+            # Checkpoint the best epoch's REPORTS too: a resumed run that
+            # never improves must still return a real report at best_epoch
+            # (callers record reports[best_epoch] as the winner).
+            best_report_payload = {
+                "train_report": train_report, "train_cm": train_cm.tolist(),
+                "val_report": val_report, "val_cm": val_cm.tolist(),
+            }
         else:
             no_improve += 1
 
@@ -531,15 +569,16 @@ def train_head(
                 checkpoint_path, params, opt_state,
                 best_params if best_params is not None else params,
                 {"epoch": e, "best_f1": best_f1, "best_epoch": best_epoch,
-                 "no_improve": no_improve, "seed": seed},
+                 "no_improve": no_improve, "seed": seed,
+                 "best_reports": best_report_payload},
             )
 
         if has_val and no_improve >= patience:
             print(f"Early stopping triggered at epoch {e + 1}.")
             break
 
-    if best_params is None and epochs > 0 and not has_val:
-        best_params, best_epoch = params, epochs - 1
+    if best_params is None and epochs > 0 and not has_val and epoch_reports:
+        best_params, best_epoch = params, len(epoch_reports) - 1
     if best_params is None:
         return None, None, -1
     return (

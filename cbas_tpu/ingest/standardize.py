@@ -81,16 +81,24 @@ def standardize_video(
             out_frames = max(1, int(round(duration * fps))) if duration else n
             writer = _writer(tmp_path, fps, (resolution, resolution))
             try:
-                chunk = 64
                 # Map each output timestamp to the nearest source frame.
                 src_indices = np.minimum(
                     (np.arange(out_frames) * (src_fps / fps)).round().astype(int), n - 1
                 )
+                # Bound each read by SOURCE frames, not output frames: a
+                # fixed output chunk spans src_fps/fps times more source
+                # frames (64 outputs at 10 fps from a 4K/60fps phone video
+                # would pre-allocate a multi-GB batch and MemoryError).
+                max_src_span = 256
                 pos = 0
                 truncated = False
                 while pos < out_frames and not truncated:
-                    take = src_indices[pos : pos + chunk]
-                    lo, hi = int(take[0]), int(take[-1]) + 1
+                    lo = int(src_indices[pos])
+                    end = int(
+                        np.searchsorted(src_indices, lo + max_src_span, side="left")
+                    )
+                    take = src_indices[pos:end]
+                    hi = int(take[-1]) + 1
                     batch = reader.read_batch(lo, hi - lo)
                     avail_end = lo + batch.shape[0]
                     for idx in take:
@@ -110,10 +118,25 @@ def standardize_video(
                         progress_callback(min(100.0, pos / out_frames * 100.0))
             finally:
                 writer.release()
-        if written < out_frames:
+        # Container metadata routinely overstates decodable frames by a few
+        # (VFR, slightly truncated mp4/avi) — hard-failing on ANY shortfall
+        # made such videos permanently unimportable, so a small tail
+        # tolerance commits the shorter output (the reference's streaming
+        # ffmpeg does the same). A LARGE shortfall is a mid-video decoder
+        # death: refuse to commit, the partial file would silently replace
+        # the recording downstream.
+        tail_tolerance = max(5, out_frames // 50)  # 2% or 5 frames
+        if written < out_frames - tail_tolerance:
             raise IOError(
                 f"decode stopped early: wrote {written}/{out_frames} frames of "
                 f"{src_path} — refusing to commit a truncated standardization"
+            )
+        if written < out_frames:
+            log_message(
+                f"Decode ended {out_frames - written} frame(s) short of the "
+                f"container metadata for {src_path}; committing the "
+                f"{written}-frame standardization.",
+                "WARN",
             )
     except BaseException:
         if os.path.exists(tmp_path):
@@ -167,14 +190,19 @@ def import_videos(
 def augment_frame(frame_bgr: np.ndarray) -> np.ndarray:
     """hflip + brightness +0.03 + contrast x1.1 + gaussian blur sigma 0.2.
 
-    Matches ffmpeg's ``eq`` filter semantics: out = (in - 0.5)*contrast + 0.5
-    + brightness, in normalized [0,1] space.
+    Approximates ffmpeg's ``eq`` filter, which operates on the LUMA plane
+    (chroma untouched): brightness/contrast are applied to Y in YCrCb space
+    so the fallback's color rendition tracks the ffmpeg path (a per-RGB eq
+    visibly shifts saturated colors). Residual difference: ffmpeg works in
+    limited-range YUV; this uses full-range YCrCb — within codec
+    quantization for these mild parameters.
     """
-    f = frame_bgr[:, ::-1, :].astype(np.float32) / 255.0
-    f = (f - 0.5) * 1.1 + 0.5 + 0.03
-    f = np.clip(f, 0.0, 1.0)
-    f = cv2.GaussianBlur(f, (0, 0), sigmaX=0.2)
-    return (f * 255.0 + 0.5).astype(np.uint8)
+    f = cv2.cvtColor(frame_bgr[:, ::-1, :], cv2.COLOR_BGR2YCrCb).astype(np.float32)
+    y = f[:, :, 0] / 255.0
+    f[:, :, 0] = np.clip((y - 0.5) * 1.1 + 0.5 + 0.03, 0.0, 1.0) * 255.0
+    out = cv2.cvtColor(f.astype(np.uint8), cv2.COLOR_YCrCb2BGR).astype(np.float32)
+    out = cv2.GaussianBlur(out, (0, 0), sigmaX=0.2)
+    return np.clip(out + 0.5, 0, 255).astype(np.uint8)
 
 
 def aug_path_for(video_path: str) -> str:
@@ -191,25 +219,37 @@ def augment_video(src_path: str, dst_path: Optional[str] = None) -> str:
     dst_path = dst_path or aug_path_for(src_path)
     if os.path.exists(dst_path):
         return dst_path
-    if shutil.which("ffmpeg"):
-        subprocess.run(
-            ["ffmpeg", "-hide_banner", "-loglevel", "error", "-y",
-             "-i", src_path, "-vf", AUG_FILTER_CHAIN, "-an", dst_path + ".tmp.mp4"],
-            check=True,
-        )
-        os.replace(dst_path + ".tmp.mp4", dst_path)
+    tmp = dst_path + ".tmp.mp4"
+    try:
+        if shutil.which("ffmpeg"):
+            subprocess.run(
+                ["ffmpeg", "-hide_banner", "-loglevel", "error", "-y",
+                 "-i", src_path, "-vf", AUG_FILTER_CHAIN, "-an", tmp],
+                check=True,
+            )
+            os.replace(tmp, dst_path)
+            return dst_path
+        with open_video(src_path) as reader:
+            fps = reader.fps or 10.0
+            writer = _writer(tmp, fps, (reader.width, reader.height))
+            try:
+                for _, batch in reader.iter_chunks(64):
+                    for frame in batch:
+                        writer.write(augment_frame(frame[:, :, ::-1]))
+            finally:
+                writer.release()
+        os.replace(tmp, dst_path)
         return dst_path
-    with open_video(src_path) as reader:
-        fps = reader.fps or 10.0
-        writer = _writer(dst_path + ".tmp.mp4", fps, (reader.width, reader.height))
-        try:
-            for _, batch in reader.iter_chunks(64):
-                for frame in batch:
-                    writer.write(augment_frame(frame[:, :, ::-1]))
-        finally:
-            writer.release()
-    os.replace(dst_path + ".tmp.mp4", dst_path)
-    return dst_path
+    except BaseException:
+        # The tmp name ends in .mp4 (muxers key on the extension), so an
+        # orphan would match video globs and feed a broken partial file into
+        # the watcher/encode pipeline — always clean it up on failure.
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+        raise
 
 
 def augment_dataset(
@@ -238,7 +278,15 @@ def augment_dataset(
 
     all_instances = source.all_instances()
     videos = sorted(
-        {os.path.join(project.path, i["video"]) for i in all_instances if i.get("video")}
+        {
+            os.path.join(project.path, i["video"])
+            for i in all_instances
+            # never re-augment an augmented sibling (a source dataset that
+            # already went through resync_aug_labels holds *_aug instances;
+            # without this, every chain produces *_aug_aug.mp4 copies and
+            # doubly-remapped labels)
+            if i.get("video") and not is_aug_video(i["video"])
+        }
     )
     if not videos:
         log_message("No videos found in source dataset to augment.", "WARN")

@@ -70,11 +70,17 @@ def test_resume_continues_training(tmp_path):
     p1, r1, _ = train_head(src, src, 5, behaviors, epochs=2, patience=10, **kw)
     assert os.path.exists(ckpt)
 
-    # Resume for 2 more epochs.
+    # Resume for 2 more epochs. Reports are ABSOLUTE-epoch aligned (callers
+    # index reports[best_epoch]): the resumed-over epochs hold empty
+    # placeholders and the new epochs land at their true indices.
     p2, r2, best2 = train_head(src, src, 5, behaviors, epochs=4, patience=10,
                                resume=True, **kw)
     assert p2 is not None
-    assert len(r2) == 2  # only epochs 2 and 3 ran after resume
+    assert len(r2) == 4
+    assert all(r.val_report for r in r2[2:])  # really-trained epochs
+    # best_epoch always indexes a REAL report: resumed-over epochs are
+    # placeholders except the checkpointed best, which is restored from meta
+    assert 0 <= best2 < len(r2) and r2[best2].val_report
 
     # Without resume, all 4 epochs run.
     p3, r3, _ = train_head(src, src, 5, behaviors, epochs=4, patience=10,

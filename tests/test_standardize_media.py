@@ -162,3 +162,45 @@ def test_live_preview_emits_end_event(tmp_path):
                      on_end=ended2.set, timeout_s=2.0)
     p2.start()
     assert ended2.wait(10.0)
+
+
+def test_standardize_tolerates_metadata_overcount(tmp_path, monkeypatch):
+    """Containers routinely promise a few more frames than decode delivers
+    (VFR / truncated tails): a small shortfall commits the shorter output
+    instead of making the video permanently unimportable (r3 review finding);
+    a LARGE mid-video decoder death still refuses to commit."""
+    from cbas_tpu.ingest import standardize as st
+
+    src = str(tmp_path / "src.mp4")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 64))
+    for i in range(50):
+        w.write(np.full((64, 64, 3), i, np.uint8))
+    w.release()
+
+    real_open = st.open_video
+
+    class Overcounting:
+        """Claims 2 more frames than it can decode (metadata overcount)."""
+
+        def __init__(self, inner):
+            self._r = inner
+            self.fps = inner.fps
+            self.frame_count = inner.frame_count + 2
+
+        def read_batch(self, start, count):
+            return self._r.read_batch(start, count)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            self._r.close()
+
+    monkeypatch.setattr(st, "open_video", lambda p: Overcounting(real_open(p)))
+    dst = str(tmp_path / "out.mp4")
+    out = st.standardize_video(src, dst, fps=10, resolution=32)
+    assert os.path.exists(out)
+    cap = cv2.VideoCapture(out)
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    assert n == 50  # the really-decodable frames, not the promised 52
