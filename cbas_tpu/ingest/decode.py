@@ -92,7 +92,17 @@ class OpenCVVideoReader(VideoReader):
 
     def read_batch(self, start: int, count: int) -> np.ndarray:
         with self._lock:
-            if start != self._next_frame:
+            gap = start - self._next_frame
+            if 0 < gap <= 30:
+                # Small forward jump: grab()-skip is frame-EXACT, where a
+                # CAP_PROP_POS_FRAMES seek is keyframe-based and can land on
+                # the wrong frame for long-GOP codecs (and costs a container
+                # seek). Backward or far jumps still seek.
+                for _ in range(gap):
+                    if not self._cap.grab():
+                        break
+                self._next_frame = start
+            elif gap != 0:
                 self._cap.set(self._cv2.CAP_PROP_POS_FRAMES, start)
                 self._next_frame = start
             frames = np.empty((count, self.height, self.width, 3), np.uint8)
@@ -131,9 +141,18 @@ def open_video(path: str, backend: str = "auto") -> VideoReader:
 
         try:
             return NativeVideoReader(path)
-        except Exception:
+        except Exception as e:
             if backend == "native":
                 raise
+            # Loud fallback: a systemically broken native extension would
+            # otherwise silently decode everything through cv2 at a fraction
+            # of the throughput with nothing in the logs to explain it.
+            from cbas_tpu.utils.logging import log_message
+
+            log_message(
+                f"Native decoder failed for {path} ({e}); using OpenCV fallback.",
+                "WARN",
+            )
     if backend == "native":
         raise RuntimeError("native decoder requested but not available")
     return OpenCVVideoReader(path)

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cbas_tpu.utils.logging import log_message
+
 Params = Dict[str, jnp.ndarray]
 
 # Tensor-parallel reduction axis (set by parallel/mesh.py's 2-D shard_map
@@ -128,7 +130,7 @@ class ViTConfig:
             num_heads=hf_config.num_attention_heads,
             patch_size=hf_config.patch_size,
             num_register_tokens=getattr(hf_config, "num_register_tokens", 0),
-            intermediate_size=hf_config.hidden_size * hf_config.mlp_ratio,
+            intermediate_size=int(hf_config.hidden_size * hf_config.mlp_ratio),
             layer_norm_eps=hf_config.layer_norm_eps,
             image_size=hf_config.image_size,
             use_swiglu_ffn=hf_config.use_swiglu_ffn,
@@ -213,17 +215,48 @@ def _config_from_local_json(identifier: str) -> Optional[ViTConfig]:
 
 
 def config_for_identifier(identifier: str) -> ViTConfig:
-    """Resolve a model identifier to a ViTConfig: a local directory's own
-    config.json wins; otherwise HF-style preset names."""
+    """Resolve a model identifier to a ViTConfig.
+
+    Resolution order — ground truth before guesses:
+    1. a local directory's own config.json;
+    2. the HF cache's config for the identifier (``AutoConfig``,
+       local-files-only) via :meth:`ViTConfig.from_hf` — this is what stops a
+       name like "dinov3-vits16plus" (gated-MLP) from silently
+       substring-matching the plain "dinov3-vits16" preset and producing
+       wrong embeddings with no error;
+    3. preset-name matching (longest key first), for names with no
+       checkpoint on this machine (random-init smoke paths).
+    """
     local = _config_from_local_json(identifier)
     if local is not None:
         return local
+    try:
+        import transformers
+
+        hf = transformers.AutoConfig.from_pretrained(identifier, local_files_only=True)
+        return ViTConfig.from_hf(hf)
+    except Exception:
+        pass  # not cached / transformers absent: fall through to presets
     name = identifier.split("/")[-1].lower()
-    for key, cfg in PRESETS.items():
+    for key in sorted(PRESETS, key=len, reverse=True):
         if key in name:
-            return cfg
+            if key != name:
+                log_message(
+                    f"Encoder '{identifier}' has no local config; assuming "
+                    f"the '{key}' preset architecture from its name. If the "
+                    "checkpoint is a variant (plus/gated), embeddings will "
+                    "be wrong — provide the checkpoint's config.json.",
+                    "WARN",
+                )
+            return PRESETS[key]
     if "dinov3" in name:
+        log_message(
+            f"Unknown encoder '{identifier}': assuming dinov3-vitb16 preset.", "WARN"
+        )
         return PRESETS["dinov3-vitb16"]
+    log_message(
+        f"Unknown encoder '{identifier}': assuming dinov2-with-registers-base.", "WARN"
+    )
     return PRESETS["dinov2-with-registers-base"]
 
 
@@ -252,9 +285,7 @@ def set_fused_attention(enabled: Optional[bool]) -> None:
 # Overridable via set_fused_attention / env (sweeps, regression hunts).
 
 
-def use_fused_attention(
-    n_tokens: Optional[int] = None, hidden_size: Optional[int] = None
-) -> bool:
+def use_fused_attention() -> bool:
     import os
 
     if _FUSED_ATTENTION is not None:
@@ -323,6 +354,25 @@ def _full_rope_tables(
     return cos_full, sin_full
 
 
+def _attn_param_table(cfg: ViTConfig, prefix: str):
+    """(qkv names, qkv bias flags, out name, out bias) for the variant —
+    the single copy both the full and the CLS-only attention paths read, so
+    a variant/bias change can never desynchronize them."""
+    if cfg.variant == "dinov2":
+        return (
+            [f"{prefix}.attention.attention.{p}" for p in ("query", "key", "value")],
+            [True, True, True],
+            f"{prefix}.attention.output.dense",
+            True,
+        )
+    return (
+        [f"{prefix}.attention.{p}" for p in ("q_proj", "k_proj", "v_proj")],
+        [cfg.query_bias, cfg.key_bias, cfg.value_bias],
+        f"{prefix}.attention.o_proj",
+        cfg.proj_bias,
+    )
+
+
 def _attention(
     params: Params,
     prefix: str,
@@ -333,16 +383,7 @@ def _attention(
 ) -> jnp.ndarray:
     B, N, D = x.shape
     H, hd = cfg.num_heads, cfg.head_dim
-    if cfg.variant == "dinov2":
-        names = [f"{prefix}.attention.attention.{p}" for p in ("query", "key", "value")]
-        biases = [True, True, True]
-        out_name = f"{prefix}.attention.output.dense"
-        out_bias = True
-    else:
-        names = [f"{prefix}.attention.{p}" for p in ("q_proj", "k_proj", "v_proj")]
-        biases = [cfg.query_bias, cfg.key_bias, cfg.value_bias]
-        out_name = f"{prefix}.attention.o_proj"
-        out_bias = cfg.proj_bias
+    names, biases, out_name, out_bias = _attn_param_table(cfg, prefix)
 
     def proj_heads(name: str, has_bias: bool, pack: int = 1) -> jnp.ndarray:
         # Project straight into (B, H, N, d) — or, with pack=2, into the
@@ -368,7 +409,7 @@ def _attention(
     scale = hd ** -0.5
     from cbas_tpu.ops import flash_attention as fa
 
-    fused = use_fused_attention(n_valid if n_valid is not None else N, cfg.hidden_size)
+    fused = use_fused_attention()
     # Head pairs share a 128-lane minor dim so kernel DMA runs full-width;
     # needs an even local head count (odd TP shards fall back to unpacked).
     packed = fused and hd == 64 and h_local % 2 == 0
@@ -441,16 +482,7 @@ def _attention_cls(
     tensor is far too small for the Pallas kernel to matter."""
     B, N, D = h.shape
     H, hd = cfg.num_heads, cfg.head_dim
-    if cfg.variant == "dinov2":
-        names = [f"{prefix}.attention.attention.{p}" for p in ("query", "key", "value")]
-        biases = [True, True, True]
-        out_name = f"{prefix}.attention.output.dense"
-        out_bias = True
-    else:
-        names = [f"{prefix}.attention.{p}" for p in ("q_proj", "k_proj", "v_proj")]
-        biases = [cfg.query_bias, cfg.key_bias, cfg.value_bias]
-        out_name = f"{prefix}.attention.o_proj"
-        out_bias = cfg.proj_bias
+    names, biases, out_name, out_bias = _attn_param_table(cfg, prefix)
 
     def proj(name, has_bias, x):
         w = params[f"{name}.weight"].astype(x.dtype)
@@ -681,7 +713,7 @@ def vit_forward_from_tokens(
     # instead of 384 removes ~30% of the 256x256 attention work; 1205 ->
     # 1216 instead of 1280 trims every matmul ~5% at 480p).
     n_valid = x.shape[1]
-    if use_fused_attention(n_valid, cfg.hidden_size):
+    if use_fused_attention():
         granule = 16 if x.dtype.itemsize == 2 else 8
         n_pad = -(-n_valid // granule) * granule
         if n_pad != n_valid:
@@ -786,17 +818,14 @@ def cls_attention_map(
     q = q.reshape(B, N, Hh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, N, Hh, hd).transpose(0, 2, 1, 3)
     if cfg.variant == "dinov3" and rope is not None:
-        cos, sin = rope
-        p = cfg.num_prefix_tokens
-
-        def rot_half(t):
-            t1, t2 = t[..., : hd // 2], t[..., hd // 2 :]
-            return jnp.concatenate([-t2, t1], axis=-1)
-
+        # Same identity-prefix table + rotate-half as the real forward
+        # (_full_rope_tables/_rot_half) — a private copy here would let a
+        # RoPE fix desynchronize this probe from the production path.
+        cos, sin = _full_rope_tables(rope, cfg.num_prefix_tokens, N)
         cos = cos.astype(q.dtype)
         sin = sin.astype(q.dtype)
-        q = q.at[:, :, p:, :].set(q[:, :, p:, :] * cos + rot_half(q[:, :, p:, :]) * sin)
-        k = k.at[:, :, p:, :].set(k[:, :, p:, :] * cos + rot_half(k[:, :, p:, :]) * sin)
+        q = q * cos + _rot_half(q) * sin
+        k = k * cos + _rot_half(k) * sin
 
     scores = jnp.einsum("bhd,bhkd->bhk", q[:, :, 0, :], k) * (hd ** -0.5)
     weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)

@@ -39,7 +39,9 @@ def ema_smooth(x: jnp.ndarray, alpha: float, axis: int = 1) -> jnp.ndarray:
         return a2 * a1, a2 * b1 + b2
 
     _, smooth = jax.lax.associative_scan(combine, (coeff, b), axis=0)
-    return jnp.moveaxis(smooth, 0, axis)
+    # cast back per the module contract ("computation happens in float32 and
+    # is cast back"): a bf16 stream must not silently widen downstream
+    return jnp.moveaxis(smooth, 0, axis).astype(x.dtype)
 
 
 def robust_deltas(
@@ -52,7 +54,7 @@ def robust_deltas(
     reflection (replication when T < 3), then first and second differences.
     """
     B, T, C = x_seq.shape
-    smooth = ema_smooth(x_seq, alpha, axis=1)  # float32
+    smooth = ema_smooth(x_seq, alpha, axis=1)  # x_seq.dtype (fp32 scan inside)
 
     if T >= 3:
         # reflect: [s2, s1, s0, s1, s2, ...]
