@@ -454,11 +454,26 @@
         Math.round(((e.clientX - r.left) / r.width) * 500),
         Math.round(((e.clientY - r.top) / r.height) * 500));
   };
-  $("lt-timeline").onclick = (e) => {
-    if (!session) return;
-    const r = e.target.getBoundingClientRect();
-    const frac = (e.clientX - r.left) / r.width;
-    rpc("jump_to_frame", Math.floor(frac * session.total_frames));
+  // Click jumps; holding the button drags the playhead (reference:
+  // handleMouseMoveForLabelScrub wired on mousedown, label_train_page.js:2370).
+  // An in-flight flag drops intermediate moves so the RPC stream can't
+  // outrun the server-side renderer.
+  let scrubBusy = false;
+  const scrubTo = async (e) => {
+    if (!session || scrubBusy) return;
+    const r = $("lt-timeline").getBoundingClientRect();
+    const frac = Math.min(1, Math.max(0, (e.clientX - r.left) / r.width));
+    scrubBusy = true;
+    try { await rpc("jump_to_frame", Math.floor(frac * session.total_frames)); }
+    finally { scrubBusy = false; }
+  };
+  $("lt-timeline").onmousedown = (e) => {
+    e.preventDefault();
+    scrubTo(e);
+    document.addEventListener("mousemove", scrubTo);
+    document.addEventListener(
+      "mouseup", () => document.removeEventListener("mousemove", scrubTo),
+      { once: true });
   };
   // double-click recenters the zoom strip on the selected instance
   // (reference: get_zoom_range_for_click on the timeline canvas)

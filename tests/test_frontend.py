@@ -117,6 +117,22 @@ def test_zoom_timeline_rendered_and_clickable():
     assert m and "zoom_start" in m.group(0)
 
 
+def test_timeline_drag_scrubs():
+    """Holding the mouse button on the full timeline drags the playhead
+    (reference: handleMouseMoveForLabelScrub attached on mousedown,
+    label_train_page.js:2370-2374), detaching again on mouseup."""
+    src = open(os.path.join(FRONTEND, "js", "label_train.js")).read()
+    m = re.search(r'lt-timeline"\)\.onmousedown[\s\S]*?\{ once: true \}', src)
+    assert m, "timeline mousedown -> drag-scrub wiring missing"
+    block = m.group(0)
+    assert 'addEventListener("mousemove"' in block
+    assert "jump_to_frame" in src[: m.start()] or "jump_to_frame" in block or (
+        "scrubTo" in block and "jump_to_frame" in src
+    )
+    # moves are coalesced: an in-flight RPC drops intermediate positions
+    assert "scrubBusy" in src
+
+
 def test_crop_editor_is_interactive_and_saves_fractions():
     """The record page offers canvas drag-cropping (draw/move/resize) that
     saves fractional crop settings (reference: record_page.js crop overlay)."""
