@@ -155,13 +155,19 @@ class SweepRunner:
         subjects = list({subject_of(i) for i in instances})
         behaviors = self.dataset.config.get("behaviors", [])
 
-        for path, ratios, n, mtype in (
+        # Deliberate deviation from the reference: sweep_runner.py:220,236
+        # seeds BOTH providers identically, so sweep split i's 15% validation
+        # subjects are exactly outer split i's 15% test subjects (both are
+        # shuffled[0.85n:] of the same seeded shuffle) — hyperparameters get
+        # selected on the subjects later reported as held-out test. The outer
+        # manifest here uses a disjoint seed stream.
+        for path, ratios, n, mtype, seed in (
             (self.sweep_manifest_path, (0.85, 0.15, 0.0), self.n_sweep_splits,
-             "hyperparameter_sweep"),
+             "hyperparameter_sweep", self.seed),
             (self.outer_manifest_path, (0.70, 0.15, 0.15), self.n_outer_splits,
-             "outer_evaluation"),
+             "outer_evaluation", self.seed + 100003),
         ):
-            provider = RandomSplitProvider(seed=self.seed, split_ratios=ratios)
+            provider = RandomSplitProvider(seed=seed, split_ratios=ratios)
             splits = []
             for i in range(n):
                 train, val, test = provider.get_split(
@@ -203,22 +209,33 @@ class SweepRunner:
             })
         return combos
 
-    def _drain_sweep_combos(self, combos: List[dict]) -> None:
-        """Run every combo lacking its report. Combos are claimed via atomic
-        lease files (utils/claims.py) and marked done by the combo's
-        performance_report.yaml, so any number of worker processes — across
-        chips or pod hosts — can drain the same grid concurrently, and an
-        interrupted sweep resumes where it stopped (the fingerprinted split
-        manifest pins the data; the dir name pins the params)."""
-        from cbas_tpu.utils.claims import release_claim_path, try_claim_path
+    def _drain_sweep_combos(self, combos: List[dict]) -> int:
+        """Run every combo lacking its report; returns the number of failed
+        combos. Combos are claimed via atomic lease files (utils/claims.py)
+        and marked done by the combo's performance_report.yaml, so any number
+        of worker processes — across chips or pod hosts — can drain the same
+        grid concurrently, and an interrupted sweep resumes where it stopped
+        (the fingerprinted split manifest pins the data; the dir name pins
+        the params)."""
+        from cbas_tpu.utils.claims import (
+            ClaimHeartbeat,
+            release_claim_path,
+            try_claim_path,
+        )
 
-        fingerprint = self._fingerprint()
+        # Build the provider BEFORE claiming anything: a missing manifest
+        # (sweep run before precompute) or a stale fingerprint (labels edited
+        # since precompute) must abort cleanly, not leak a claimed combo for
+        # the full TTL. It is loop-invariant, so parse the JSON once.
+        provider = ManifestSplitProvider(self.sweep_manifest_path, self._fingerprint())
+        ttl_s = 6 * 3600.0
+        failed = 0
         for i, combo in enumerate(combos):
             report_path = os.path.join(combo["out_dir"], "performance_report.yaml")
             if os.path.exists(report_path):
                 continue
             claim = combo["out_dir"] + ".claim"
-            if not try_claim_path(claim, ttl_s=6 * 3600.0):
+            if not try_claim_path(claim, ttl_s=ttl_s):
                 continue
             if os.path.exists(report_path):
                 release_claim_path(claim)
@@ -228,22 +245,27 @@ class SweepRunner:
                 f"--- Sweep job {i + 1}/{len(combos)}: {combo['grid']} "
                 f"(batch {combo['params']['batch_size']}) ---"
             )
-            task = self._make_task(combo["params"])
-            provider = ManifestSplitProvider(self.sweep_manifest_path, fingerprint)
             try:
-                run_training_job(
-                    self.project, task, split_provider=provider,
-                    output_dir=combo["out_dir"], plot_suffix="runs", seed=self.seed,
-                )
+                task = self._make_task(combo["params"])
+                # heartbeat: a multi-hour combo must not have its LIVE lease
+                # aged out under it (a second worker would write the same
+                # out_dir)
+                with ClaimHeartbeat(claim, ttl_s):
+                    run_training_job(
+                        self.project, task, split_provider=provider,
+                        output_dir=combo["out_dir"], plot_suffix="runs",
+                        seed=self.seed,
+                    )
             except Exception as e:  # noqa: BLE001 — one bad combo must not stall the grid
-                # Release the claim so a resumed/parallel worker can retry
-                # immediately (a leaked claim blocks the combo for the full
-                # TTL), and keep draining the remaining combos.
+                # Release the claim (the finally below) so a resumed/parallel
+                # worker can retry immediately, and keep draining.
+                failed += 1
                 log_message(f"Sweep job {i + 1} ({combo['grid']}) failed: {e}", "ERROR")
                 continue
             finally:
                 release_claim_path(claim)
             log_message(f"--- Sweep job {i + 1} done in {time.time() - t0:.1f}s ---")
+        return failed
 
     def _collect_sweep_results(self, combos: List[dict]) -> Optional[str]:
         results = []
@@ -288,9 +310,12 @@ class SweepRunner:
         combos = self._sweep_combos()
         log_message(f"Sweep: {len(combos)} parameter combinations.")
         jobs = min(jobs, len(combos))
+        failures = 0
         if jobs <= 1:
-            self._drain_sweep_combos(combos)
+            failures = self._drain_sweep_combos(combos)
             if drain_only:
+                if failures:
+                    raise RuntimeError(f"{failures} sweep combo(s) failed")
                 return None
         else:
             import subprocess
@@ -324,9 +349,19 @@ class SweepRunner:
                     env["TPU_PROCESS_BOUNDS"] = "1,1,1"
                 procs.append(subprocess.Popen(cmd, env=env))
             rc = [p.wait() for p in procs]
-            if any(rc):
-                log_message(f"Sweep worker exit codes: {rc}", "WARN")
-        return self._collect_sweep_results(combos)
+            failures = sum(1 for c in rc if c)
+            if failures:
+                log_message(f"Sweep worker exit codes: {rc}", "ERROR")
+        out = self._collect_sweep_results(combos)
+        if failures:
+            # Surface the failure to the caller/shell even when a partial CSV
+            # was written — a pipeline chaining `sweep && evaluate` must not
+            # pick a champion from an incompletely drained grid.
+            raise RuntimeError(
+                f"sweep incomplete: {failures} worker(s)/combo(s) failed"
+                + (f" (partial results: {out})" if out else "")
+            )
+        return out
 
     # -- phase 3: evaluate ---------------------------------------------------------
 

@@ -95,11 +95,18 @@ def plot_run_metrics(
     for metric in ("precision", "recall", "f1-score"):
         plt.figure(figsize=(max(8, len(behaviors) * 0.6), 6))
         x = np.arange(len(behaviors))
+        # NaN (not 0) for a behavior absent from a run's report — the relaxed
+        # split fallback warns that rare behaviors may be missing from some
+        # replicates' test sets, and injecting 0.0 for those runs would drag
+        # the plotted mean down and inflate std for runs that never measured
+        # the behavior at all. nanmean excludes them (matching the NaN
+        # convention plot_epoch_metric already uses); scatter skips NaNs.
         values = [
-            [r.get(b, {}).get(metric, 0) for r in reports] for b in behaviors
+            np.array([r.get(b, {}).get(metric, np.nan) for r in reports], float)
+            for b in behaviors
         ]
-        means = [np.mean(v) for v in values]
-        stds = [np.std(v) for v in values]
+        means = [float(np.nanmean(v)) if np.any(~np.isnan(v)) else 0.0 for v in values]
+        stds = [float(np.nanstd(v)) if np.any(~np.isnan(v)) else 0.0 for v in values]
         plt.bar(
             x, means, yerr=stds, align="center", alpha=0.7, ecolor="black",
             capsize=10, label=f"Mean (n={len(reports)})",

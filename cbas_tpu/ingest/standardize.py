@@ -163,8 +163,19 @@ def import_videos(
     (reference: backend/label_train_page.py:124-213). Returns imported paths."""
     os.makedirs(dest_dir, exist_ok=True)
     out_paths: List[str] = []
+    used_names: set = set()
     for i, src in enumerate(sources):
         name = os.path.basename(src)
+        # Two sources can share a basename (e.g. /camA/video1.mp4 and
+        # /camB/video1.mp4): uniquify within this import so the second does
+        # not silently clobber the first in dest_dir.
+        if name in used_names:
+            stem, ext = os.path.splitext(name)
+            k = 1
+            while f"{stem}_{k}{ext}" in used_names:
+                k += 1
+            name = f"{stem}_{k}{ext}"
+        used_names.add(name)
         dst = os.path.join(dest_dir, name)
         if progress_callback:
             progress_callback(i / max(1, len(sources)) * 100.0, name)
@@ -307,14 +318,28 @@ def augment_dataset(
         processed[src] = out
 
     # Source labels plus remapped copies pointing at the augmented videos.
+    # Dedupe against aug instances the source dataset ALREADY holds (a source
+    # that went through resync_aug_labels carries both v.mp4 and v_aug.mp4
+    # instances): without this every chained augmentation would append a
+    # second identical v_aug instance per source instance, double-weighting
+    # those windows in training and doubling every instance/frame count.
     new_labels = {b: list(insts) for b, insts in source.labels.get("labels", {}).items()}
+    existing_aug = {
+        (b, str(i.get("video")), int(i.get("start", -1)), int(i.get("end", -1)))
+        for b, insts in new_labels.items()
+        for i in insts
+        if is_aug_video(str(i.get("video", "")))
+    }
     for inst in all_instances:
         src = os.path.join(project.path, inst["video"])
         if src in processed:
             remapped = dict(inst)
             remapped["video"] = os.path.relpath(processed[src], start=project.path)
-            if remapped.get("label") in new_labels:
-                new_labels[remapped["label"]].append(remapped)
+            label = remapped.get("label")
+            key = (label, remapped["video"],
+                   int(remapped.get("start", -1)), int(remapped.get("end", -1)))
+            if label in new_labels and key not in existing_aug:
+                new_labels[label].append(remapped)
     new_ds.labels = dict(source.labels)
     new_ds.labels["labels"] = new_labels
     new_ds.save_labels()

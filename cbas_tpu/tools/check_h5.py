@@ -25,11 +25,17 @@ def inspect(path: str, expect: str | None) -> dict:
                 info["frames"] = int(f["cls"].shape[0])
                 info["dim"] = int(f["cls"].shape[1])
                 info["dtype"] = str(f["cls"].dtype)
-            info["ok"] = (
-                "cls" in f
-                and info["encoder"] is not None
-                and (expect is None or str(info["encoder"]) == expect)
-            )
+            if expect is None:
+                matches = True
+            else:
+                # Same acceptance rule as the pipeline (hdf5_store
+                # .is_stamp_valid): raw string equality would report BAD for
+                # stamps the app itself treats as valid (project-local
+                # encoder paths after a host move, legacy fingerprint forms).
+                from cbas_tpu.utils.naming import identities_equivalent
+
+                matches = identities_equivalent(str(info["encoder"]), expect)
+            info["ok"] = "cls" in f and info["encoder"] is not None and matches
     except Exception as e:
         info["error"] = str(e)
     return info

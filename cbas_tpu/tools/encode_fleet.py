@@ -133,6 +133,7 @@ def run_worker(manifest: str, encoder_path: str, chip: Optional[int],
     from cbas_tpu.core.config import EncodeConfig
     from cbas_tpu.engine.encode import EncodeStats, encode_file
     from cbas_tpu.models.encoder import FrameEncoder
+    from cbas_tpu.utils.claims import ClaimHeartbeat
     from cbas_tpu.utils.jax_setup import enable_compilation_cache
     from cbas_tpu.utils.naming import h5_path_for_video
 
@@ -167,7 +168,18 @@ def run_worker(manifest: str, encoder_path: str, chip: Optional[int],
             continue
         try:
             st = EncodeStats()
-            out = encode_file(enc, video, config=cfg, stats=st)
+            # Heartbeat the lease: a single video longer than the TTL must
+            # not have its LIVE claim broken mid-encode (a second worker
+            # would truncate the same <h5>.tmp under this one).
+            with ClaimHeartbeat(claim_path(video), claim_ttl):
+                out = encode_file(enc, video, config=cfg, stats=st)
+            if out is None:
+                # encode_file declined (empty/corrupt video): no H5 was
+                # written, so counting it done would contradict the parent's
+                # post-run staleness scan. Keep the claim for the retry TTL.
+                failed += 1
+                _emit({"video": video, "error": "no output (empty or undecodable video)"})
+                continue
             done += 1
             _emit({"video": video, "h5": out, "fps": round(st.fps, 1),
                    "frames": st.frames})
@@ -187,6 +199,7 @@ def _run_classify_worker(manifest: str, encoder_path: str, model_dir: str,
     (infer_h5's direct write could leave a partial CSV that reads as done)."""
     from cbas_tpu.engine.classifier import ClassifierBundle
     from cbas_tpu.engine.infer import InferenceSession
+    from cbas_tpu.utils.claims import ClaimHeartbeat
     from cbas_tpu.utils.naming import outputs_csv_for_h5
 
     bundle = ClassifierBundle.load(model_dir, expected_encoder=encoder_path)
@@ -205,12 +218,17 @@ def _run_classify_worker(manifest: str, encoder_path: str, model_dir: str,
         try:
             t0 = time.time()
             tmp = csv + ".tmp"
-            out = session.infer_h5(h5, output_csv=tmp)
-            if out:
-                os.replace(tmp, csv)
+            with ClaimHeartbeat(claim_path(h5, model), claim_ttl):
+                out = session.infer_h5(h5, output_csv=tmp)
+            if not out:
+                # infer_h5 declined (empty H5): no CSV exists, so the item
+                # stays todo — report it as a failure, not a success.
+                failed += 1
+                _emit({"h5": h5, "error": "no output (empty embedding file)"})
+                continue
+            os.replace(tmp, csv)
             done += 1
-            _emit({"h5": h5, "csv": csv if out else None,
-                   "wall_s": round(time.time() - t0, 2)})
+            _emit({"h5": h5, "csv": csv, "wall_s": round(time.time() - t0, 2)})
         except Exception as e:
             failed += 1
             _emit({"h5": h5, "error": f"{type(e).__name__}: {e}"})

@@ -50,6 +50,13 @@ def export_overlay(video_path, df, out_path):
             out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
             (reader.width, reader.height),
         )
+        if not writer.isOpened():
+            # A failed VideoWriter swallows every write() silently and the
+            # tool would still print "wrote <out>" with exit 0.
+            raise IOError(
+                f"could not open video writer for '{out_path}' "
+                "(bad path or mp4v codec unavailable)"
+            )
         n = min(reader.frame_count, len(df))
         for start, batch in reader.iter_chunks(64):
             if start >= n:

@@ -16,6 +16,7 @@ app/sweep.py (per-chip sweep-combo fan-out).
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 
@@ -89,3 +90,43 @@ def release_claim_path(path: str) -> None:
         os.unlink(path)
     except OSError:
         pass
+
+
+def renew_claim_path(path: str) -> None:
+    """Refresh the lease's mtime. No-op if the claim vanished (broken)."""
+    try:
+        os.utime(path)
+    except OSError:
+        pass
+
+
+class ClaimHeartbeat:
+    """Keep a lease alive while its owner works.
+
+    Claims are broken by mtime age, so a worker whose single work item
+    outlives the TTL (a very long video, a multi-hour sweep combo) would have
+    its LIVE lease broken and a second worker would start writing the same
+    output. This context manager touches the claim every ``ttl_s / 4``
+    (clamped to [5 s, 300 s]) from a daemon thread for the duration of the
+    work, so only claims of genuinely dead workers ever age out.
+    """
+
+    def __init__(self, path: str, ttl_s: float):
+        self.path = path
+        self.interval_s = min(300.0, max(5.0, ttl_s / 4.0))
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def __enter__(self) -> "ClaimHeartbeat":
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval_s):
+            renew_claim_path(self.path)
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)

@@ -119,3 +119,24 @@ def test_claim_contention_exactly_one_winner(tmp_path):
             os.utime(path, (old, old))
     leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".break")]
     assert leftovers == [], "breaker guards must clean up after themselves"
+
+
+def test_claim_heartbeat_keeps_live_lease_from_aging_out(tmp_path):
+    """A worker whose single item outlives the TTL must not lose its LIVE
+    lease (a second worker would truncate the same output under it); once the
+    owner stops heartbeating, the lease ages out normally (r3 review
+    finding)."""
+    import time as _time
+
+    from cbas_tpu.utils.claims import ClaimHeartbeat, try_claim_path
+
+    claim = str(tmp_path / "out_cls.h5.claim")
+    ttl = 0.6
+    assert try_claim_path(claim, ttl_s=ttl)
+    hb = ClaimHeartbeat(claim, ttl)
+    hb.interval_s = 0.1  # the production floor is 5 s; tighten for the test
+    with hb:
+        _time.sleep(2 * ttl)  # well past the TTL while the owner is alive
+        assert not try_claim_path(claim, ttl_s=ttl)  # lease still held
+    _time.sleep(2 * ttl)  # heartbeat stopped: the lease may now age out
+    assert try_claim_path(claim, ttl_s=ttl)

@@ -204,3 +204,38 @@ def test_standardize_tolerates_metadata_overcount(tmp_path, monkeypatch):
     n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     cap.release()
     assert n == 50  # the really-decodable frames, not the promised 52
+
+
+def test_augment_dataset_no_duplicate_labels_on_chained_aug(tmp_path):
+    """Augmenting a dataset that ALREADY holds aug instances (e.g. one that
+    went through a previous augment/resync) must not append a second copy of
+    each aug instance (r3 review finding: double-weighted training windows)."""
+    proj = Project.create_project(str(tmp_path), "p")
+    rec = os.path.join(proj.recordings_dir, "s", "m0")
+    os.makedirs(rec)
+    video = write_video(os.path.join(rec, "m0_00001.mp4"), n=10)
+    rel = os.path.relpath(video, proj.path)
+    ds = proj.create_dataset("d", ["walk"], [])
+    ds.labels["labels"]["walk"] = [{"video": rel, "start": 0, "end": 5, "label": "walk"}]
+    ds.save_labels()
+    proj.reload()
+
+    first = augment_dataset(proj, "d", "d_aug")
+    assert len(first.labels["labels"]["walk"]) == 2  # src + aug
+    proj.reload()
+    chained = augment_dataset(proj, "d_aug", "d_aug2")
+    insts = chained.labels["labels"]["walk"]
+    assert len(insts) == 2  # NOT 3: the existing aug instance is not re-added
+    assert len({(i["video"], i["start"], i["end"]) for i in insts}) == 2
+
+
+def test_import_videos_uniquifies_basename_collisions(tmp_path):
+    """Two sources sharing a basename must both survive the import instead of
+    the second silently clobbering the first (r3 review finding)."""
+    os.makedirs(str(tmp_path / "camA")); os.makedirs(str(tmp_path / "camB"))
+    a = write_video(str(tmp_path / "camA" / "v.mp4"), n=3)
+    b = write_video(str(tmp_path / "camB" / "v.mp4"), n=3)
+    dest = str(tmp_path / "dest")
+    out = import_videos([a, b], dest, standardize=False)
+    assert len(out) == 2 and len(set(out)) == 2
+    assert all(os.path.exists(p) for p in out)

@@ -182,8 +182,38 @@ def test_failed_combo_releases_claim_and_drain_continues(project, monkeypatch):
             f.write("run_results: []\n")
 
     monkeypatch.setattr(sweep_mod, "run_training_job", boom_then_ok)
-    r._drain_sweep_combos(combos)
+    failed = r._drain_sweep_combos(combos)
 
+    assert failed == 1  # ... and the failure is reported, not swallowed
     assert len(ran) == 2  # the second combo still ran after the first failed
     leftovers = [f for f in os.listdir(r.experiments_dir) if f.endswith(".claim")]
     assert leftovers == []  # the failed combo's claim was released
+
+    # run_sweep must surface the incomplete grid to the caller/shell: a
+    # pipeline chaining `sweep && evaluate` must not pick a champion from a
+    # partially drained grid (r3 review finding).
+    ran.clear()
+    for combo in combos:
+        rp = os.path.join(combo["out_dir"], "performance_report.yaml")
+        if os.path.exists(rp):
+            os.unlink(rp)
+    with pytest.raises(RuntimeError, match="failed"):
+        r.run_sweep(jobs=1)
+
+
+def test_sweep_and_outer_manifests_use_disjoint_seed_streams(project):
+    """The reference seeds both split providers identically, making sweep
+    split i's validation subjects exactly outer split i's test subjects
+    (both are shuffled[0.85n:] of the same seeded shuffle) — hyperparameters
+    were being selected on the reported held-out test set. Deliberate
+    deviation: the outer manifest uses a disjoint seed stream."""
+    r = SweepRunner(project, "d", n_sweep_splits=4, n_outer_splits=4)
+    r.precompute_splits()
+    sweep = json.load(open(r.sweep_manifest_path))["splits"]
+    outer = json.load(open(r.outer_manifest_path))["splits"]
+    coincident = [
+        i
+        for i in range(4)
+        if set(sweep[i]["validation"]) == set(outer[i]["test"])
+    ]
+    assert coincident == []  # deterministic under seed=42 with 8 subjects
