@@ -450,7 +450,12 @@ class Api:
         stretch: bool = False,
         crop: Optional[list] = None,
     ) -> List[str]:
-        if not self.state.project:
+        # Reject blank names like the reference (label_train_page.py:486):
+        # joining empty components would drop imports into the recordings
+        # root, where the session/subject scan never finds them.
+        session_name = str(session_name or "").strip()
+        subject_name = str(subject_name or "").strip()
+        if not self.state.project or not session_name or not subject_name:
             return []
         dest = os.path.join(self.state.project.recordings_dir, session_name, subject_name)
         imported = import_videos(

@@ -433,6 +433,7 @@ class LabelingSession:
         """Commit the session: rewrite this video's labels in labels.yaml
         (reference: label_train_page.py:1098-1160)."""
         if self.mode == "playback":
+            self.confirmation_mode = False  # un-stage; nothing commits here
             return {"status": "error", "message": "Playback session is read-only."}
         commit = [
             inst
@@ -440,6 +441,11 @@ class LabelingSession:
             if "confidence" not in inst or inst.get("_confirmed", False)
         ]
         if not self.has_changes():
+            # Un-stage before returning: the frontend stages confirmation_mode
+            # ahead of the save RPC, and leaving it set would keep every
+            # unconfirmed prediction hidden from the timeline after a no-op
+            # save (the re-render in Api.save_session_labels restores them).
+            self.confirmation_mode = False
             log_message("No changes detected in labeling session; nothing to save.")
             return {"status": "no_changes"}
 

@@ -72,6 +72,11 @@ def stitch_outputs(directory: str, model: str) -> Optional[pd.DataFrame]:
     # derived stem is not a known video stem but extends one ("cam_00001_big"
     # extends video "cam_00001" -> it is cam_00001's big_<model> output).
     # CSVs whose video/H5 were archived away keep stitching (no evidence).
+    # Missing directory == no data (not an exception): the API layer treats
+    # a None return as "nothing to plot", and the frontend shows a friendly
+    # message instead of a stuck "generating…" spinner.
+    if not os.path.isdir(directory):
+        return None
     listing = os.listdir(directory)
     video_stems = {
         f[:-4] for f in listing if f.endswith(".mp4")

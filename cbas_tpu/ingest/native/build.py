@@ -29,12 +29,20 @@ def build(force: bool = False) -> str:
     os.makedirs(BUILD_DIR, exist_ok=True)
     if not force and os.path.exists(LIB) and os.path.getmtime(LIB) >= os.path.getmtime(SRC):
         return LIB
+    # Per-process tmp name: two processes racing on first use must not write
+    # the same tmp path, or one's os.replace can install the other's
+    # half-written object (then every CDLL fails for the process lifetime).
+    tmp = f"{LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O2", "-fPIC", "-shared", "-std=c++17",
-        SRC, "-o", LIB + ".tmp",
+        SRC, "-o", tmp,
     ] + LIBS
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
-    os.replace(LIB + ".tmp", LIB)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, LIB)  # atomic; last writer wins with a complete .so
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return LIB
 
 

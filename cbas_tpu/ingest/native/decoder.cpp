@@ -35,6 +35,7 @@ struct Decoder {
     int64_t frame_count = 0;
     int64_t next_index = 0;  // index the next decode_next() call will yield
     bool eof_sent = false;
+    bool saw_pts = false;  // stream has yielded a usable timestamp at least once
     AVRational tb{};
     int64_t start_ts = 0;
 };
@@ -62,6 +63,7 @@ int decode_next(Decoder* d) {
         if (ret == 0) {
             int64_t idx = pts_to_index(d, d->frame->best_effort_timestamp);
             if (idx < 0) idx = d->next_index;
+            else d->saw_pts = true;
             d->next_index = idx + 1;
             return 1;
         }
@@ -87,16 +89,23 @@ int decode_next(Decoder* d) {
 }
 
 int seek_before(Decoder* d, int64_t index) {
-    int ret = av_seek_frame(d->fmt, d->stream_index, index_to_ts(d, index),
+    // Without usable timestamps (e.g. raw elementary streams) the landing
+    // index of a mid-stream seek is unknowable and counting from the
+    // keyframe would silently return the wrong frames. Rewind to the true
+    // stream start instead: counting from index 0 there is exact, and the
+    // decode-and-discard forward walk stays correct (just slower).
+    const bool trust_pts = d->saw_pts;
+    int64_t target = trust_pts ? index_to_ts(d, index) : d->start_ts;
+    int ret = av_seek_frame(d->fmt, d->stream_index, target,
                             AVSEEK_FLAG_BACKWARD);
-    if (ret < 0) {
+    if (ret < 0 && trust_pts) {
         ret = av_seek_frame(d->fmt, d->stream_index, d->start_ts,
                             AVSEEK_FLAG_BACKWARD);
-        if (ret < 0) return ret;
     }
+    if (ret < 0) return ret;
     avcodec_flush_buffers(d->codec);
     d->eof_sent = false;
-    d->next_index = 0;  // corrected by the first decoded frame's PTS
+    d->next_index = 0;  // exact at stream start; corrected by PTS otherwise
     return 0;
 }
 

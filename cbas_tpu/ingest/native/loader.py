@@ -9,6 +9,8 @@ from typing import Optional
 
 import numpy as np
 
+from cbas_tpu.ingest import decode
+
 _lib = None
 _lib_lock = threading.Lock()
 _build_failed = False
@@ -57,8 +59,14 @@ def is_available() -> bool:
     return _load() is not None
 
 
-class NativeVideoReader:
-    """VideoReader backed by the C++ libav decoder."""
+class NativeVideoReader(decode.VideoReader):
+    """VideoReader backed by the C++ libav decoder.
+
+    Thread-safety contract: reads serialize on ``self._lock`` (the native
+    Decoder is single-stream), and ``close()`` takes the same lock so a
+    concurrent close cannot free the AVFormatContext mid-decode. After
+    close, reads raise IOError instead of passing NULL into C.
+    """
 
     def __init__(self, path: str):
         lib = _load()
@@ -77,12 +85,11 @@ class NativeVideoReader:
         self._lock = threading.Lock()
         self._scratch = np.empty(self.height * self.width * 3, np.uint8)
 
-    def __len__(self) -> int:
-        return self.frame_count
-
     def read_batch(self, start: int, count: int) -> np.ndarray:
         out = np.empty((count, self.height, self.width, 3), np.uint8)
         with self._lock:
+            if not self._h:
+                raise IOError(f"native decoder closed: {self.path}")
             got = self._lib.nd_read_rgb(
                 self._h, start, count, out.ctypes.data_as(ctypes.c_void_p)
             )
@@ -93,6 +100,8 @@ class NativeVideoReader:
     def read_green_batch(self, start: int, count: int) -> np.ndarray:
         out = np.empty((count, self.height, self.width), np.uint8)
         with self._lock:
+            if not self._h:
+                raise IOError(f"native decoder closed: {self.path}")
             got = self._lib.nd_read_green(
                 self._h, start, count,
                 out.ctypes.data_as(ctypes.c_void_p),
@@ -102,21 +111,16 @@ class NativeVideoReader:
             raise IOError(f"native decode error at frame {start} of {self.path}")
         return out[:got]
 
-    def iter_chunks(self, chunk_size: int):
-        for start in range(0, self.frame_count, chunk_size):
-            n = min(chunk_size, self.frame_count - start)
-            yield start, self.read_batch(start, n)
-
     def close(self) -> None:
-        if getattr(self, "_h", None):
-            self._lib.nd_close(self._h)
-            self._h = None
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        self.close()
+        # __del__ may run before __init__ finished (nd_open raised), so the
+        # lock itself may be absent.
+        lock = getattr(self, "_lock", None)
+        if lock is None:
+            return
+        with lock:
+            if getattr(self, "_h", None):
+                self._lib.nd_close(self._h)
+                self._h = None
 
     def __del__(self):
         try:

@@ -22,6 +22,18 @@ async function rpcKw(method, args, kwargs) {
   return j.result;
 }
 
+// ---- HTML escaping ----------------------------------------------------
+// Project-controlled strings (camera names, RTSP URLs, dataset/behavior
+// names, file paths — anything that can arrive via an imported/shared
+// project YAML) must pass through esc() before innerHTML interpolation:
+// inside the Electron shell an injected <img onerror=...> would run with
+// access to the preload bridge.
+function esc(s) {
+  return String(s).replace(/[&<>"']/g, (c) => (
+    { "&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;", "'": "&#39;" }[c]
+  ));
+}
+
 // ---- SSE callback bus -------------------------------------------------
 // Worker callbacks (cbas_tpu/app/workers.py docstring) arrive as
 // {name, args}; pages register handlers by callback name.

@@ -26,11 +26,11 @@
     Object.entries(tree).forEach(([session, subjects]) => {
       const card = document.createElement("div");
       card.className = "card";
-      card.innerHTML = `<h3><label><input type="checkbox" data-session="${session}"> ${session}</label></h3>`;
+      card.innerHTML = `<h3><label><input type="checkbox" data-session="${esc(session)}"> ${esc(session)}</label></h3>`;
       Object.keys(subjects).forEach((subj) => {
         const l = document.createElement("label");
         const path = `${root}/recordings/${session}/${subj}`;
-        l.innerHTML = `<input type="checkbox" data-dir="${path}"> ${subj}`;
+        l.innerHTML = `<input type="checkbox" data-dir="${esc(path)}"> ${esc(subj)}`;
         card.appendChild(l);
       });
       card.querySelector("[data-session]").onchange = (e) => {

@@ -40,13 +40,13 @@
     let rows = behaviors
       .map((b) => {
         const m = metrics[b] || {};
-        return `<tr><td>${b}</td>${cols
-          .map((c) => `<td>${m[c] !== undefined ? m[c] : "–"}</td>`)
+        return `<tr><td>${esc(b)}</td>${cols
+          .map((c) => `<td>${m[c] !== undefined ? esc(m[c]) : "–"}</td>`)
           .join("")}</tr>`;
       })
       .join("");
     card.innerHTML = `
-      <h3>${name}</h3>
+      <h3>${esc(name)}</h3>
       <table class="metrics">
         <tr><th></th><th>Train</th><th>Test</th><th>F1</th><th>P</th><th>R</th></tr>
         ${rows}
@@ -92,7 +92,7 @@
     const body = showModal(`Manage dataset: ${name}`);
     const path = await rpc("reveal_dataset_files", name);
     body.innerHTML = `
-      <p class="muted">files: <code>${path || "?"}</code></p>
+      <p class="muted">files: <code>${esc(path || "?")}</code></p>
       <div class="formrow">
         <button id="mm-clean">Clean &amp; sort labels</button>
         <button id="mm-recalc">Recount instances / frames</button>
@@ -132,21 +132,22 @@
     const treeDiv = $("wl-tree");
     Object.entries(tree).forEach(([sess, subjects]) => {
       const sessDiv = document.createElement("div");
-      sessDiv.innerHTML = `<label><input type="checkbox" data-wl="${sess}"> <b>${sess}</b></label>`;
+      sessDiv.innerHTML = `<label><input type="checkbox" data-wl="${esc(sess)}"> <b>${esc(sess)}</b></label>`;
+      const sessBox = sessDiv.querySelector("input");
       const sub = document.createElement("div");
       sub.className = "tree";
       subjects.forEach((s) => {
         const key = `${sess}/${s}`;
         const l = document.createElement("label");
         l.style.display = "block";
-        l.innerHTML = `<input type="checkbox" data-wl="${key}"> ${s}`;
+        l.innerHTML = `<input type="checkbox" data-wl="${esc(key)}"> ${esc(s)}`;
         sub.appendChild(l);
       });
       sessDiv.appendChild(sub);
       treeDiv.appendChild(sessDiv);
       // session checkbox toggles all subjects under it (reference:
       // updateChildrenCheckboxes)
-      sessDiv.querySelector(`[data-wl="${sess}"]`).onchange = (e) => {
+      sessBox.onchange = (e) => {
         sub.querySelectorAll("input").forEach((c) => (c.checked = e.target.checked));
       };
     });
@@ -171,7 +172,7 @@
     const body = showModal(`Review by behavior: ${name}`);
     body.innerHTML = `
       <div class="formrow">
-        behavior <select id="rb-beh">${behaviors.map((b) => `<option>${b}</option>`).join("")}</select>
+        behavior <select id="rb-beh">${behaviors.map((b) => `<option>${esc(b)}</option>`).join("")}</select>
         <button id="rb-go">Build playlist</button>
       </div>
       <div id="rb-list"></div>`;
@@ -181,14 +182,14 @@
       const list = $("rb-list");
       list.innerHTML = "";
       const entries = Object.entries(byVideo);
-      if (!entries.length) list.innerHTML = `<p class="muted">no instances of ${beh}</p>`;
+      if (!entries.length) list.innerHTML = `<p class="muted">no instances of ${esc(beh)}</p>`;
       const reviewed = JSON.parse(sessionStorage.getItem("categoryReviewedVideos") || "[]");
       entries.forEach(([video, insts]) => {
         const frames = insts.reduce((a, i) => a + (i.end - i.start + 1), 0);
         const item = document.createElement("div");
         item.className = "list-item";
         const done = reviewed.includes(video);
-        item.innerHTML = `<span>${video.split("/").slice(-2).join("/")}</span>
+        item.innerHTML = `<span>${esc(video.split("/").slice(-2).join("/"))}</span>
           <span class="muted">${insts.length} inst · ${frames} frames${done ? " · ✓ reviewed" : ""}</span>`;
         // reviewed videos stay listed but are not clickable (reference:
         // buildAndShowPlaylist, label_train_page.js:709-737)
@@ -223,8 +224,8 @@
       el.className = "list-item";
       const conf = item.model_confidence !== undefined
         ? `${(item.model_confidence * 100).toFixed(0)}%` : "?";
-      el.innerHTML = `<span>${String(item.video_path).split("/").slice(-2).join("/")}
-        · ${item.labeled_behavior || "?"} vs model ${item.model_behavior || "?"}</span>
+      el.innerHTML = `<span>${esc(String(item.video_path).split("/").slice(-2).join("/"))}
+        · ${esc(item.labeled_behavior || "?")} vs model ${esc(item.model_behavior || "?")}</span>
         <span class="muted">conf ${conf}</span>`;
       el.onclick = async () => {
         closeModal();
@@ -288,14 +289,22 @@
     $("lt-conf-badge").textContent =
       conf === null || conf === undefined ? "" : `instance confidence: ${(conf * 100).toFixed(0)}%`;
   });
-  // backend emits the behavior label string — labeling.py:202
+  // backend emits the behavior label string (or null to clear) — labeling.py:202.
+  // The label is kept in state and applied by drawBehaviorTable, because the
+  // backend emits this BEFORE updateLabelImageSrc rebuilds the table (a class
+  // toggled directly here would be wiped by the innerHTML rebuild).
+  let highlightedBehavior = null;
   bus.on("highlightBehaviorRow", (label) => {
-    if (!session) return;
-    const idx = session.behaviors.indexOf(label);
-    document.querySelectorAll("#lt-behavior-table tr").forEach((tr, i) => {
-      tr.classList.toggle("hl", i - 1 === idx); // row 0 is the header
-    });
+    highlightedBehavior = label === undefined ? null : label;
+    if (session) applyBehaviorHighlight(session);
   });
+  function applyBehaviorHighlight(p) {
+    const idx = highlightedBehavior === null ? -1 : p.behaviors.indexOf(highlightedBehavior);
+    document.querySelectorAll("#lt-behavior-table tr").forEach((tr, i) => {
+      // row 0 is the header; idx -1 (cleared / unknown label) highlights nothing
+      tr.classList.toggle("hl", idx >= 0 && i - 1 === idx);
+    });
+  }
   bus.on("update_augmentation_progress", (pct, msg) => {
     const pre = $("lt-report");
     if (pct < 0) {
@@ -314,9 +323,10 @@
   bus.on("updateLabelImageSrc", (payload) => {
     session = payload;
     if (payload.frame) $("lt-frame").src = "data:image/jpeg;base64," + payload.frame;
+    // pending.type is -1 when no label is in progress (labeling.py sentinel)
     $("lt-frameinfo").textContent =
       `frame ${payload.frame_index + 1}/${payload.total_frames}` +
-      (payload.pending && payload.pending.type !== null && payload.pending.type !== undefined
+      (payload.pending && payload.pending.type >= 0
         ? ` · pending ${payload.behaviors[payload.pending.type]} from ${payload.pending.start}`
         : "") + ` · speed ×${scrubSpeed}`;
     drawTimeline(payload);
@@ -401,9 +411,10 @@
           (b, i) =>
             `<tr><td>${behaviorKey(i)}</td><td><span class="swatch" style="background:${cssColor(
               p.colors[i]
-            )}"></span>${b}</td><td>${instCounts[b] || 0} / ${counts[b] || 0}</td></tr>`
+            )}"></span>${esc(b)}</td><td>${instCounts[b] || 0} / ${counts[b] || 0}</td></tr>`
         )
         .join("");
+    applyBehaviorHighlight(p);
   }
 
   // keyboard map (reference: frontend/js/label_train_page.js keydown handler)
@@ -580,7 +591,7 @@
       ? behaviors
           .map(
             (b, i) =>
-              `<label>${b} <input class="tr-weight" data-behavior="${b}"
+              `<label>${esc(b)} <input class="tr-weight" data-behavior="${esc(b)}"
                  type="number" step="0.1" min="0"
                  value="${(raw[i] / (mean || 1)).toFixed(2)}"></label>`
           )

@@ -24,7 +24,7 @@
     }
     const now = Date.now() / 1000;
     for (const name of names) {
-      const el = document.querySelector(`[data-timer="${name}"]`);
+      const el = document.querySelector(`[data-timer="${CSS.escape(name)}"]`);
       if (el) el.textContent = formatElapsed(Math.max(0, now - activeStreams[name]));
     }
   }
@@ -39,7 +39,7 @@
     if (Object.keys(activeStreams).length && !timerInterval)
       timerInterval = setInterval(updateTimers, 1000);
     $("rc-sessions").innerHTML = sessions
-      .map((s) => `<option value="${s}">`)
+      .map((s) => `<option value="${esc(s)}">`)
       .join("");
     const cards = $("rc-cards");
     cards.innerHTML = "";
@@ -50,20 +50,21 @@
     const card = document.createElement("div");
     card.className = "card";
     const recording = cam.name in activeStreams;
+    const name = esc(cam.name);
     card.innerHTML = `
-      <h3>${cam.name} ${recording ? `<span class="rec">● REC <span data-timer="${cam.name}"></span></span>` : ""}</h3>
-      <img data-thumb="${cam.name}" alt="">
-      <div class="muted">${cam.rtsp_url || "no URL"}</div>
+      <h3>${name} ${recording ? `<span class="rec">● REC <span data-timer="${name}"></span></span>` : ""}</h3>
+      <img data-thumb="${name}" alt="">
+      <div class="muted">${esc(cam.rtsp_url || "no URL")}</div>
       <div class="formrow">
-        fps <input size="2" value="${cam.framerate}" data-f="framerate">
-        res <input size="3" value="${cam.resolution}" data-f="resolution">
-        seg(s) <input size="4" value="${cam.segment_seconds}" data-f="segment_seconds">
+        fps <input size="2" value="${esc(cam.framerate)}" data-f="framerate">
+        res <input size="3" value="${esc(cam.resolution)}" data-f="resolution">
+        seg(s) <input size="4" value="${esc(cam.segment_seconds)}" data-f="segment_seconds">
       </div>
       <div class="formrow">
-        crop x <input size="3" value="${cam.crop_left_x}" data-f="crop_left_x">
-        y <input size="3" value="${cam.crop_top_y}" data-f="crop_top_y">
-        w <input size="3" value="${cam.crop_width}" data-f="crop_width">
-        h <input size="3" value="${cam.crop_height}" data-f="crop_height">
+        crop x <input size="3" value="${esc(cam.crop_left_x)}" data-f="crop_left_x">
+        y <input size="3" value="${esc(cam.crop_top_y)}" data-f="crop_top_y">
+        w <input size="3" value="${esc(cam.crop_width)}" data-f="crop_width">
+        h <input size="3" value="${esc(cam.crop_height)}" data-f="crop_height">
       </div>
       <div class="formrow">
         <button data-act="save">Save</button>
@@ -409,6 +410,12 @@
   $("rc-import").onclick = async () => {
     const sources = $("rc-import-paths").value.split("\n").map((s) => s.trim()).filter(Boolean);
     if (!sources.length) return;
+    const impSession = $("rc-imp-session").value.trim();
+    const impSubject = $("rc-imp-subject").value.trim();
+    if (!impSession || !impSubject) {
+      $("rc-import-progress").textContent = "session and subject names are required";
+      return;
+    }
     $("rc-import-progress").textContent = "importing…";
     // crop on import (reference: label_train_page.py crop_data {x,y,w,h,apply})
     let importCrop = null;
@@ -420,7 +427,7 @@
       const box = [f("rc-imp-crop-x", 0), f("rc-imp-crop-y", 0), f("rc-imp-crop-w", 1), f("rc-imp-crop-h", 1)];
       if (!(box[0] === 0 && box[1] === 0 && box[2] === 1 && box[3] === 1)) importCrop = box;
     }
-    const imported = await rpcKw("import_videos", [sources, $("rc-imp-session").value, $("rc-imp-subject").value], {
+    const imported = await rpcKw("import_videos", [sources, impSession, impSubject], {
       standardize: $("rc-imp-std").checked,
       stretch: $("rc-imp-stretch").checked,
       crop: importCrop,

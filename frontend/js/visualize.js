@@ -49,7 +49,7 @@
     span.innerHTML = "";
     ((cfg && cfg.behaviors) || []).forEach((b) => {
       const lab = document.createElement("label");
-      lab.innerHTML = `<input type="checkbox" class="vz-beh" value="${b}" checked> ${b}`;
+      lab.innerHTML = `<input type="checkbox" class="vz-beh" value="${esc(b)}" checked> ${esc(b)}`;
       span.appendChild(lab);
     });
   }
@@ -80,7 +80,7 @@
       const card = document.createElement("div");
       card.className = "card";
       card.style.maxWidth = "620px";
-      card.innerHTML = `<h3>${behavior}</h3>`;
+      card.innerHTML = `<h3>${esc(behavior)}</h3>`;
       const img = document.createElement("img");
       img.src = "data:image/png;base64," + b64;
       card.appendChild(img);
@@ -99,20 +99,37 @@
   $("vz-generate").onclick = async () => {
     const root = (await rpc("get_project_root")) + "/recordings/" + $("vz-session").value;
     $("vz-actograms").innerHTML = '<span class="muted">generating…</span>';
-    await rpc(
-      "generate_actograms",
-      root,
-      $("vz-subject").value,
-      $("vz-model").value,
-      await behaviorsArg(),
-      parseFloat($("vz-fps").value),
-      parseInt($("vz-bin").value, 10),
-      parseFloat($("vz-start").value),
-      parseFloat($("vz-thr").value),
-      $("vz-cycle").value,
-      $("vz-acro").checked,
-      ++taskCounter
-    );
+    const task = ++taskCounter;
+    let results;
+    try {
+      results = await rpc(
+        "generate_actograms",
+        root,
+        $("vz-subject").value,
+        $("vz-model").value,
+        await behaviorsArg(),
+        parseFloat($("vz-fps").value),
+        parseInt($("vz-bin").value, 10),
+        parseFloat($("vz-start").value),
+        parseFloat($("vz-thr").value),
+        $("vz-cycle").value,
+        $("vz-acro").checked,
+        task
+      );
+    } catch (e) {
+      if (task === taskCounter)
+        $("vz-actograms").textContent = "actogram failed: " + e.message;
+      return;
+    }
+    // Success renders via the updateActogramDisplay SSE event; a null return
+    // with no event means no stitched predictions exist for the selection
+    // (api.py returns early without emitting). Only report it if this is
+    // still the latest task — a superseded task also returns null, and its
+    // successor's result must not be overwritten.
+    if (results === null && task === taskCounter)
+      $("vz-actograms").innerHTML =
+        '<span class="muted">no classification outputs found for this ' +
+        "session/subject/model — run inference first</span>";
   };
 
   $("vz-export").onclick = async () => {
