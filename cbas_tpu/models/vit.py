@@ -123,6 +123,12 @@ class ViTConfig:
                 proj_bias=hf_config.proj_bias,
                 mlp_bias=hf_config.mlp_bias,
             )
+        inter = int(hf_config.hidden_size * hf_config.mlp_ratio)
+        if hf_config.use_swiglu_ffn:
+            # Match HF Dinov2SwiGLUFFN: the actual hidden width is 2/3 of
+            # hidden*mlp_ratio rounded up to a multiple of 8 (giant: 4096,
+            # not 6144); intermediate_size here is the SwiGLU hidden width.
+            inter = (int(inter * 2 / 3) + 7) // 8 * 8
         return cls(
             variant="dinov2",
             hidden_size=hf_config.hidden_size,
@@ -130,7 +136,7 @@ class ViTConfig:
             num_heads=hf_config.num_attention_heads,
             patch_size=hf_config.patch_size,
             num_register_tokens=getattr(hf_config, "num_register_tokens", 0),
-            intermediate_size=int(hf_config.hidden_size * hf_config.mlp_ratio),
+            intermediate_size=inter,
             layer_norm_eps=hf_config.layer_norm_eps,
             image_size=hf_config.image_size,
             use_swiglu_ffn=hf_config.use_swiglu_ffn,
@@ -179,15 +185,24 @@ def _config_from_local_json(identifier: str) -> Optional[ViTConfig]:
         return None
     with open(path) as f:
         c = json.load(f)
+    # HF save_pretrained serializes config.json with use_diff=True: keys whose
+    # value equals the CLASS default are omitted. Absent keys must therefore
+    # resolve to each family's class default, not to a shared zero —
+    # Dinov2WithRegistersConfig defaults num_register_tokens=4 and a re-saved
+    # checkpoint omits it; DINOv3ViTConfig defaults layer_norm_eps=1e-5.
+    model_type = c.get("model_type", "")
+    is_v3 = "dinov3" in model_type
     common = dict(
         hidden_size=c["hidden_size"],
         num_layers=c["num_hidden_layers"],
         num_heads=c["num_attention_heads"],
         patch_size=c["patch_size"],
-        num_register_tokens=c.get("num_register_tokens", 0),
-        layer_norm_eps=c.get("layer_norm_eps", 1e-6),
+        num_register_tokens=c.get(
+            "num_register_tokens", 4 if "register" in model_type else 0
+        ),
+        layer_norm_eps=c.get("layer_norm_eps", 1e-5 if is_v3 else 1e-6),
     )
-    if "dinov3" in c.get("model_type", ""):
+    if is_v3:
         return ViTConfig(
             variant="dinov3",
             intermediate_size=c["intermediate_size"],
@@ -203,13 +218,20 @@ def _config_from_local_json(identifier: str) -> Optional[ViTConfig]:
             mlp_bias=c.get("mlp_bias", True),
             **common,
         )
+    use_swiglu = c.get("use_swiglu_ffn", False)
+    inter = c.get("intermediate_size")
+    if inter is None:
+        inter = int(c["hidden_size"] * c.get("mlp_ratio", 4))
+        if use_swiglu:
+            # HF Dinov2SwiGLUFFN shrinks the hidden dim to 2/3 (8-aligned);
+            # intermediate_size here means the SwiGLU hidden width (weights_in
+            # is (2*I, D)), so the same adjustment must apply.
+            inter = (int(inter * 2 / 3) + 7) // 8 * 8
     return ViTConfig(
         variant="dinov2",
-        intermediate_size=c.get(
-            "intermediate_size", c["hidden_size"] * c.get("mlp_ratio", 4)
-        ),
+        intermediate_size=int(inter),
         image_size=c.get("image_size", 518),
-        use_swiglu_ffn=c.get("use_swiglu_ffn", False),
+        use_swiglu_ffn=use_swiglu,
         **common,
     )
 
@@ -668,6 +690,10 @@ def _assemble_embeddings(
             )
             x = jnp.concatenate([x[:, :1], regs, x[:, 1:]], axis=1)
         return x
+    if not cfg.num_register_tokens:
+        # DINOv3ViTConfig's class default is 0 registers; a register-free
+        # checkpoint must not require the params key.
+        return jnp.concatenate([cls_tok, tokens], axis=1)
     regs = jnp.broadcast_to(
         params["embeddings.register_tokens"].astype(dtype),
         (B, cfg.num_register_tokens, cfg.hidden_size),

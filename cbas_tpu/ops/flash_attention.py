@@ -262,7 +262,15 @@ def _choose_tiles(bh: int, n_pad: int, d: int, itemsize: int):
     # are the ones far from Mosaic's scoped-VMEM compile limits.
     env_gh, env_bq = os.environ.get("CBAS_ATTN_GH"), os.environ.get("CBAS_ATTN_BQ")
     if env_gh and env_bq:  # measurement override (bench experiments)
-        return (int(env_gh), int(env_bq))
+        gh, bq = int(env_gh), int(env_bq)
+        # A non-dividing override would floor-truncate the grid and silently
+        # leave trailing head groups unwritten (garbage output rows).
+        if bh % gh or n_pad % bq:
+            raise ValueError(
+                f"CBAS_ATTN_GH/BQ override ({gh},{bq}) must divide "
+                f"batch*heads={bh} and padded tokens={n_pad}"
+            )
+        return (gh, bq)
     budget = _vmem_caps()[0]
     granule = 16 if itemsize == 2 else 8
     block_qs = [n_pad] + [b for b in range(128, n_pad, 128) if n_pad % b == 0]

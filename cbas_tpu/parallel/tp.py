@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Dict
 
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # Key suffixes whose *output* dim (dim 0 of the torch-layout (out, in) weight)
@@ -62,26 +61,29 @@ _ATTN_KEYS = (
 
 
 def vit_param_pspecs(
-    params: Dict[str, jnp.ndarray], mesh: Mesh, head_dim: int = 0
+    params: Dict[str, jnp.ndarray], mesh: Mesh, head_dim: int
 ) -> Dict[str, P]:
     """Per-parameter PartitionSpec pytree (shard_map in_specs / sharding
     construction), with a replicate fallback for dims the mesh doesn't
     divide (e.g. tiny test models).
 
-    ``head_dim``: when given, attention projections only split if every shard
-    gets a whole number of heads (splitting mid-head would scramble the
-    per-head attention math)."""
+    ``head_dim`` is required (cfg.head_dim): attention projections only split
+    if every shard gets a whole number of heads — a defaulted/zero value would
+    silently accept mid-head shards, which scramble the per-head attention
+    math (the reshape inside _attention fails at trace time at best)."""
+    if head_dim <= 0:
+        raise ValueError("head_dim must be the model's positive head size")
     out = {}
     model_size = mesh.shape.get("model", 1)
     for k, v in params.items():
         spec = vit_param_spec(k) if "model" in mesh.axis_names else P()
-        dims = np.asarray(v).shape
+        dims = v.shape  # jnp/np arrays both carry .shape; no host copy
         ok = True
         for axis_idx, axis_name in enumerate(spec):
             if axis_name != "model":
                 continue
             unit = model_size
-            if head_dim and any(a in k for a in _ATTN_KEYS):
+            if any(a in k for a in _ATTN_KEYS):
                 unit = model_size * head_dim
             if dims[axis_idx] % unit != 0:
                 ok = False
@@ -90,7 +92,7 @@ def vit_param_pspecs(
 
 
 def vit_param_shardings(
-    params: Dict[str, jnp.ndarray], mesh: Mesh, head_dim: int = 0
+    params: Dict[str, jnp.ndarray], mesh: Mesh, head_dim: int
 ) -> Dict[str, NamedSharding]:
     """Per-parameter NamedSharding pytree for jit(in_shardings=...) or
     device_put placement."""

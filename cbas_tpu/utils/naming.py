@@ -97,9 +97,13 @@ def canonical_encoder_identity(identifier: str) -> str:
     absolute path on every host — see core/project.py
     encoder_model_identifier), while two *different* checkpoints that merely
     share a directory name still mismatch (forcing the safe re-encode rather
-    than silently running a head on foreign embeddings). Foreign paths that
-    don't exist locally reduce to the bare basename — never equal to a
-    fingerprinted local identity, so the mismatch path (re-encode) wins.
+    than silently running a head on foreign embeddings). *Absolute* foreign
+    paths that don't exist locally reduce to the bare basename — never equal
+    to a fingerprinted local identity, so the mismatch path (re-encode) wins.
+    A *relative* separator-containing identifier that doesn't exist locally
+    is returned verbatim: it is indistinguishable from an HF-style id
+    ("facebook/dinov3-vitb16"), and returning it unchanged also fails safe
+    (a stamp mismatch forces re-encode, never a silent match).
 
     Note the exact rule: a separator-containing identifier is treated as a
     filesystem path only when it *exists locally* (isdir/isfile) or is

@@ -167,3 +167,70 @@ def test_identifier_resolution():
     assert config_for_identifier("facebook/dinov3-vitl16-pretrain-lvd1689m").num_layers == 24
     assert config_for_identifier("facebook/dinov3-vits16-pretrain-lvd1689m").hidden_size == 384
     assert PRESETS["dinov2-with-registers-base"].patch_size == 14
+
+
+def test_local_config_json_hf_class_defaults(tmp_path):
+    """config.json written by HF save_pretrained omits class-default keys
+    (use_diff=True); absent keys must resolve to each family's CLASS default
+    — registers default to 4 for dinov2_with_registers, eps is 1e-5 for
+    dinov3 — not to shared zeros (models/vit.py _config_from_local_json)."""
+    import json
+
+    d = tmp_path / "resaved-dinov2wr"
+    d.mkdir()
+    # a re-saved facebook/dinov2-with-registers-base omits both keys
+    (d / "config.json").write_text(json.dumps({
+        "model_type": "dinov2_with_registers",
+        "hidden_size": 768, "num_hidden_layers": 12,
+        "num_attention_heads": 12, "patch_size": 14, "mlp_ratio": 4,
+    }))
+    cfg = config_for_identifier(str(d))
+    assert cfg.num_register_tokens == 4  # Dinov2WithRegistersConfig default
+    assert cfg.layer_norm_eps == 1e-6
+    assert cfg.intermediate_size == 3072 and isinstance(cfg.intermediate_size, int)
+
+    d3 = tmp_path / "resaved-dinov3"
+    d3.mkdir()
+    (d3 / "config.json").write_text(json.dumps({
+        "model_type": "dinov3_vit",
+        "hidden_size": 384, "num_hidden_layers": 12,
+        "num_attention_heads": 6, "patch_size": 16,
+        "num_register_tokens": 4, "intermediate_size": 1536,
+    }))
+    cfg3 = config_for_identifier(str(d3))
+    assert cfg3.layer_norm_eps == 1e-5  # DINOv3ViTConfig default
+    assert cfg3.variant == "dinov3"
+
+
+def test_swiglu_intermediate_matches_hf():
+    """use_swiglu_ffn shrinks the hidden width like HF Dinov2SwiGLUFFN:
+    (int(hidden*ratio*2/3)+7)//8*8 (giant: 4096, not 6144)."""
+    from transformers import Dinov2Config
+
+    hf = Dinov2Config(hidden_size=1536, mlp_ratio=4, use_swiglu_ffn=True,
+                      num_hidden_layers=2, num_attention_heads=24)
+    cfg = ViTConfig.from_hf(hf)
+    assert cfg.intermediate_size == 4096
+    # init shapes line up with the HF module's weights_in/(2*I, D) layout
+    import torch
+    from transformers.models.dinov2.modeling_dinov2 import Dinov2SwiGLUFFN
+
+    mod = Dinov2SwiGLUFFN(hf)
+    assert mod.weights_in.weight.shape == (2 * cfg.intermediate_size, cfg.hidden_size)
+
+
+def test_dinov3_zero_registers_forward():
+    """A register-free dinov3 config (the HF class default) must forward
+    without requiring embeddings.register_tokens (models/vit.py
+    _assemble_embeddings)."""
+    cfg = ViTConfig(
+        variant="dinov3", hidden_size=64, num_layers=1, num_heads=2,
+        patch_size=16, num_register_tokens=0, intermediate_size=128,
+        layer_norm_eps=1e-5, rope_theta=100.0,
+    )
+    import jax
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    assert "embeddings.register_tokens" not in params
+    x = jnp.zeros((1, 3, 32, 32), jnp.float32)
+    out = vit_forward(params, x, cfg)
+    assert out.shape == (1, 1 + (32 // 16) ** 2, 64)
