@@ -437,6 +437,22 @@ class SweepRunner:
             self.project, task, split_provider=FinalFitSplitProvider(),
             output_dir=out_dir, seed=self.seed,
         )
+        # Experiment-scoped runs keep their bundle inside output_dir
+        # (orchestrator._save_results); the deployable model is promoted to
+        # the project's models dir as an explicit step (reference:
+        # sweep_runner.py:476 "saved to the project's 'models' directory").
+        # Re-saving through ClassifierBundle reuses its per-file tmp+rename
+        # writes, which the ClassifyWorker hot-reload already tolerates.
+        if model_dir and os.path.isdir(model_dir):
+            from cbas_tpu.engine.classifier import ClassifierBundle
+
+            bundle = ClassifierBundle.load(model_dir)
+            prod_dir = os.path.join(
+                self.project.models_dir, f"{self.dataset_name}_model"
+            )
+            bundle.save(prod_dir, extra_meta=bundle.meta)
+            log_message(f"Final model promoted to {prod_dir}.")
+            model_dir = prod_dir
         self._update_card_from_evaluation(task, train_s, val_s, test_s)
         return model_dir
 

@@ -14,8 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.optimize import minimize
 
-from cbas_tpu.engine.data import SequentialSampler, WindowSource, iter_batches
-from cbas_tpu.engine.train import build_logits_program
+from cbas_tpu.engine.data import SequentialSampler, WindowSource
+from cbas_tpu.engine.train import build_logits_program, collect_logits_source
 from cbas_tpu.models.heads import DeltasHeadConfig
 
 
@@ -53,16 +53,10 @@ def fit_temperature(
         return 1.0
     logits_prog = build_logits_program(cfg)
     dev_params = {k: jnp.asarray(v) for k, v in params.items()}
-    all_logits, all_labels = [], []
-    for x, y, n_valid in iter_batches(
-        val_source, SequentialSampler(len(val_source)), batch_size
-    ):
-        logits = np.asarray(logits_prog(dev_params, jnp.asarray(x)))[:n_valid]
-        keep = y[:n_valid] >= 0
-        all_logits.append(logits[keep])
-        all_labels.append(y[:n_valid][keep])
-    if not all_logits:
-        return 1.0
-    return fit_temperature_from_logits(
-        np.concatenate(all_logits), np.concatenate(all_labels)
+    logits, labels = collect_logits_source(
+        dev_params, logits_prog, val_source,
+        SequentialSampler(len(val_source)), batch_size,
     )
+    if logits.size == 0:
+        return 1.0
+    return fit_temperature_from_logits(logits, labels)

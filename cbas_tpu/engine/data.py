@@ -88,6 +88,19 @@ def build_manifest(
     return manifest
 
 
+def _preload_budget_bytes() -> int:
+    """RAM the training-set preload may claim: CBAS_TRAIN_RAM_BUDGET bytes if
+    set, else half of currently-available physical memory (or 8 GB when the
+    platform can't report it)."""
+    env = os.environ.get("CBAS_TRAIN_RAM_BUDGET")
+    if env:
+        return int(env)
+    try:
+        return os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") // 2
+    except (ValueError, OSError, AttributeError):
+        return 8 * 1024**3
+
+
 class WindowSource:
     """Gathers window batches for manifest indices: (B, seq_len, D) float32.
 
@@ -109,17 +122,55 @@ class WindowSource:
         self.half = seq_len // 2
         self.cache = cache if cache is not None else global_handle_cache
         self._dim: Optional[int] = None
-        self._ram: Optional[Dict[str, np.ndarray]] = None
+        # path -> (rows array, first-row offset); only the referenced span of
+        # each file is resident, not the whole recording.
+        self._ram: Optional[Dict[str, Tuple[np.ndarray, int]]] = None
         if preload:
             self.preload_all()
 
     def preload_all(self) -> None:
+        """Pull each referenced file's labeled span into RAM (stored dtype).
+
+        Loads only [min_center - half, max_center + half] per file — labels
+        usually touch a slice of a long recording, so this is far smaller
+        than the full file. If the projected total still exceeds the RAM
+        budget (CBAS_TRAIN_RAM_BUDGET bytes, default half of available
+        memory), stays on the lazy per-window HDF5 path instead of
+        OOM-killing the training job.
+        """
         import h5py
 
-        ram: Dict[str, np.ndarray] = {}
-        for path in {e[0] for e in self.manifest}:
+        spans: Dict[str, Tuple[int, int]] = {}
+        for path, center, _ in self.manifest:
+            lo, hi = spans.get(path, (center, center))
+            spans[path] = (min(lo, center), max(hi, center))
+
+        total = 0
+        plans: Dict[str, Tuple[int, int]] = {}
+        for path, (lo, hi) in spans.items():
             with h5py.File(path, "r") as f:
-                ram[path] = f[DATASET_NAME][:]
+                ds = f[DATASET_NAME]
+                start = max(0, lo - self.half)
+                stop = min(ds.shape[0], hi + self.half + 1)
+                plans[path] = (start, stop)
+                total += (stop - start) * ds.shape[1] * ds.dtype.itemsize
+
+        budget = _preload_budget_bytes()
+        if total > budget:
+            from cbas_tpu.utils.logging import log_message
+
+            log_message(
+                f"Training-set preload would need {total / 1e9:.1f} GB "
+                f"(budget {budget / 1e9:.1f} GB); using lazy HDF5 reads.",
+                "WARN",
+            )
+            self._ram = None
+            return
+
+        ram: Dict[str, Tuple[np.ndarray, int]] = {}
+        for path, (start, stop) in plans.items():
+            with h5py.File(path, "r") as f:
+                ram[path] = (f[DATASET_NAME][start:stop], start)
         self._ram = ram
 
     def __len__(self) -> int:
@@ -132,7 +183,7 @@ class WindowSource:
                 raise ValueError("empty manifest")
             path = self.manifest[0][0]
             if self._ram is not None:
-                self._dim = int(self._ram[path].shape[1])
+                self._dim = int(self._ram[path][0].shape[1])
             else:
                 self._dim = int(self.cache.get(path)[DATASET_NAME].shape[1])
         return self._dim
@@ -154,7 +205,8 @@ class WindowSource:
             h5_path, center, label = self.manifest[idx]
             try:
                 if self._ram is not None:
-                    window = self._ram[h5_path][center - self.half : center + self.half + 1]
+                    rows, off = self._ram[h5_path]
+                    window = rows[center - self.half - off : center + self.half + 1 - off]
                 else:
                     window = self.cache.read_window(
                         h5_path, center - self.half, center + self.half + 1
@@ -178,7 +230,7 @@ class DeviceWindowStore:
     """
 
     def __init__(self, manifest: Sequence[ManifestEntry], seq_len: int, sharding=None,
-                 ram: "Optional[Dict[str, np.ndarray]]" = None):
+                 ram: "Optional[Dict[str, Tuple[np.ndarray, int]]]" = None):
         import h5py
         import jax
         import jax.numpy as jnp
@@ -193,11 +245,17 @@ class DeviceWindowStore:
             if ram is not None and p in ram:
                 # Reuse the caller's RAM preload (WindowSource(preload=True))
                 # instead of re-reading every HDF5 file from disk per trial.
-                arr = ram[p]
+                # The preload holds only the referenced span of each file,
+                # starting at row span_off.
+                arr, span_off = ram[p]
             else:
                 with h5py.File(p, "r") as f:
                     arr = f[DATASET_NAME][:]
-            offsets[p] = total
+                span_off = 0
+            # File-row c lands at stacked row (total + c - span_off); every
+            # manifest window [c-half, c+half] lies inside the span by
+            # construction (preload_all widens by half on both sides).
+            offsets[p] = total - span_off
             total += arr.shape[0]
             rows.append(arr)
         stacked = np.concatenate(rows, axis=0) if rows else np.zeros((0, 1), np.float16)
@@ -306,7 +364,11 @@ def compute_class_weights(
     (reference: backend/cbas.py:368-393)."""
     counts = {b: 0 for b in behaviors}
     for inst in train_insts:
-        lbl = inst.get("label")
+        # Normalize like build_manifest does: a whitespace-padded label is
+        # trained on (manifest strips it), so it must be counted here too —
+        # otherwise its class gets a 1/epsilon weight and weighted_loss
+        # collapses every other class to ~0.
+        lbl = str(inst.get("label", "")).strip()
         if lbl in counts:
             counts[lbl] += 1
     raw = np.array(

@@ -121,7 +121,12 @@ def run_training_job(
             seq = task.sequence_length
             train_manifest = build_manifest(project.path, train_insts, seq, task.behaviors)
             val_manifest = build_manifest(project.path, val_insts, seq, task.behaviors)
-            test_manifest = build_manifest(project.path, test_insts, seq, task.behaviors)
+            # Test windows are only evaluated under use_test; building the
+            # manifest scans every test-subject H5 per run, so skip otherwise.
+            test_manifest = (
+                build_manifest(project.path, test_insts, seq, task.behaviors)
+                if task.use_test else []
+            )
             if not train_manifest:
                 log_message(
                     f"Run {run + 1}: empty training set after manifest build; skipping.",
@@ -267,7 +272,18 @@ def _save_results(
     output_dir = output_dir or dataset.path
     os.makedirs(output_dir, exist_ok=True)
     model_name = f"{task.name}_model"
-    model_dir = os.path.join(project.models_dir, model_name)
+    # Default runs install the production bundle; experiment runs (sweep
+    # combos, evaluate replicates, final fit — anything with its own
+    # output_dir) keep their bundle INSIDE that output_dir. Parallel sweep
+    # workers would otherwise race on the shared production path and a live
+    # ClassifyWorker could hot-reload a torn bundle mixing two combos'
+    # weights and config. (The reference clobbers the production model on
+    # every sweep combo, sweep_runner.py:307-316; promotion of the final
+    # model is explicit here — sweep.train_final_model installs the bundle.)
+    if output_dir == dataset.path:
+        model_dir = os.path.join(project.models_dir, model_name)
+    else:
+        model_dir = os.path.join(output_dir, model_name)
 
     # Temperature calibration on the best model's validation split.
     val_manifest = build_manifest(
@@ -285,7 +301,11 @@ def _save_results(
             lstm_layers=task.lstm_layers,
         ).head_config()
         temperature = fit_temperature(
-            best_params, bundle_cfg, WindowSource(val_manifest, task.sequence_length),
+            best_params, bundle_cfg,
+            # preload: calibration sweeps the whole val set once per logit
+            # collection; lazy per-window HDF5 reads would re-read each row
+            # ~seq_len times through the handle cache.
+            WindowSource(val_manifest, task.sequence_length, preload=True),
             batch_size=task.batch_size,
         )
         log_message(f"Optimal temperature: {temperature:.4f}")

@@ -203,6 +203,34 @@ def build_logits_program(
     return jax.jit(logits, in_shardings=in_sh, out_shardings=bsh)
 
 
+def collect_logits_source(
+    params,
+    logits_prog,
+    source: WindowSource,
+    sampler,
+    batch_size: int,
+    cancel_event: Optional[threading.Event] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(logits (N, C), labels (N,)) over a source's valid rows.
+
+    The single batched-eval loop shared by prediction (argmax consumers) and
+    temperature calibration (raw-logit consumer) — padded rows (beyond
+    n_valid) and corrupt rows (label -1) are excluded under one rule.
+    """
+    zs: List[np.ndarray] = []
+    ys: List[np.ndarray] = []
+    for x, y, n_valid in iter_batches(source, sampler, batch_size):
+        if cancel_event is not None and cancel_event.is_set():
+            break
+        logits = np.asarray(logits_prog(params, jnp.asarray(x)))[:n_valid]
+        keep = y[:n_valid] >= 0
+        zs.append(logits[keep])
+        ys.append(y[:n_valid][keep])
+    if not zs:
+        return np.zeros((0, 1), np.float32), np.array([], np.int32)
+    return np.concatenate(zs), np.concatenate(ys)
+
+
 def predict_source(
     params,
     logits_prog,
@@ -212,18 +240,12 @@ def predict_source(
     cancel_event: Optional[threading.Event] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(y_true, y_pred) over a source; padded/corrupt rows excluded."""
-    y_true: List[np.ndarray] = []
-    y_pred: List[np.ndarray] = []
-    for x, y, n_valid in iter_batches(source, sampler, batch_size):
-        if cancel_event is not None and cancel_event.is_set():
-            break
-        logits = np.asarray(logits_prog(params, jnp.asarray(x)))
-        keep = y[:n_valid] >= 0
-        y_true.append(y[:n_valid][keep])
-        y_pred.append(logits[:n_valid].argmax(1)[keep])
-    if not y_true:
+    logits, y_true = collect_logits_source(
+        params, logits_prog, source, sampler, batch_size, cancel_event
+    )
+    if logits.size == 0:
         return np.array([], np.int32), np.array([], np.int32)
-    return np.concatenate(y_true), np.concatenate(y_pred)
+    return y_true, logits.argmax(1)
 
 
 def predict_store(
@@ -265,7 +287,7 @@ def _manifest_bytes(manifest, ram=None) -> int:
     total = 0
     for path in {e[0] for e in manifest}:
         if ram is not None and path in ram:
-            total += ram[path].nbytes
+            total += ram[path][0].nbytes  # (span rows, offset) tuple
             continue
         with h5py.File(path, "r") as f:
             total += int(np.prod(f[DATASET_NAME].shape)) * 2  # fp16

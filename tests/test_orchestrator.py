@@ -169,3 +169,30 @@ def test_custom_weights_method_trains_and_records(project, tmp_path):
     params = report["training_parameters"]
     assert params["training_method"] == "custom_weights"
     assert params["custom_weights"] == {"walk": 3.0}
+
+
+def test_experiment_run_does_not_touch_production_bundle(project, trained_model_dir):
+    """A run with its own output_dir (sweep combos, evaluate replicates)
+    writes its bundle INSIDE output_dir and must not clobber the production
+    models/ bundle — parallel sweep workers would race there and a live
+    ClassifyWorker could hot-reload a torn bundle."""
+    import time
+
+    prod_npz = os.path.join(trained_model_dir, "model.npz")
+    before = os.path.getmtime(prod_npz)
+    time.sleep(0.05)
+
+    task = TrainingConfig(
+        name="behav", behaviors=["walk", "rest"], batch_size=64,
+        learning_rate=5e-3, epochs=1, sequence_length=7, patience=2,
+        num_runs=1, num_trials=1, use_test=False, test_split=0.0,
+        lstm_hidden_size=8,
+    )
+    out_dir = os.path.join(project.path, "experiments", "combo_h8")
+    model_dir = run_training_job(project, task, output_dir=out_dir, seed=3)
+    assert model_dir == os.path.join(out_dir, "behav_model")
+    assert os.path.exists(os.path.join(model_dir, "model.npz"))
+    # production bundle untouched (same file, same mtime, same hyperparams)
+    assert os.path.getmtime(prod_npz) == before
+    prod = ClassifierBundle.load(trained_model_dir)
+    assert prod.lstm_hidden_size == 16  # not the combo's 8

@@ -108,6 +108,9 @@ def test_evaluate_phase(runner):
 def test_train_final_phase(runner, project):
     model_dir = runner.train_final_model()
     assert model_dir and os.path.exists(os.path.join(model_dir, "model.npz"))
+    # the deployable bundle is PROMOTED into the project's models dir
+    # (experiment runs keep theirs inside their own output_dir)
+    assert model_dir == os.path.join(project.models_dir, "d_model")
     cfg = project.datasets["d"].config
     assert "metrics" in cfg
     assert "Train Inst (Frames)" in cfg["metrics"]["walk"]

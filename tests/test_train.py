@@ -221,6 +221,40 @@ def test_compute_class_weights_matches_reference():
     assert w[2] > w[1]  # absent class gets the epsilon weight
 
 
+def test_compute_class_weights_strips_labels():
+    """Whitespace-padded labels are trained on (build_manifest strips them),
+    so they must be counted the same way — a mismatch gives the class a
+    1/epsilon weight that collapses every other class to ~0."""
+    insts = [{"label": "a "}] * 8 + [{"label": " b"}] * 2
+    w = compute_class_weights(insts, ["a", "b"])
+    assert w[1] == pytest.approx(4 * w[0])
+    assert w.max() < 3  # nobody got the absent-class epsilon weight
+
+
+def test_window_source_span_preload_and_budget(tmp_path, monkeypatch):
+    """preload=True holds only each file's referenced span (offset-correct
+    gathers), and an over-budget projection falls back to lazy reads."""
+    root, instances, behaviors = make_labeled_project(tmp_path, n_subjects=1)
+    manifest = build_manifest(root, instances, 7, behaviors)
+    lazy = WindowSource(manifest, 7)
+    x0, y0 = lazy.gather(list(range(len(manifest))))
+
+    pre = WindowSource(manifest, 7, preload=True)
+    assert pre._ram is not None
+    rows, off = next(iter(pre._ram.values()))
+    assert off > 0 and rows.shape[0] < 200  # span, not the whole 200-row file
+    x1, y1 = pre.gather(list(range(len(manifest))))
+    np.testing.assert_array_equal(x0, x1)
+    np.testing.assert_array_equal(y0, y1)
+
+    monkeypatch.setenv("CBAS_TRAIN_RAM_BUDGET", "1")
+    tight = WindowSource(manifest, 7, preload=True)
+    assert tight._ram is None  # over budget -> lazy fallback
+    x2, _ = tight.gather(list(range(len(manifest))))
+    np.testing.assert_array_equal(x0, x2)
+    hdf5_store.global_handle_cache.close_all()
+
+
 # ---------------------------------------------------------------------------
 # End-to-end training
 # ---------------------------------------------------------------------------
