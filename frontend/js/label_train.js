@@ -332,6 +332,7 @@
     drawTimeline(payload);
     drawZoomTimeline(payload);
     drawBehaviorTable(payload);
+    updateCommitButtons(payload);
   });
 
   // Draw one raster strip; frame->x mapping is relative to [lo, hi).
@@ -503,8 +504,17 @@
     rpc("jump_to_frame", Math.floor(f));
   };
 
+  // Two-step commit like the reference (label_train_page.js:1284-1305
+  // setConfirmationModeUI + handleCommitClick): the first press STAGES —
+  // unconfirmed predictions leave the timeline so the user sees exactly
+  // what will be written — and the second press saves. Escape or the
+  // cancel button un-stages. The server's render payload carries
+  // confirmation_mode, so the buttons always reflect backend state.
   async function saveLabels() {
-    await rpc("stage_for_commit");
+    if (!(session && session.confirmation_mode)) {
+      await rpc("stage_for_commit");
+      return;
+    }
     const r = await rpc("save_session_labels");
     const pre = $("lt-report");
     pre.classList.remove("hidden");
@@ -512,6 +522,12 @@
     refreshDatasets();
   }
   $("lt-save").onclick = saveLabels;
+  $("lt-cancel-commit").onclick = () => rpc("cancel_commit_stage");
+  function updateCommitButtons(p) {
+    $("lt-save").textContent = p.confirmation_mode
+      ? "Confirm & save (Ctrl+S)" : "Save labels (Ctrl+S)";
+    $("lt-cancel-commit").classList.toggle("hidden", !p.confirmation_mode);
+  }
   // Mark the open video done without committing changes — stored client-side
   // in sessionStorage so the review playlist can badge it (reference:
   // handleMarkAsReviewed, label_train_page.js:1353-1377).
