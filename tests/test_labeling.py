@@ -509,3 +509,92 @@ def test_confirm_blocked_for_non_target_behavior(project):
     )
     assert s.confirm_selected() is True  # target behavior confirms fine
     s.close()
+
+
+def test_fuzz_review_mode_invariants(project):
+    """Review-mode fuzz: random confirm/refilter/relabel/delete/nudge/undo
+    sequences over preloaded predictions keep the buffer non-overlapping and
+    in-bounds, never resurrect a deleted instance, and save() commits exactly
+    the human + confirmed/promoted set. 3 seeds x 200 ops."""
+    proj, video, rel = project
+    rng0 = np.random.default_rng(99)
+    preds = []
+    f = 25
+    while f < 95:
+        span = int(rng0.integers(1, 6))
+        preds.append({
+            "video": rel, "start": f, "end": min(94, f + span),
+            "label": ["walk", "rest"][int(rng0.integers(0, 2))],
+            "confidence": float(rng0.uniform(0.3, 1.0)),
+        })
+        f += span + int(rng0.integers(2, 6))
+
+    def assert_invariants(s, tag):
+        insts = sorted(s.buffer, key=lambda i: (i["start"], i["end"]))
+        for inst in insts:
+            assert 0 <= inst["start"] <= inst["end"] <= s.total_frames - 1, (tag, inst)
+            assert inst["label"] in s.behaviors, (tag, inst)
+        for a, b in zip(insts, insts[1:]):
+            assert a["end"] < b["start"], (tag, "overlap", a, b)
+
+    for seed in (3, 4, 5):
+        rng = np.random.default_rng(seed)
+        s = make_session(project, preloaded=[dict(p) for p in preds])
+        deleted_sigs = set()
+        try:
+            assert s.mode == "review"
+            for step in range(200):
+                op = rng.integers(0, 9)
+                if op == 0:
+                    s.jump_to_frame(int(rng.integers(0, 100)))
+                elif op == 1:
+                    s.jump_to_instance(int(rng.choice([-1, 1])))
+                elif op == 2:
+                    s.confirm_selected()
+                elif op == 3:
+                    removed = s.delete_instance()
+                    if removed is not None:
+                        deleted_sigs.add(
+                            (removed["start"], removed["end"], removed["label"]))
+                elif op == 4:
+                    s.refilter(int(rng.integers(0, 101)),
+                               ["below", "above"][int(rng.integers(0, 2))])
+                elif op == 5:
+                    s.label_frame(int(rng.integers(0, 2)))
+                elif op == 6:
+                    s.update_instance_boundary(
+                        "start" if rng.integers(0, 2) else "end")
+                elif op == 7:
+                    s.undo_last()
+                else:
+                    s.next_frame(int(rng.integers(-10, 11)))
+                assert_invariants(s, f"seed{seed} step{step} op{op}")
+
+            # every deletion of a prediction registered a suppression entry,
+            # so later refilters cannot resurrect the ghost
+            if deleted_sigs:
+                assert s.suppressed_ids, (seed, deleted_sigs)
+
+            s.pending_type, s.pending_start = -1, -1
+            committed = [
+                i for i in s.buffer
+                if "confidence" not in i or i.get("_confirmed", False)
+            ]
+            s.dirty.add("fuzz")
+            res = s.save()
+            assert res["status"] in ("success", "no_changes"), res
+        finally:
+            s.close()
+
+        s2 = make_session(project)
+        try:
+            key = lambda i: (i["start"], i["end"], i["label"])
+            want = sorted(
+                ({"start": i["start"], "end": i["end"], "label": i["label"]}
+                 for i in committed), key=key)
+            got = sorted(
+                ({"start": i["start"], "end": i["end"], "label": i["label"]}
+                 for i in s2.buffer), key=key)
+            assert got == want, (seed, got, want)
+        finally:
+            s2.close()
