@@ -255,6 +255,13 @@ class RpcServer:
                     pass
                 finally:
                     outer.api.state.callbacks.remove_listener(listener)
+                    # Close the connection when the loop exits (shutdown):
+                    # the listener is gone, so letting HTTP/1.1 keep-alive
+                    # fall back to the request loop would leave a surviving
+                    # EventSource open-but-deaf after the kill_all_processes
+                    # + load_project revival flow. Closing sends FIN and the
+                    # browser's EventSource auto-reconnects.
+                    self.close_connection = True
 
             def _origin_ok(self) -> bool:
                 """CSRF/DNS-rebinding guard: API POSTs must come from our own

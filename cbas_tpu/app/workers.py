@@ -27,7 +27,6 @@ from cbas_tpu.engine.encode import encode_file
 from cbas_tpu.engine.infer import InferenceSession
 from cbas_tpu.engine.orchestrator import run_training_job
 from cbas_tpu.utils.logging import log_message
-from cbas_tpu.utils.naming import h5_path_for_video
 
 
 class EncodeWorker(threading.Thread):
@@ -62,7 +61,9 @@ class EncodeWorker(threading.Thread):
                 log_message("No encoder loaded; re-queueing encode task.", "WARN")
                 self._no_encoder_logged = now
             st.encode_tasks.append(path)
-            time.sleep(self.poll_s)
+            # run() waits poll_s on the shutdown event next (interruptible);
+            # an uninterruptible sleep here would delay kill_all_processes'
+            # bounded join and double the idle poll.
             return False
         try:
             def per_file_progress(pct: float) -> None:
@@ -118,6 +119,18 @@ class ClassifyWorker(threading.Thread):
         st = self.state
         name = st.live_inference_model_name
         if name != self._loaded_model:
+            if name and st.project is None:
+                # Do NOT latch _loaded_model yet: a selection made before
+                # load_project must retry once a project exists, not return
+                # a forever-None session while tasks sit silently queued.
+                now = time.monotonic()
+                if now - getattr(self, "_no_project_logged", 0.0) > 30.0:
+                    log_message(
+                        "Live model selected but no project is loaded; "
+                        "classification will start after load_project.", "WARN",
+                    )
+                    self._no_project_logged = now
+                return None
             self._session, self._loaded_model = None, name
             self._batch_total, self._batch_done = len(st.classify_tasks), 0
             if name and st.project is not None:
@@ -255,6 +268,12 @@ class TrainWorker(threading.Thread):
         # Fresh cancel flag for this job: cancellation is scoped to the job
         # that is running when the user clicks cancel.
         st.training_cancel.clear()
+        # kill_all_processes sets shutdown + training_cancel together; the
+        # clear above could erase a cancel that raced in between the run
+        # loop's shutdown check and here, letting a multi-epoch job start
+        # (and outlive the bounded join) during teardown.
+        if st.shutdown.is_set():
+            return False
 
         def progress(message: str) -> None:
             st.callbacks.emit("updateTrainingStatusOnUI", task.name, message)
@@ -312,6 +331,20 @@ def start_classification(state: AppState, model_name: str, h5_files: List[str]) 
     todo = [
         f for f in h5_files if not os.path.exists(outputs_csv_for_h5(f, model_name))
     ]
+    # Queue items carry no model, so a still-draining batch for a DIFFERENT
+    # model must be superseded explicitly — otherwise its remaining files
+    # would silently be classified with the new model.
+    prev = state.live_inference_model_name
+    if prev and prev != model_name:
+        dropped = 0
+        while state.classify_tasks.pop() is not None:
+            dropped += 1
+        if dropped:
+            log_message(
+                f"Live model switched to '{model_name}': dropped {dropped} "
+                f"queued task(s) from '{prev}'s batch — re-run classification "
+                f"for '{prev}' to finish them.", "WARN",
+            )
     state.live_inference_model_name = model_name
     if todo:
         state.batch_classification_active = True

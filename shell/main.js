@@ -23,7 +23,9 @@ let quitting = false;
 
 // Single instance: two backends would race on the same project tree and
 // recorder processes (reference main.js:10-20). A second launch focuses the
-// existing window instead.
+// existing window instead. The whenReady wiring lives INSIDE the winning
+// branch: a losing instance must never reach startBackend even if 'ready'
+// fires before its queued quit is processed.
 if (!app.requestSingleInstanceLock()) {
   app.quit();
 } else {
@@ -32,6 +34,12 @@ if (!app.requestSingleInstanceLock()) {
       if (mainWindow.isMinimized()) mainWindow.restore();
       mainWindow.focus();
     }
+  });
+  app.whenReady().then(() => {
+    createWindow();
+    startBackend((url) => {
+      if (mainWindow) mainWindow.loadURL(url);
+    });
   });
 }
 
@@ -68,6 +76,19 @@ function startBackend(onReady) {
     }
   });
   pythonProc.stderr.on('data', (d) => process.stderr.write(`[backend] ${d}`));
+  // A failed spawn (no venv, no python on PATH) emits 'error', not 'exit';
+  // without this handler the EventEmitter throws and crashes the shell.
+  pythonProc.on('error', (err) => {
+    pythonProc = null;
+    if (!quitting) {
+      dialog.showErrorBox(
+        'CBAS backend failed to start',
+        `Could not launch the Python backend (${err.message}). ` +
+        'Install Python 3 or create a venv/ next to the repo, then restart.'
+      );
+      app.quit();
+    }
+  });
   pythonProc.on('exit', (code) => {
     pythonProc = null;
     if (!quitting) {
@@ -138,13 +159,6 @@ ipcMain.handle('dialog:saveData', async (_e, defaultName, data) => {
     dialog.showErrorBox('Save Error', 'Could not save the file: ' + err.message);
     return null;
   }
-});
-
-app.whenReady().then(() => {
-  createWindow();
-  startBackend((url) => {
-    if (mainWindow) mainWindow.loadURL(url);
-  });
 });
 
 app.on('before-quit', () => { quitting = true; stopBackend(); });

@@ -339,3 +339,49 @@ def test_watcher_purges_deleted_files(tmp_path):
     for now in (3.0, 4.0, 5.0):
         w.poll_once(now=now)
     assert p not in w._known and p not in w._pending and p not in w._missing
+
+
+def test_start_classification_supersedes_other_models_queue(app_project):
+    """Switching the live model while a different model's batch is still
+    queued drops the stale tasks (queue items carry no model — they would
+    otherwise be classified with the wrong one)."""
+    proj, state, video = app_project
+    h5 = h5_path_for_video(video)
+    with hdf5_store.EmbeddingWriter(h5, encoder_identifier="e", embed_dim=8) as w:
+        w.append(np.zeros((10, 8)))
+    n = start_classification(state, "modelA", [h5])
+    assert n == 1 and len(state.classify_tasks) == 1
+    other = h5.replace("_cls.h5", "2_cls.h5")
+    with hdf5_store.EmbeddingWriter(other, encoder_identifier="e", embed_dim=8) as w:
+        w.append(np.zeros((10, 8)))
+    start_classification(state, "modelB", [other])
+    # modelA's queued file is gone; only modelB's remains
+    assert state.live_inference_model_name == "modelB"
+    remaining = []
+    while True:
+        item = state.classify_tasks.pop()
+        if item is None:
+            break
+        remaining.append(item)
+    assert remaining == [other]
+    # same model again does NOT drop its own queue
+    state.classify_tasks.extend([other])
+    start_classification(state, "modelB", [h5])
+    assert len(state.classify_tasks) >= 1
+
+
+def test_classify_selection_before_project_load_retries(app_project):
+    """A live-model selection made while no project is loaded must not latch:
+    once a project exists, the session loads and the queue drains."""
+    proj, state, video = app_project
+    project_ref = state.project
+    state.project = None
+    state.live_inference_model_name = "somemodel"
+    cw = ClassifyWorker(state, config=InferenceConfig(chunk_frames=50, window_batch=16))
+    assert cw._ensure_session() is None
+    assert cw._loaded_model is None  # not latched
+    state.project = project_ref
+    # now the lookup proceeds (model doesn't exist -> fail_batch path, which
+    # is a LOADED decision rather than a silent eternal None)
+    cw._ensure_session()
+    assert state.live_inference_model_name is None  # failed batch deselected
