@@ -46,19 +46,21 @@ def run_preflight_check(project: Project, dataset_name: str, test_split: float) 
         dataset = project.datasets.get(dataset_name)
         if dataset is None:
             return {"is_valid": False, "message": "Dataset not found."}
-        all_insts = dataset.all_instances()
         behaviors = set(dataset.config.get("behaviors", []))
         if not behaviors:
             return {"is_valid": False, "message": "Dataset has no defined behaviors."}
-
-        group_behaviors: Dict[str, set] = defaultdict(set)
-        for inst in all_insts:
-            group_behaviors[subject_of(inst)].add(inst["label"])
-        groups = sorted(group_behaviors.keys())
-        if len(groups) < 3:
+        # Filter to the dataset's behavior list exactly like the orchestrator
+        # (run_training_job builds instances from task.behaviors keys): a
+        # stale label key left in labels.yaml must not change the verdict —
+        # strict coverage equality would otherwise fail every shuffle here
+        # while real training stratifies fine.
+        all_insts = [
+            i for i in dataset.all_instances() if i.get("label") in behaviors
+        ]
+        if not all_insts:
             return {
                 "is_valid": False,
-                "message": f"Not enough subjects/groups ({len(groups)}) to form a 3-way split.",
+                "message": "No labeled instances for the dataset's behaviors.",
             }
 
         test = max(0.0, float(test_split))
@@ -66,6 +68,23 @@ def run_preflight_check(project: Project, dataset_name: str, test_split: float) 
             return {
                 "is_valid": False,
                 "message": f"Test split {test:.0%} leaves too little for train+validation.",
+            }
+
+        group_behaviors: Dict[str, set] = defaultdict(set)
+        for inst in all_insts:
+            group_behaviors[subject_of(inst)].add(inst["label"])
+        groups = sorted(group_behaviors.keys())
+        # train+val always need their own subjects; the test slice needs a
+        # third only when one is actually reserved (test_split 0 trains fine
+        # with 2 subjects: splits.py's zero-test slicer yields train+val).
+        min_groups = 3 if test > 0 else 2
+        if len(groups) < min_groups:
+            return {
+                "is_valid": False,
+                "message": (
+                    f"Not enough subjects/groups ({len(groups)}) to form a "
+                    f"{'3-way' if test > 0 else 'train/validation'} split."
+                ),
             }
         # THE orchestrator's derivation, not a copy of it — preflight exists
         # to validate exactly what training will run, so the two must be
@@ -137,9 +156,14 @@ def check_dataset_files_ready(project: Project, dataset_name: str) -> Tuple[bool
         if not videos:
             return False, "The dataset contains no labeled video instances."
         missing = [
-            os.path.basename(rel)
+            os.path.basename(rel.replace("\\", "/"))
             for rel in videos
-            if not os.path.exists(h5_path_for_video(os.path.join(project.path, rel)))
+            # Normalize Windows separators like every other labels.yaml
+            # consumer (splits.subject_of, labeling, core/labels) — literal
+            # backslashes in the joined path would report every H5 missing.
+            if not os.path.exists(
+                h5_path_for_video(os.path.join(project.path, rel.replace("\\", "/")))
+            )
         ]
         if not missing:
             return True, "All necessary files are ready for training."

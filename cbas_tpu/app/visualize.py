@@ -40,8 +40,10 @@ from cbas_tpu.utils.naming import natural_sort_outputs
 def activity_from_probs(
     df: pd.DataFrame, behavior: str, threshold: float
 ) -> np.ndarray:
-    """Per-frame 0/1 activity: behavior is argmax and prob >= threshold
-    (reference: backend/cbas.py:975-979)."""
+    """Per-frame 0/1 activity: behavior is the strict maximum and
+    prob >= threshold (reference: backend/cbas.py:977-978 uses the same
+    strict ``others.max < probs`` — an exact probability tie counts as
+    active for NO behavior, deliberately matched here)."""
     if behavior not in df.columns:
         return np.array([])
     probs = df[behavior].to_numpy()
@@ -87,6 +89,14 @@ def stitch_outputs(directory: str, model: str) -> Optional[pd.DataFrame]:
         if not f.endswith(suffix):
             continue
         stem = f[: -len(suffix)]
+        if stem.endswith("_aug"):
+            # Augmented siblings (*_aug.mp4, training-only artifacts) get
+            # classified alongside the real segments; stitching them would
+            # double-count every time bin and, because aug names miss the
+            # _<segment>_ regex, lexicographic fallback would interleave
+            # them — scrambling the actogram timeline. The UI hides aug
+            # videos the same way (api.py is_aug_video).
+            continue
         if stem not in video_stems and any(
             stem.startswith(vs + "_") for vs in video_stems
         ):

@@ -215,7 +215,11 @@ def clean_and_sort_labels(labels_doc: dict) -> dict:
     final: List[Instance] = []
     for insts in by_video.values():
         if len(insts) < 2:
-            final.extend(insts)
+            # The single-instance shortcut still applies the start<=end
+            # validity filter the multi-instance path enforces — an inverted
+            # instance would otherwise survive "cleaning" and poison frame
+            # counts (end - start + 1 goes negative) and manifests.
+            final.extend(i for i in insts if i["start"] <= i["end"])
             continue
         insts.sort(key=lambda x: (x["start"], -(x["end"] - x["start"])))
         kept: List[Instance] = []
@@ -275,6 +279,8 @@ def coverage_report(
 
     report: Dict[str, Dict[str, int]] = defaultdict(lambda: {b: 0 for b in behaviors})
     for insts in labels_doc.get("labels", {}).values():
+        if not isinstance(insts, list):
+            continue  # hand-edited `behavior:` (YAML null)
         for inst in insts:
             # the SAME subject definition that governs train/val/test
             # grouping (splits.subject_of), so the coverage view can never

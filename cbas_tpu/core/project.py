@@ -131,9 +131,13 @@ class Dataset:
         return list(self.config.get("behaviors", []))
 
     def all_instances(self) -> List[dict]:
+        # isinstance guard like analyze_label_conflicts/clean_and_sort_labels:
+        # a hand-edited labels.yaml with `behavior:` (YAML null) must not
+        # crash every consumer.
         return [
             inst
             for b_insts in self.labels.get("labels", {}).values()
+            if isinstance(b_insts, list)
             for inst in b_insts
         ]
 
@@ -293,12 +297,10 @@ class Project:
         cam_dir = os.path.join(self.cameras_dir, name)
         if os.path.exists(cam_dir):
             return None
-        os.makedirs(cam_dir, exist_ok=True)
         data = dict(settings)
         data["name"] = name
         cam = CameraSettings.from_dict(data)
-        dump_yaml(cam.to_dict(), os.path.join(cam_dir, "config.yaml"))
-        self.cameras[name] = cam
+        self.save_camera(cam)
         return cam
 
     def save_camera(self, cam: CameraSettings) -> None:

@@ -200,5 +200,10 @@ def write_split_manifest(
     doc = {"dataset_fingerprint": fingerprint, "splits": splits}
     if metadata:
         doc.update(metadata)
-    with open(path, "w", encoding="utf-8") as f:
+    # tmp + rename like every other config artifact (core/config.dump_yaml):
+    # a crash mid-dump must not leave a truncated manifest that kills the
+    # next ManifestSplitProvider load with a JSONDecodeError.
+    tmp = f"{path}.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
         json.dump(doc, f, indent=2)
+    os.replace(tmp, path)

@@ -284,3 +284,42 @@ def test_read_text_file_is_project_scoped(api):
     assert api.read_text_file("/etc/passwd") is None
     assert api.read_text_file(os.path.join(proj.path, "..", "..", "etc", "passwd")) is None
     assert api.read_text_file(os.path.join(proj.path, "missing.txt")) is None
+
+
+def test_preflight_two_subjects_zero_test(api, tmp_path):
+    """2 labeled subjects with no test reservation is a valid train/val
+    split (splits.py zero-test slicer); only a test>0 run needs 3 groups."""
+    proj = api.state.project
+    ds = proj.create_dataset("two", ["walk"], [])
+    rel = "recordings/s/m0/m0_00001.mp4"
+    rel2 = "recordings/s/m1/m1_00001.mp4"
+    ds.labels["labels"]["walk"] = [
+        {"video": rel, "start": 0, "end": 30, "label": "walk"},
+        {"video": rel2, "start": 0, "end": 30, "label": "walk"},
+    ]
+    ds.save_labels()
+    proj.reload()
+    res = run_preflight_check(proj, "two", 0.0)
+    assert res["is_valid"], res["message"]
+    res_t = run_preflight_check(proj, "two", 0.2)
+    assert not res_t["is_valid"]
+
+
+def test_preflight_ignores_stale_label_keys(api):
+    """A label key absent from the config behavior list (renamed/removed
+    behavior) must not change the verdict — training filters to
+    task.behaviors, so preflight does too."""
+    proj = api.state.project
+    ds = proj.datasets["d"]
+    ds.labels["labels"]["ghost_behavior"] = [
+        {"video": "recordings/s/mX/mX_00001.mp4", "start": 0, "end": 5,
+         "label": "ghost_behavior"},
+    ]
+    ds.save_labels()
+    proj.reload()
+    res = run_preflight_check(proj, "d", 0.0)
+    assert res["is_valid"], res["message"]
+    # and a null label list (hand-edited YAML) doesn't crash any consumer
+    ds2 = proj.datasets["d"]
+    ds2.labels["labels"]["nulled"] = None
+    assert isinstance(ds2.all_instances(), list)

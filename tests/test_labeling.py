@@ -598,3 +598,16 @@ def test_fuzz_review_mode_invariants(project):
             assert got == want, (seed, got, want)
         finally:
             s2.close()
+
+
+def test_clean_and_sort_drops_inverted_single_instance():
+    """An inverted instance (start > end) that is ALONE on its video must be
+    dropped like the multi-instance path drops it — it would otherwise
+    produce negative frame counts downstream."""
+    from cbas_tpu.core.labels import clean_and_sort_labels
+
+    doc = {"behaviors": ["walk"], "labels": {"walk": [
+        {"video": "v.mp4", "start": 100, "end": 50, "label": "walk"},
+    ]}}
+    cleaned = clean_and_sort_labels(doc)
+    assert cleaned["labels"].get("walk", []) == []

@@ -192,3 +192,21 @@ def test_stitch_outputs_model_name_suffix_disambiguation(tmp_path):
     (tmp_path / "cam_00001.mp4").write_bytes(b"x")  # sibling disambiguates
     df = stitch_outputs(str(tmp_path), "mouse_model")
     assert df["walk"].tolist() == [0.1]
+
+
+def test_stitch_outputs_excludes_aug_csvs(tmp_path):
+    """_aug siblings are training-only artifacts; their classification CSVs
+    must not double-count (and, via the lexicographic fallback, scramble)
+    the actogram timeline."""
+    for seg in (1, 2):
+        pd.DataFrame({"walk": [seg / 10], "rest": [1 - seg / 10]}).to_csv(
+            tmp_path / f"cam_{seg:05d}_m_outputs.csv", index=False
+        )
+        (tmp_path / f"cam_{seg:05d}.mp4").write_bytes(b"")
+        pd.DataFrame({"walk": [0.9], "rest": [0.1]}).to_csv(
+            tmp_path / f"cam_{seg:05d}_aug_m_outputs.csv", index=False
+        )
+        (tmp_path / f"cam_{seg:05d}_aug.mp4").write_bytes(b"")
+    df = stitch_outputs(str(tmp_path), "m")
+    assert len(df) == 2  # two real segments, no aug rows
+    assert df["walk"].tolist() == [0.1, 0.2]
