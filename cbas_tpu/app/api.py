@@ -467,9 +467,11 @@ class Api:
             progress_callback=lambda p, m: self.state.callbacks.emit(
                 "update_import_progress", p, m
             ),
+            # per-file, not post-batch: an early-finished file must be marked
+            # handled before the watcher's settle delay elapses, or it gets
+            # promoted (and encoded) a second time while later files import
+            on_imported=self._queue_external_video,
         )
-        for path in imported:
-            self._queue_external_video(path)
         self.state.project.reload_recordings()
         return imported
 

@@ -31,6 +31,7 @@ from cbas_tpu.utils.naming import (
     H5_SUFFIX,
     OUTPUTS_SUFFIX,
     h5_path_for_video,
+    is_staging_artifact,
     sort_videos_by_segment,
 )
 
@@ -50,7 +51,11 @@ class Recording:
         self.name = os.path.basename(path)
         files = [e.path for e in os.scandir(path) if e.is_file()]
 
-        self.video_files = sort_videos_by_segment([f for f in files if f.endswith(".mp4")])
+        # *.tmp.mp4 are crash-orphanable staging files (atomic standardize/
+        # augment writes), never real recordings.
+        self.video_files = sort_videos_by_segment(
+            [f for f in files if f.endswith(".mp4") and not is_staging_artifact(f)]
+        )
         self.encoding_files = [f for f in files if f.endswith(H5_SUFFIX)]
         enc_set = set(self.encoding_files)
         self.unencoded_files = [

@@ -170,6 +170,18 @@ class ClassifierBundle:
             # when metadata disagrees (e.g. a hot reload caught save() between
             # writing weights and metadata), trusting meta crashes the LSTM
             # scan with a contraction mismatch — trust the shapes instead.
+            # The disagreement can also be an ARCHITECTURE flip (a legacy
+            # bundle retrained as deltas under the same name, hot-read
+            # between the meta and npz replaces): the params then lack the
+            # deltas keys entirely, which must surface as the same handled
+            # "retry the load" error, not a bare KeyError.
+            if "lin2.weight" not in params:
+                raise ValueError(
+                    f"Bundle '{os.path.basename(model_dir)}' metadata says "
+                    f"'{arch}' but the weights on disk are a different "
+                    "architecture — metadata and weights are out of sync "
+                    "(mid-save read?). Retry the load."
+                )
             inferred = infer_deltas_hparams(params)
             hidden = int(inferred["lstm_hidden_size"])
             layers = int(inferred["lstm_layers"])

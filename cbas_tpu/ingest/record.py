@@ -12,6 +12,7 @@ present (recording disabled, everything else works).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import subprocess
 import threading
@@ -27,8 +28,29 @@ def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
+def next_segment_number(dest_dir: str, camera_name: str) -> int:
+    """First unused ``<camera>_%05d.mp4`` index in ``dest_dir``.
+
+    A (re)start into a directory that already holds segments MUST continue
+    the numbering: ffmpeg's HLS segmenter otherwise restarts at 00000 and
+    overwrites previously recorded video (whose stamped H5s would keep
+    validating against content that no longer exists).
+    """
+    pat = re.compile(re.escape(camera_name) + r"_(\d+)\.mp4$")
+    highest = -1
+    try:
+        for f in os.listdir(dest_dir):
+            m = pat.fullmatch(f)
+            if m:
+                highest = max(highest, int(m.group(1)))
+    except OSError:
+        pass
+    return highest + 1
+
+
 def build_record_command(
-    cam: CameraSettings, dest_pattern: str, playlist_file: str
+    cam: CameraSettings, dest_pattern: str, playlist_file: str,
+    start_number: int = 0,
 ) -> list:
     """The recording command line (reference: backend/cbas.py:768-784)."""
     filter_string = (
@@ -46,6 +68,7 @@ def build_record_command(
         "-preset", "ultrafast", "-pix_fmt", "yuv420p", "-g", str(cam.framerate * 2),
         "-sc_threshold", "0", "-f", "hls", "-hls_time", str(cam.segment_seconds),
         "-hls_list_size", "0", "-hls_flags", "delete_segments+program_date_time",
+        "-start_number", str(start_number),
         "-hls_segment_filename", dest_pattern, "-y", playlist_file,
     ]
 
@@ -85,7 +108,10 @@ class RecordingManager:
             playlist = os.path.join(dest_dir, f"{cam.name}_playlist.m3u8")
             log_path = os.path.join(dest_dir, f"{cam.name}_ffmpeg_err.log")
             pattern = os.path.join(dest_dir, f"{cam.name}_%05d.mp4")
-            cmd = build_record_command(cam, pattern, playlist)
+            cmd = build_record_command(
+                cam, pattern, playlist,
+                start_number=next_segment_number(dest_dir, cam.name),
+            )
             try:
                 log_file = open(log_path, "a")
                 proc = Popen(cmd, stdin=PIPE, stdout=DEVNULL, stderr=log_file)
@@ -172,8 +198,12 @@ class RecordingManager:
             if cam is None:
                 log_message(f"Cannot restart '{name}': camera config not found.", "ERROR")
                 continue
+            # Arm the cooldown on the ATTEMPT, not only on success: a
+            # persistently failing start (ffmpeg gone, bad config) would
+            # otherwise be retried — with an ERROR log — every 5 s monitor
+            # pass instead of every RESTART_COOLDOWN_S.
+            self._last_restart[name] = now
             if self.start(cam, session):
-                self._last_restart[name] = now
                 with self._lock:
                     still_wanted = self._pending_restart.pop(name, None) is not None
                 if not still_wanted:

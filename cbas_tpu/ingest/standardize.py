@@ -23,6 +23,7 @@ import cv2
 import numpy as np
 
 from cbas_tpu.ingest.decode import open_video
+from cbas_tpu.utils.naming import STAGING_SUFFIX
 from cbas_tpu.utils.logging import log_message
 
 AUG_FILTER_CHAIN = "hflip,eq=brightness=0.03:contrast=1.1,gblur=sigma=0.2"
@@ -71,7 +72,7 @@ def standardize_video(
 ) -> str:
     """Re-time to ``fps`` and re-frame to a square; frame selection uses
     timestamp rounding (the same frames ffmpeg's fps filter picks)."""
-    tmp_path = dst_path + ".tmp.mp4"
+    tmp_path = dst_path + STAGING_SUFFIX  # excluded by every scanner/watcher
     written = 0
     try:
         with open_video(src_path) as reader:
@@ -158,9 +159,16 @@ def import_videos(
     stretch: bool = False,
     crop: Optional[Tuple[float, float, float, float]] = None,
     progress_callback: Optional[Callable[[float, str], None]] = None,
+    on_imported: Optional[Callable[[str], None]] = None,
 ) -> List[str]:
     """Import external videos into a recording folder, optionally standardized
-    (reference: backend/label_train_page.py:124-213). Returns imported paths."""
+    (reference: backend/label_train_page.py:124-213). Returns imported paths.
+
+    ``on_imported`` fires as EACH file lands (not after the batch): the
+    caller must mark it handled with the watcher immediately, or a large
+    multi-file import lets the watcher promote early-finished files
+    mid-batch and encode them twice.
+    """
     os.makedirs(dest_dir, exist_ok=True)
     out_paths: List[str] = []
     used_names: set = set()
@@ -187,6 +195,8 @@ def import_videos(
             else:
                 shutil.copy2(src, dst)
             out_paths.append(dst)
+            if on_imported:
+                on_imported(dst)
         except Exception as e:
             log_message(f"Import failed for '{src}': {e}", "ERROR")
     if progress_callback:
@@ -230,7 +240,7 @@ def augment_video(src_path: str, dst_path: Optional[str] = None) -> str:
     dst_path = dst_path or aug_path_for(src_path)
     if os.path.exists(dst_path):
         return dst_path
-    tmp = dst_path + ".tmp.mp4"
+    tmp = dst_path + STAGING_SUFFIX  # excluded by every scanner/watcher
     try:
         if shutil.which("ffmpeg"):
             subprocess.run(
@@ -325,7 +335,8 @@ def augment_dataset(
     # those windows in training and doubling every instance/frame count.
     new_labels = {b: list(insts) for b, insts in source.labels.get("labels", {}).items()}
     existing_aug = {
-        (b, str(i.get("video")), int(i.get("start", -1)), int(i.get("end", -1)))
+        (b, str(i.get("video")).replace("\\", "/"),
+         int(i.get("start", -1)), int(i.get("end", -1)))
         for b, insts in new_labels.items()
         for i in insts
         if is_aug_video(str(i.get("video", "")))
@@ -334,7 +345,12 @@ def augment_dataset(
         src = os.path.join(project.path, inst["video"])
         if src in processed:
             remapped = dict(inst)
-            remapped["video"] = os.path.relpath(processed[src], start=project.path)
+            # Normalize separators like resync_aug_labels: Windows relpath
+            # output ('s\\m\\v_aug.mp4') would never match existing_aug keys,
+            # re-appending a duplicate instance on every chained augmentation.
+            remapped["video"] = os.path.relpath(
+                processed[src], start=project.path
+            ).replace("\\", "/")
             label = remapped.get("label")
             key = (label, remapped["video"],
                    int(remapped.get("start", -1)), int(remapped.get("end", -1)))

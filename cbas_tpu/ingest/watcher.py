@@ -63,9 +63,14 @@ class RecordingWatcher(threading.Thread):
         self._stop.set()
 
     def _scan(self):
+        from cbas_tpu.utils.naming import is_staging_artifact
+
         for dirpath, _, files in os.walk(self.root):
             for name in files:
-                if name.endswith(self.suffix):
+                # *.tmp.mp4 are in-progress standardize/augment outputs:
+                # a slow write that stalls past settle_s must not be
+                # promoted (and encoded) mid-write.
+                if name.endswith(self.suffix) and not is_staging_artifact(name):
                     yield os.path.join(dirpath, name)
 
     def poll_once(self, now: Optional[float] = None) -> int:
@@ -116,7 +121,12 @@ class RecordingWatcher(threading.Thread):
             try:
                 self.on_ready(path)
             except Exception as e:
-                print(f"Watcher on_ready failed for {path}: {e}")
+                # log_message, not print: the path is already in _known (never
+                # retried), so this line is the only explanation the app log
+                # will ever have for a permanently missing embedding.
+                from cbas_tpu.utils.logging import log_message
+
+                log_message(f"Watcher on_ready failed for {path}: {e}", "ERROR")
         return len(ready)
 
     def run(self) -> None:

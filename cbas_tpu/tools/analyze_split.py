@@ -18,7 +18,8 @@ from cbas_tpu.core.splits import RandomSplitProvider, subject_of
 
 
 def composition(instances, subjects) -> dict:
-    chosen = [i for i in instances if subject_of(i) in set(subjects)]
+    chosen_set = set(subjects)
+    chosen = [i for i in instances if subject_of(i) in chosen_set]
     n = Counter(i["label"] for i in chosen)
     frames: Counter = Counter()
     for i in chosen:

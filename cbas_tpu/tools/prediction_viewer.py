@@ -88,10 +88,17 @@ def interactive(video_path, df):  # pragma: no cover - needs a display
         state["idx"] = v
 
     cv2.createTrackbar("frame", win, 0, max(0, total - 1), on_trackbar)
+    next_natural = 0  # frame index the capture will read without a seek
     while True:
         idx = state["idx"]
-        cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
+        # Seek only on jumps: a per-frame CAP_PROP_POS_FRAMES seek forces a
+        # keyframe seek + decode-forward for every displayed frame on
+        # long-GOP streams (fractional-realtime "playback", possible
+        # off-by-keyframe overlay desync). Sequential reads are free.
+        if idx != next_natural:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
         ok, frame = cap.read()
+        next_natural = idx + 1
         if not ok:
             break
         if idx < len(probs):

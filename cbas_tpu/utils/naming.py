@@ -164,6 +164,20 @@ def video_for_outputs_csv(csv_path: str, model_name: str) -> str:
     return csv_path[: -len(suffix)] + ".mp4"
 
 
+STAGING_SUFFIX = ".tmp.mp4"
+
+
+def is_staging_artifact(path: str) -> bool:
+    """True for in-progress standardize/augment outputs (``*.tmp.mp4``).
+
+    These are atomic-write staging files (ingest/standardize.py) that a
+    crash can orphan inside the recordings tree; scanners and watchers must
+    never treat them as real recordings (they would surface phantom videos
+    and queue corrupt partials for encode at every project load).
+    """
+    return os.path.basename(path).endswith(STAGING_SUFFIX)
+
+
 _SEGMENT_RE = re.compile(r"_(\d+)(?:_aug)?\.mp4$")
 
 

@@ -385,3 +385,45 @@ def test_classify_selection_before_project_load_retries(app_project):
     # is a LOADED decision rather than a silent eternal None)
     cw._ensure_session()
     assert state.live_inference_model_name is None  # failed batch deselected
+
+
+def test_restart_continues_segment_numbering(tmp_path):
+    """A (re)start into a directory already holding segments must continue
+    the HLS numbering — restarting at 00000 would overwrite recorded video
+    whose stamped H5s keep validating against content that no longer exists."""
+    from cbas_tpu.ingest.record import build_record_command, next_segment_number
+
+    d = str(tmp_path)
+    assert next_segment_number(d, "cam") == 0
+    for i in (0, 1, 7):
+        (tmp_path / f"cam_{i:05d}.mp4").write_bytes(b"")
+    (tmp_path / "other_00099.mp4").write_bytes(b"")  # different camera
+    assert next_segment_number(d, "cam") == 8
+    cam = CameraSettings(name="cam", rtsp_url="rtsp://h/s", framerate=10, resolution=256)
+    cmd = build_record_command(cam, f"{d}/cam_%05d.mp4", f"{d}/p.m3u8", start_number=8)
+    i = cmd.index("-start_number")
+    assert cmd[i + 1] == "8"
+
+
+def test_watcher_and_scan_skip_staging_artifacts(tmp_path):
+    """*.tmp.mp4 staging files (crash-orphanable atomic-write temps) are
+    invisible to both the watcher and the recording scan."""
+    from cbas_tpu.ingest.watcher import RecordingWatcher
+    from cbas_tpu.core.project import Project
+
+    proj = Project.create_project(str(tmp_path), "p")
+    rec = os.path.join(proj.recordings_dir, "s", "m0")
+    os.makedirs(rec)
+    open(os.path.join(rec, "m0_00001.mp4"), "wb").write(b"x")
+    open(os.path.join(rec, "m0_00002.mp4.tmp.mp4"), "wb").write(b"x")
+    proj.reload()
+    vids = [os.path.basename(v)
+        for subjects in proj.recordings.values()
+        for r in subjects.values() for v in r.video_files]
+    assert vids == ["m0_00001.mp4"]
+
+    seen = []
+    w = RecordingWatcher(proj.recordings_dir, on_ready=seen.append, settle_s=0.0)
+    w.poll_once(now=0.0)
+    w.poll_once(now=1.0)
+    assert [os.path.basename(p) for p in seen] == ["m0_00001.mp4"]
