@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cbas_tpu.core.config import EMBED_DIM
 from cbas_tpu.models.vit import (
     ViTConfig,
     config_for_identifier,
@@ -147,9 +146,17 @@ class FrameEncoder:
             else None
         )
 
+        # The device program never reads the raw (D,3,p,p) patch-conv weight
+        # (folded into _plane_kernel above) nor the dinov2 position table
+        # (resampled per geometry on host, passed as a closure constant);
+        # device_put-ing them would pin dead HBM on every chip for the
+        # process lifetime.
+        conv_key = self._patch_bias_key.rsplit(".bias", 1)[0] + ".weight"
+        dead = {conv_key, "embeddings.position_embeddings"}
         cast = {
             k: a.astype(self.compute_dtype) if a.dtype == np.float32 else a
             for k, a in params_np.items()
+            if k not in dead
         }
         self._param_specs = None
         if self._tp_size() > 1:

@@ -213,25 +213,28 @@ def legacy_forward(
 
     Returns (lstm_logits, linear_logits, latent); the inference-time combined
     output is ``lstm_logits + linear_logits`` (``forward_nodrop``).
+
+    INFERENCE-ONLY compatibility surface: the v3 product trains only the
+    deltas head, so train-mode BatchNorm (batch statistics + running-stat
+    updates) is deliberately not implemented — accepting ``train=True``
+    would silently run torch-eval BN under torch-train noise and diverge
+    from the reference trainer.
     """
+    if train:
+        raise NotImplementedError(
+            "legacy_forward is inference-only: train-mode BatchNorm is not "
+            "implemented for the v2 compatibility head (train the deltas "
+            "head instead)."
+        )
     # BatchNorm1d over the feature dim using running stats (eval semantics).
     mean = params["batch_norm.running_mean"]
     var = params["batch_norm.running_var"]
     xn = (x - mean) * jax.lax.rsqrt(var + BN_EPS)
     xn = xn * params["batch_norm.weight"] + params["batch_norm.bias"]
 
-    if train and rng is not None:
-        # Train-time regularizer: overwrite a random 64-256-dim feature subset
-        # with gaussian noise (backend/classifier_head.py:36-38). Implemented
-        # as a static-shape mask so it stays jit-compatible.
-        k_amount, k_perm, k_noise = jax.random.split(rng, 3)
-        C = xn.shape[-1]
-        amount = jax.random.randint(k_amount, (), 64, 257)
-        ranks = jax.random.permutation(k_perm, C)
-        mask = ranks < amount  # (C,)
-        noise = jax.random.normal(k_noise, xn.shape, xn.dtype)
-        xn = jnp.where(mask, noise, xn)
-
+    # (The reference's train-time feature-noise regularizer,
+    # classifier_head.py:36-38, is intentionally not ported — see the
+    # inference-only contract above.)
     l, r = _center_bounds(cfg.hsl, cfg.center_window_size, xn.shape[1])
     linear_logits = _linear(params, "lin1", xn[:, l:r, :]).mean(axis=1)
 

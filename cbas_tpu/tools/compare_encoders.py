@@ -36,8 +36,14 @@ def main(argv=None) -> None:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    from cbas_tpu.models.encoder import FrameEncoder
-    from cbas_tpu.models.vit import cls_attention_map
+    import jax
+
+    from cbas_tpu.models.encoder import load_encoder_params
+    from cbas_tpu.models.vit import (
+        cls_attention_map,
+        config_for_identifier,
+        init_vit_params,
+    )
 
     # Load one frame (image file, or first frame of a video).
     img = cv2.imread(args.image)
@@ -57,11 +63,16 @@ def main(argv=None) -> None:
     axes[0].axis("off")
 
     for ax, identifier in zip(axes[1:], args.encoders):
-        enc = FrameEncoder(identifier, random_init=args.random_init,
-                           compute_dtype=jnp.float32)
-        attn = np.asarray(
-            cls_attention_map(enc._device_params, jnp.asarray(rgb_rep), enc.cfg)
-        )[0]
+        # Full params loaded directly: the probe needs the raw patch-conv
+        # weight, which FrameEncoder deliberately drops from its device
+        # params (folded into the single-plane kernel).
+        cfg = config_for_identifier(identifier)
+        if args.random_init:
+            params = jax.device_get(init_vit_params(jax.random.key(0), cfg))
+        else:
+            params = load_encoder_params(identifier)
+        params = {k: jnp.asarray(np.asarray(v), jnp.float32) for k, v in params.items()}
+        attn = np.asarray(cls_attention_map(params, jnp.asarray(rgb_rep), cfg))[0]
         ax.imshow(green, cmap="gray")
         ax.imshow(
             cv2.resize(attn, (256, 256), interpolation=cv2.INTER_CUBIC),

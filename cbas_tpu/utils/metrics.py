@@ -12,7 +12,6 @@ from __future__ import annotations
 import contextlib
 import threading
 import time
-from collections import defaultdict
 from typing import Dict, Optional
 
 
@@ -49,13 +48,21 @@ class StageMeter:
 
 class MetricsRegistry:
     def __init__(self) -> None:
-        self._meters: Dict[str, StageMeter] = defaultdict(StageMeter)
+        self._meters: Dict[str, StageMeter] = {}
+        # First-touch meter creation must be locked: two pipeline threads
+        # racing defaultdict.__missing__ could each build a StageMeter and
+        # one instance's counts would be silently orphaned.
+        self._lock = threading.Lock()
 
     def meter(self, name: str) -> StageMeter:
-        return self._meters[name]
+        m = self._meters.get(name)
+        if m is None:
+            with self._lock:
+                m = self._meters.setdefault(name, StageMeter())
+        return m
 
     def add(self, name: str, units: float, seconds: float) -> None:
-        self._meters[name].add(units, seconds)
+        self.meter(name).add(units, seconds)
 
     @contextlib.contextmanager
     def timed(self, name: str, units: float = 1.0):
@@ -63,7 +70,7 @@ class MetricsRegistry:
         try:
             yield
         finally:
-            self._meters[name].add(units, time.perf_counter() - t0)
+            self.add(name, units, time.perf_counter() - t0)
 
     def snapshot(self) -> Dict[str, Dict[str, float]]:
         return {k: m.snapshot() for k, m in sorted(self._meters.items())}

@@ -42,9 +42,13 @@ def test_plane_path_equals_replicated_rgb_path(cfg):
     got = enc.encode_rgb(frames)
 
     # Reference path: green/255 replicated to 3 channels through vit_forward.
+    # Built from the ORIGINAL full params: the encoder's device params
+    # deliberately drop the raw patch-conv weight (folded) and position
+    # table (host-resampled) to avoid pinning dead HBM.
     green = frames[:, :, :, 1].astype(np.float32) / 255.0
     rgb = np.repeat(green[:, None, :, :], 3, axis=1)
-    params = enc._device_params
+    params = {k: jnp.asarray(v) for k, v in
+              jax.device_get(init_vit_params(jax.random.key(0), cfg)).items()}
     pos = None
     if cfg.variant == "dinov2":
         pos = jnp.asarray(resample_pos_embed(enc._pos_table, 2, 2))
