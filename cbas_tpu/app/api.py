@@ -41,7 +41,7 @@ from cbas_tpu.core.config import CameraSettings, TrainingConfig, load_yaml
 from cbas_tpu.core.project import Project
 from cbas_tpu.engine.classifier import ClassifierBundle
 from cbas_tpu.engine.infer import InferenceSession
-from cbas_tpu.ingest.record import RecordingManager
+from cbas_tpu.ingest.record import RecordingManager, run_monitor
 from cbas_tpu.ingest.standardize import (
     augment_dataset,
     import_videos,
@@ -59,6 +59,7 @@ class Api:
     def __init__(self, state: Optional[AppState] = None):
         self.state = state or AppState()
         self.recorder: Optional[RecordingManager] = None
+        self._monitor_stop: Optional[threading.Event] = None
         self.watcher: Optional[RecordingWatcher] = None
         self.train_worker: Optional[TrainWorker] = None
         self._workers = None
@@ -70,6 +71,19 @@ class Api:
 
     def get_project_root(self) -> Optional[str]:
         return self.state.project.path if self.state.project else None
+
+    @staticmethod
+    def _safe_component(name) -> Optional[str]:
+        """Validate a wire-supplied name that becomes ONE path component
+        (camera/dataset/session/subject). Every Api method is reachable from
+        HTTP POST, so an absolute or ..-carrying 'name' would write outside
+        the project tree (os.path.join discards preceding components for
+        absolute paths) — the same class read_text_file is hardened against.
+        """
+        s = str(name or "").strip()
+        if not s or s in (".", "..") or "/" in s or "\\" in s or os.sep in s:
+            return None
+        return s
 
     def create_project(self, parent_directory: str, project_name: str) -> dict:
         proj = Project.create_project(parent_directory, project_name)
@@ -122,6 +136,19 @@ class Api:
             st.project.recordings_dir,
             on_final_segment=self._queue_external_video,
         )
+        # Self-heal monitor (reference: workthreads.py:139-176): restarts a
+        # recording whose ffmpeg died. One daemon thread per project load;
+        # the previous load's monitor is stopped so threads don't accumulate.
+        if self._monitor_stop is not None:
+            self._monitor_stop.set()
+        self._monitor_stop = threading.Event()
+        monitor = threading.Thread(
+            target=run_monitor,
+            args=(self.recorder, lambda: dict(st.project.cameras), self._monitor_stop),
+            daemon=True,
+            name="RecordingMonitor",
+        )
+        monitor.start()
         if st.encoder is not None:
             sweep_stale_embeddings(st)
         self.start_recording_watcher()
@@ -204,6 +231,8 @@ class Api:
         # shutdown); without this it outlives the 10 s join below.
         self.state.training_cancel.set()
         self.stop_live_preview()
+        if self._monitor_stop is not None:
+            self._monitor_stop.set()
         if self.recorder:
             self.recorder.stop_all()
         if self.watcher:
@@ -239,10 +268,14 @@ class Api:
         return cam.to_dict() if cam else None
 
     def create_camera(self, name: str, settings: dict) -> bool:
+        name = self._safe_component(name)
+        if name is None:
+            return False
         return bool(self.state.project and self.state.project.create_camera(name, settings))
 
     def save_camera_settings(self, name: str, settings: dict) -> bool:
-        if not self.state.project:
+        name = self._safe_component(name)
+        if name is None or not self.state.project:
             return False
         data = dict(settings)
         data["name"] = name
@@ -294,6 +327,11 @@ class Api:
         return out
 
     def start_camera_stream(self, name: str, session_name: str) -> bool:
+        # A blank session would flatten recordings to recordings/<camera>/,
+        # invisible to the session/subject scan (same guard as import_videos).
+        session_name = self._safe_component(session_name)
+        if session_name is None:
+            return False
         cam = self.state.project.cameras.get(name) if self.state.project else None
         if cam is None or self.recorder is None:
             return False
@@ -312,7 +350,7 @@ class Api:
         per-camera elapsed timers (reference: record_page.py:437-447)."""
         if not self.recorder:
             return {}
-        return {name: start for name, (_, start, _) in self.recorder.active.items()}
+        return self.recorder.snapshot_active()
 
     def start_live_preview(self, name: str) -> bool:
         cam = self.state.project.cameras.get(name) if self.state.project else None
@@ -450,12 +488,13 @@ class Api:
         stretch: bool = False,
         crop: Optional[list] = None,
     ) -> List[str]:
-        # Reject blank names like the reference (label_train_page.py:486):
-        # joining empty components would drop imports into the recordings
-        # root, where the session/subject scan never finds them.
-        session_name = str(session_name or "").strip()
-        subject_name = str(subject_name or "").strip()
-        if not self.state.project or not session_name or not subject_name:
+        # Reject blank names like the reference (label_train_page.py:486) and
+        # any separator/..-carrying component (wire-reachable path write):
+        # joining bad components would drop imports into the recordings root
+        # or outside the project tree entirely.
+        session_name = self._safe_component(session_name)
+        subject_name = self._safe_component(subject_name)
+        if not self.state.project or session_name is None or subject_name is None:
             return []
         dest = os.path.join(self.state.project.recordings_dir, session_name, subject_name)
         imported = import_videos(
@@ -480,6 +519,9 @@ class Api:
     # ------------------------------------------------------------------
 
     def create_dataset(self, name: str, behaviors: List[str], whitelist: List[str]) -> bool:
+        name = self._safe_component(name)
+        if name is None:
+            return False
         return bool(
             self.state.project and self.state.project.create_dataset(name, behaviors, whitelist)
         )
@@ -642,7 +684,16 @@ class Api:
         return True
 
     def cancel_training_task(self, dataset_name: str) -> None:
+        """Cancel the running job AND drop queued ones (reference:
+        workthreads.py:1069-1082 clears the whole queue on cancel)."""
         self.state.training_cancel.set()
+        if self.train_worker is not None:
+            dropped = self.train_worker.clear_queue()
+            if dropped:
+                log_message(f"Dropped {dropped} queued training job(s).", "WARN")
+        self.state.callbacks.emit(
+            "updateTrainingStatusOnUI", dataset_name, "Training cancelled by user."
+        )
 
     def start_classification(self, model_name: str, whitelisted_dirs: List[str]) -> int:
         """Queue every H5 under the whitelisted dirs lacking this model's
@@ -730,6 +781,13 @@ class Api:
         instances, _ = label_tools.predictions_to_instances_with_confidence(
             df, bundle.behaviors, rel, smoothing_window=smoothing_window
         )
+        # The session renders the DATASET's vocabulary; a model behavior the
+        # dataset lacks would enter the buffer as an invisible yet active
+        # instance — un-renderable, blocking new labels via the overlap
+        # guard, and committable into labels.yaml as an orphan label.
+        if ds is not None:
+            allowed = set(ds.behaviors)
+            instances = [i for i in instances if i.get("label") in allowed]
         return self._start_session(dataset_name, video_path, instances, None, model_name)
 
     def _start_session(self, dataset_name, video_path, preloaded, filter_for,

@@ -450,6 +450,11 @@ class LabelingSession:
             return {"status": "no_changes"}
 
         master = load_yaml(self.dataset.labels_path)
+        # Heal a truncated/hand-emptied labels.yaml like Dataset.__init__
+        # does: the user's reviewed labels must still commit.
+        if not isinstance(master, dict):
+            master = {"behaviors": list(self.behaviors), "labels": {}}
+        master.setdefault("labels", {})
         for behavior in master.get("labels", {}):
             master["labels"][behavior] = [
                 i

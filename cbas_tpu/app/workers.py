@@ -259,6 +259,19 @@ class TrainWorker(threading.Thread):
         with self._lock:
             return len(self._queue)
 
+    def clear_queue(self) -> int:
+        """Drop every queued (not-yet-running) job; returns how many.
+
+        Cancellation semantics match the reference (workthreads.py:1069-1082):
+        the cancel flag stops the RUNNING job and the queue is cleared so a
+        pending job doesn't start right after — without this, cancelling a
+        queued dataset killed the currently running one and then trained the
+        'cancelled' dataset anyway."""
+        with self._lock:
+            n = len(self._queue)
+            self._queue.clear()
+        return n
+
     def process_one(self) -> bool:
         with self._lock:
             task = self._queue.pop(0) if self._queue else None

@@ -94,6 +94,12 @@ class RecordingManager:
     def camera_dir(self, session: str, camera: str) -> str:
         return os.path.join(self.recordings_dir, session, camera)
 
+    def snapshot_active(self) -> Dict[str, float]:
+        """name -> recording start epoch, copied under the lock (RPC threads
+        iterate this while start/stop mutate the dict)."""
+        with self._lock:
+            return {name: start for name, (_, start, _) in self.active.items()}
+
     def start(self, cam: CameraSettings, session_name: str) -> bool:
         if not ffmpeg_available():
             log_message("ffmpeg binary not found; recording is unavailable.", "ERROR")

@@ -323,3 +323,44 @@ def test_preflight_ignores_stale_label_keys(api):
     ds2 = proj.datasets["d"]
     ds2.labels["labels"]["nulled"] = None
     assert isinstance(ds2.all_instances(), list)
+
+
+def test_wire_names_must_be_single_path_components(api):
+    """Every Api method is HTTP-reachable; names that become path components
+    must not escape the project tree (absolute paths, separators, '..')."""
+    assert api.import_videos(["/nope.mp4"], "/tmp/evil", "x") == []
+    assert api.import_videos(["/nope.mp4"], "..", "x") == []
+    assert not api.create_camera("../outside", {"rtsp_url": "rtsp://h/s"})
+    assert not api.save_camera_settings("a/b", {"rtsp_url": "rtsp://h/s"})
+    assert not api.create_dataset("../d2", ["w"], [])
+    assert not api.start_camera_stream("cam", "")  # blank session flattens tree
+    # sane names still work
+    assert api.create_dataset("ok_ds", ["w"], [])
+
+
+def test_load_project_starts_selfheal_monitor(api):
+    """The recording self-heal monitor must actually run (the machinery
+    existed but was never started): a RecordingMonitor daemon thread is
+    alive after load_project and stops on kill_all_processes."""
+    import threading as _t
+
+    names = [t.name for t in _t.enumerate()]
+    assert "RecordingMonitor" in names
+    assert api._monitor_stop is not None and not api._monitor_stop.is_set()
+    api.kill_all_processes()
+    assert api._monitor_stop.is_set()
+
+
+def test_cancel_training_clears_queue(api):
+    """Cancel stops the running job AND drops queued ones (reference
+    workthreads.py:1069-1082) — cancelling a queued dataset must not kill
+    the running job and then train the 'cancelled' one anyway."""
+    from cbas_tpu.core.config import TrainingConfig
+
+    tw = api.train_worker
+    tw.queue_task(TrainingConfig(name="d", behaviors=["walk", "rest"]))
+    tw.queue_task(TrainingConfig(name="d", behaviors=["walk", "rest"]))
+    assert tw.pending() == 2
+    api.cancel_training_task("d")
+    assert tw.pending() == 0
+    assert api.state.training_cancel.is_set()
