@@ -35,10 +35,21 @@
       });
       card.querySelector("[data-session]").onchange = (e) => {
         card.querySelectorAll("[data-dir]").forEach((c) => (c.checked = e.target.checked));
+        updateRunButton();
       };
+      card.querySelectorAll("[data-dir]").forEach((c) => (c.onchange = updateRunButton));
       dirs.appendChild(card);
     });
+    updateRunButton();
   }
+
+  // Run is disabled until a model and at least one directory are selected
+  // (reference: inference_page.js updateStartButtonState).
+  function updateRunButton() {
+    const anyDir = !!document.querySelector("#if-dirs [data-dir]:checked");
+    $("if-run").disabled = !($("if-model").value && anyDir);
+  }
+  $("if-model").onchange = updateRunButton;
 
   bus.on("updateInferenceProgress", (model, pct, message) => {
     $("if-bar-fill").style.width = pct + "%";
