@@ -621,7 +621,10 @@ class Api:
         return get_disagreement_playlist(self.state.project, dataset_name)
 
     def create_augmented_dataset(self, source_name: str, new_name: str) -> bool:
-        if not self.state.project:
+        # Same wire-name containment as create_dataset: new_name becomes a
+        # path component (and delete_dataset would later rmtree it).
+        new_name = self._safe_component(new_name)
+        if not self.state.project or new_name is None:
             return False
 
         def worker():
@@ -663,7 +666,12 @@ class Api:
         return {n: m.config for n, m in self.state.project.models.items()}
 
     def set_live_inference_model(self, model_name: Optional[str]) -> bool:
-        self.state.live_inference_model_name = model_name
+        from cbas_tpu.app.workers import select_live_model
+
+        # Routes through the supersede logic: flipping the live toggle while
+        # another model's batch drains must not classify its queued files
+        # with the new model.
+        select_live_model(self.state, model_name)
         return True
 
     def train_model(self, dataset_name: str, **hyperparams) -> bool:
@@ -930,7 +938,11 @@ class Api:
 
     def stage_for_commit(self) -> bool:
         def f(s):
-            s.confirmation_mode = True
+            # Read-only playback must not stage: confirmation_mode hides
+            # every unconfirmed prediction, which in playback is the ENTIRE
+            # timeline (nothing is ever confirmable there).
+            if s.mode != "playback":
+                s.confirmation_mode = True
         return self._with_session(f)
 
     def cancel_commit_stage(self) -> bool:

@@ -77,7 +77,6 @@ def main(argv=None) -> None:
         pass  # non-POSIX or signal unavailable; diagnostics only
 
     api = Api()
-    api.state.headless = bool(args.headless)
     if args.project:
         result = api.load_project(args.project)
         if not result.get("success"):

@@ -49,14 +49,18 @@ def run_preflight_check(project: Project, dataset_name: str, test_split: float) 
         behaviors = set(dataset.config.get("behaviors", []))
         if not behaviors:
             return {"is_valid": False, "message": "Dataset has no defined behaviors."}
-        # Filter to the dataset's behavior list exactly like the orchestrator
-        # (run_training_job builds instances from task.behaviors keys): a
-        # stale label key left in labels.yaml must not change the verdict —
-        # strict coverage equality would otherwise fail every shuffle here
-        # while real training stratifies fine.
-        all_insts = [
-            i for i in dataset.all_instances() if i.get("label") in behaviors
+        # Gather instances EXACTLY like the orchestrator (run_training_job
+        # selects by behavior KEY, not by the instance's label string): a
+        # stale label key must not change the verdict, and a whitespace-
+        # padded label under a valid key must still count — both cases
+        # where a label-string filter would diverge from what training does.
+        labels_doc = dataset.labels.get("labels", {})
+        keyed = [
+            (b, inst)
+            for b in sorted(behaviors)
+            for inst in (labels_doc.get(b) or [])
         ]
+        all_insts = [inst for _, inst in keyed]
         if not all_insts:
             return {
                 "is_valid": False,
@@ -71,8 +75,8 @@ def run_preflight_check(project: Project, dataset_name: str, test_split: float) 
             }
 
         group_behaviors: Dict[str, set] = defaultdict(set)
-        for inst in all_insts:
-            group_behaviors[subject_of(inst)].add(inst["label"])
+        for b, inst in keyed:  # by behavior KEY, matching the gather above
+            group_behaviors[subject_of(inst)].add(b)
         groups = sorted(group_behaviors.keys())
         # train+val always need their own subjects; the test slice needs a
         # third only when one is actually reserved (test_split 0 trains fine

@@ -45,6 +45,13 @@ class TaskQueue:
         with self._lock:
             self._items.clear()
 
+    def drain(self) -> int:
+        """Clear and report how many items were dropped (one lock hold)."""
+        with self._lock:
+            n = len(self._items)
+            self._items.clear()
+            return n
+
 
 class Callbacks:
     """UI event fan-out: named callbacks, all optional, never raising.
@@ -91,7 +98,6 @@ class AppState:
         self.project = None  # cbas_tpu.core.project.Project
         self.encoder = None  # cbas_tpu.models.encoder.FrameEncoder
         self.mesh = None     # jax.sharding.Mesh when >1 device (parallel/mesh.py)
-        self.headless = False
 
         self.encode_tasks = TaskQueue()
         self.classify_tasks = TaskQueue()

@@ -155,9 +155,7 @@ class ClassifyWorker(threading.Thread):
         would otherwise sit silently forever (no session ever pops them) with
         the UI showing a batch that never starts."""
         st = self.state
-        dropped = 0
-        while st.classify_tasks.pop() is not None:
-            dropped += 1
+        dropped = st.classify_tasks.drain()
         st.live_inference_model_name = None
         st.batch_classification_active = False
         self._batch_total = self._batch_done = 0
@@ -335,6 +333,26 @@ def sweep_stale_embeddings(state: AppState) -> int:
     return n
 
 
+def select_live_model(state: AppState, model_name: Optional[str]) -> None:
+    """Switch the live model — the ONLY sanctioned way to change the name.
+
+    Queue items carry no model, so a still-draining batch for a DIFFERENT
+    model must be superseded explicitly; otherwise its remaining files would
+    silently be classified with the new model. Both entry points (batch
+    start_classification and the live-inference toggle) route through here.
+    """
+    prev = state.live_inference_model_name
+    if prev and prev != model_name:
+        dropped = state.classify_tasks.drain()
+        if dropped:
+            log_message(
+                f"Live model switched to '{model_name}': dropped {dropped} "
+                f"queued task(s) from '{prev}'s batch — re-run classification "
+                f"for '{prev}' to finish them.", "WARN",
+            )
+    state.live_inference_model_name = model_name
+
+
 def start_classification(state: AppState, model_name: str, h5_files: List[str]) -> int:
     """Select the live model and enqueue files lacking that model's outputs
     (reference: backend/label_train_page.py:1853-1895)."""
@@ -344,21 +362,7 @@ def start_classification(state: AppState, model_name: str, h5_files: List[str]) 
     todo = [
         f for f in h5_files if not os.path.exists(outputs_csv_for_h5(f, model_name))
     ]
-    # Queue items carry no model, so a still-draining batch for a DIFFERENT
-    # model must be superseded explicitly — otherwise its remaining files
-    # would silently be classified with the new model.
-    prev = state.live_inference_model_name
-    if prev and prev != model_name:
-        dropped = 0
-        while state.classify_tasks.pop() is not None:
-            dropped += 1
-        if dropped:
-            log_message(
-                f"Live model switched to '{model_name}': dropped {dropped} "
-                f"queued task(s) from '{prev}'s batch — re-run classification "
-                f"for '{prev}' to finish them.", "WARN",
-            )
-    state.live_inference_model_name = model_name
+    select_live_model(state, model_name)
     if todo:
         state.batch_classification_active = True
     return state.classify_tasks.extend(todo)

@@ -175,7 +175,10 @@ class ClassifierBundle:
             # between the meta and npz replaces): the params then lack the
             # deltas keys entirely, which must surface as the same handled
             # "retry the load" error, not a bare KeyError.
-            if "lin2.weight" not in params:
+            # Sentinel must be a DELTAS-ONLY key: the legacy head also has
+            # lin2.weight, so that check would pass on a legacy npz and the
+            # mis-inference would still crash downstream.
+            if "cls_bottleneck.0.weight" not in params or "lin2.weight" not in params:
                 raise ValueError(
                     f"Bundle '{os.path.basename(model_dir)}' metadata says "
                     f"'{arch}' but the weights on disk are a different "

@@ -167,6 +167,12 @@ class RecordingManager:
         return True
 
     def stop_all(self) -> None:
+        # Pending restarts are user-intent stops too: without clearing them,
+        # an in-flight check_and_heal pass could resurrect a dead camera's
+        # ffmpeg AFTER a stop-everything (its pending entry would make
+        # still_wanted true).
+        with self._lock:
+            self._pending_restart.clear()
         for name in list(self.active.keys()):
             self.stop(name)
 
