@@ -611,3 +611,25 @@ def test_clean_and_sort_drops_inverted_single_instance():
     ]}}
     cleaned = clean_and_sort_labels(doc)
     assert cleaned["labels"].get("walk", []) == []
+
+
+def test_playback_stage_is_noop(project):
+    """Ctrl+S in a read-only playback session must not stage: staging hides
+    every unconfirmed prediction, which in playback is the whole timeline
+    (Api.stage_for_commit guards on session mode)."""
+    from cbas_tpu.app.api import Api
+
+    _, _, rel = project
+    preds = [{"video": rel, "start": 50, "end": 60, "label": "rest",
+              "confidence": 0.9}]
+    s = make_session(project, preloaded=preds, playback=True)
+    api = Api()
+    api.state.labeling_session = s
+    try:
+        assert s.mode == "playback"
+        assert api.stage_for_commit() is True  # RPC succeeds...
+        assert s.confirmation_mode is False    # ...but nothing staged
+        assert any(r >= 0 for r in s.timeline_raster(width=100))
+    finally:
+        api.state.labeling_session = None
+        s.close()
