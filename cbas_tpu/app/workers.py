@@ -344,11 +344,20 @@ def select_live_model(state: AppState, model_name: Optional[str]) -> None:
     prev = state.live_inference_model_name
     if prev and prev != model_name:
         dropped = state.classify_tasks.drain()
+        # The superseded batch is over: leaving batch_classification_active
+        # latched would make a later live-chained single segment satisfy the
+        # stale "batch complete" check and deselect the live model after one
+        # file (_fail_batch resets it for the same reason).
+        state.batch_classification_active = False
         if dropped:
             log_message(
                 f"Live model switched to '{model_name}': dropped {dropped} "
                 f"queued task(s) from '{prev}'s batch — re-run classification "
                 f"for '{prev}' to finish them.", "WARN",
+            )
+            state.callbacks.emit(
+                "updateInferenceProgress", prev, 100.0,
+                f"Superseded by '{model_name}': {dropped} file(s) skipped.",
             )
     state.live_inference_model_name = model_name
 
