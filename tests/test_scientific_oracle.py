@@ -172,6 +172,57 @@ def test_class_weights_match_reference(ref_cbas):
     assert np.allclose(np.asarray(ours, float), np.asarray(ref_w, float), rtol=1e-9)
 
 
+def test_infer_file_matches_genuine_reference(ref_cbas, tmp_path):
+    """Product-level inference differential: our infer_file vs the
+    reference's *actual* backend/cbas.py infer_file (not a re-implementation
+    of its algorithm) on the same H5 and identical head weights — covers
+    edge replicate-padding, temperature scaling, and the CSV artifact in one
+    shot (reference: cbas.py:458-572)."""
+    import torch
+
+    from cbas_tpu.core import hdf5_store
+    from cbas_tpu.engine.classifier import ClassifierBundle
+    from cbas_tpu.engine.infer import InferenceConfig, infer_file
+    from cbas_tpu.models.heads import DeltasHeadConfig, init_deltas_params
+    import jax
+
+    behaviors = ["walk", "rest", "groom"]
+    cfg = DeltasHeadConfig(in_features=64, out_features=3, seq_len=7, lstm_hidden_size=16)
+    params = {
+        k: np.asarray(v)
+        for k, v in jax.device_get(init_deltas_params(jax.random.key(9), cfg)).items()
+    }
+    bundle = ClassifierBundle(
+        name="ourm", behaviors=behaviors, seq_len=7, params=params,
+        lstm_hidden_size=16, lstm_layers=1, temperature=1.37,
+        encoder_identifier="enc",
+    )
+
+    rng = np.random.default_rng(11)
+    features = rng.normal(size=(150, 64)).astype(np.float16)
+    h5 = str(tmp_path / "vid_cls.h5")
+    with hdf5_store.EmbeddingWriter(h5, encoder_identifier="enc", embed_dim=64) as w:
+        w.append(features)
+
+    ref_head_mod = sys.modules["classifier_head"]
+    model = ref_head_mod.ClassifierLSTMDeltas(
+        in_features=64, out_features=3, seq_len=7, lstm_hidden_size=16, lstm_layers=1
+    )
+    model.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in params.items()})
+    model.eval()
+    ref_csv = ref_cbas.mod.infer_file(
+        h5, model, "refm", behaviors, 7,
+        device=torch.device("cpu"), temperature=1.37,
+    )
+    assert ref_csv is not None
+    want = pd.read_csv(ref_csv)
+
+    our_csv = infer_file(h5, bundle, config=InferenceConfig(chunk_frames=50, window_batch=32))
+    got = pd.read_csv(our_csv)
+    assert list(got.columns) == list(want.columns) == behaviors
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize(
     "seed,framerate,binsize,threshold,cycle",
     [(0, 10.0, 1, 0.5, "LD"), (1, 10.0, 5, 0.8, "DD"), (2, 0.0116, 60, 0.4, "LL")],
