@@ -710,7 +710,13 @@ class Api:
         for d in whitelisted_dirs:
             for dirpath, _, files in os.walk(d):
                 h5s.extend(
-                    os.path.join(dirpath, f) for f in files if f.endswith("_cls.h5")
+                    os.path.join(dirpath, f)
+                    for f in files
+                    # skip augmentation siblings' embeddings: their
+                    # predictions are consumed by nothing (stitch_outputs
+                    # and the labeling lists hide _aug artifacts) — pure
+                    # wasted device time + CSV clutter
+                    if f.endswith("_cls.h5") and not f.endswith("_aug_cls.h5")
                 )
         return start_classification(self.state, model_name, h5s)
 
@@ -774,7 +780,19 @@ class Api:
                 )
                 return False
         csv = outputs_csv_for_h5(h5, model_name)
-        if not os.path.exists(csv):
+        # Re-infer when the CSV predates the model's saved weights: after a
+        # same-name retrain, a stale CSV would present the PREVIOUS model's
+        # predictions as guidance (same staleness rule as the disagreement
+        # report, engine/orchestrator.py generate_disagreement_report).
+        stale = True
+        if os.path.exists(csv):
+            try:
+                stale = os.path.getmtime(csv) < os.path.getmtime(
+                    os.path.join(model.path, "model.npz")
+                )
+            except OSError:
+                stale = False  # no saved weights to compare: trust the CSV
+        if stale:
             try:
                 csv = InferenceSession(bundle, mesh=self.state.mesh).infer_h5(h5, output_csv=csv)
             except Exception as e:
@@ -909,8 +927,7 @@ class Api:
         def zoom(s: LabelingSession):
             if 0 <= s.selected_index < len(s.buffer):
                 inst = s.buffer[s.selected_index]
-                start = inst.get("_original_start", inst["start"])
-                end = inst.get("_original_end", inst["end"])
+                start, end = inst["start"], inst["end"]
                 context = (end - start) * 2
                 z0 = max(0, start - context)
                 z1 = min(s.total_frames, end + context)

@@ -463,6 +463,9 @@ class LabelingSession:
             ]
         for inst in commit:
             clean = dict(inst)
+            # _original_* appear only in label files written by the
+            # reference implementation's sessions; nothing here writes them,
+            # but strip them on commit so migrated projects stay clean.
             for key in ("confidence", "confidences", "_original_start",
                         "_original_end", "_confirmed", "_parent_id"):
                 clean.pop(key, None)

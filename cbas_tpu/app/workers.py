@@ -15,6 +15,7 @@ Callback names (UI contract):
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 import traceback
@@ -112,12 +113,85 @@ class ClassifyWorker(threading.Thread):
         self.config = config or InferenceConfig()
         self._session: Optional[InferenceSession] = None
         self._loaded_model: Optional[str] = None
+        self._loaded_sig: tuple = ()
+        self._reload_retries = 0
         self._batch_total = 0
         self._batch_done = 0
+
+    @staticmethod
+    def _bundle_sig(model_dir: str) -> tuple:
+        """On-disk identity of a bundle (mtime+size of each artifact) — the
+        hot-reload trigger. Taken BEFORE a load, so a write that races the
+        load re-triggers the check on the next poll instead of being lost."""
+        sig = []
+        for fname in ("model.npz", "model.pth", "model_meta.json", "config.yaml"):
+            try:
+                s = os.stat(os.path.join(model_dir, fname))
+                sig.append((fname, s.st_mtime_ns, s.st_size))
+            except OSError:
+                sig.append((fname, 0, 0))
+        return tuple(sig)
+
+    def _hot_reload_if_stale(self) -> bool:
+        """Reload the live bundle when its files changed on disk (a retrain
+        under the same name — ClassifierBundle.save()'s meta-first/weights-
+        last ordering exists exactly for this reader). Without it, live
+        inference serves the PRE-retrain weights forever while stamping
+        output CSVs with the model's name. The reference has the same
+        staleness (workthreads.py:462-471 reloads only on name change);
+        documented deviation, fail-safe direction.
+
+        Returns True when classification must HOLD this poll (a reload
+        failed, likely torn mid-save; retry next poll rather than serving
+        stale weights or double-failing through the name-change path)."""
+        st = self.state
+        name = self._loaded_model
+        # No session check: after a failed reload _session is None while
+        # _loaded_model still names the bundle — the next poll must retry.
+        if not name or st.project is None:
+            return False
+        model = st.project.models.get(name)
+        if model is None:
+            return False
+        sig = self._bundle_sig(model.path)
+        if sig == self._loaded_sig:
+            return False
+        try:
+            bundle = ClassifierBundle.load(
+                model.path, expected_encoder=st.project.encoder_model_identifier
+            )
+            self._session = InferenceSession(bundle, self.config, mesh=st.mesh)
+            self._loaded_sig = sig
+            self._reload_retries = 0
+            log_message(
+                f"Model '{name}' changed on disk; live inference hot-reloaded "
+                "the new weights."
+            )
+            return False
+        except Exception as e:
+            # Likely a torn mid-save read (load() raises "Retry the load.");
+            # hold classification — serving the stale weights would be the
+            # silent-wrong-results case this reload exists to prevent.
+            self._session = None
+            self._reload_retries += 1
+            if self._reload_retries <= 10:
+                log_message(
+                    f"Model '{name}' changed on disk but reload failed ({e}); "
+                    "retrying.", "WARN",
+                )
+            else:
+                log_message(
+                    f"Model '{name}' hot reload failed {self._reload_retries} "
+                    f"times ({e}); dropping the batch.", "ERROR",
+                )
+                self._fail_batch(name, f"hot reload failed: {e}")
+            return True
 
     def _ensure_session(self) -> Optional[InferenceSession]:
         st = self.state
         name = st.live_inference_model_name
+        if name == self._loaded_model and self._hot_reload_if_stale():
+            return None  # mid-save read: hold until the next poll's retry
         if name != self._loaded_model:
             if name and st.project is None:
                 # Do NOT latch _loaded_model yet: a selection made before
@@ -140,10 +214,16 @@ class ClassifyWorker(threading.Thread):
                     self._fail_batch(name, "model not found")
                     return None
                 try:
+                    # sig BEFORE load: a save() racing the load re-triggers
+                    # the staleness check on the next poll instead of the
+                    # post-race weights being mistaken for what was loaded
+                    sig = self._bundle_sig(model.path)
                     bundle = ClassifierBundle.load(
                         model.path, expected_encoder=st.project.encoder_model_identifier
                     )
                     self._session = InferenceSession(bundle, self.config, mesh=st.mesh)
+                    self._loaded_sig = sig
+                    self._reload_retries = 0
                     log_message(f"Model '{name}' loaded for live inference.")
                 except Exception as e:
                     log_message(f"Error loading model bundle '{name}': {e}", "ERROR")

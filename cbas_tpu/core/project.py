@@ -130,6 +130,19 @@ class Dataset:
                 behaviors = self.config.get("behaviors", [])
                 self.labels = {"behaviors": behaviors, "labels": {b: [] for b in behaviors}}
                 dump_yaml(self.labels, self.labels_path)
+        # Normalize at the source: a hand-edited `behavior:` key (YAML null)
+        # must read as an empty list, or every consumer that iterates
+        # labels["labels"].values() (labeling session, augmentation, label
+        # sets, training manifests) crashes on NoneType — clean_and_sort /
+        # all_instances guard it individually, but list-typed values here
+        # make the whole surface safe.
+        lbl = self.labels.get("labels")
+        if isinstance(lbl, dict):
+            for b, insts in list(lbl.items()):
+                if not isinstance(insts, list):
+                    lbl[b] = []
+        else:
+            self.labels["labels"] = {}
 
     @property
     def behaviors(self) -> List[str]:

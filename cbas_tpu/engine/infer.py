@@ -208,7 +208,15 @@ class InferenceSession:
                 f"Warning: prediction count ({probs.shape[0]}) != frame count ({total})."
             )
         metrics.add(INFER_FRAMES, total, 0.0)
-        pd.DataFrame(probs, columns=self.bundle.behaviors).to_csv(output_csv, index=False)
+        # tmp+rename: the CSV's EXISTENCE is the done-marker everywhere
+        # (start_classification / scan_classify_todo skip files that have
+        # one), so a crash mid-write must not leave a truncated CSV that
+        # reads as "already classified" and silently time-shifts stitched
+        # actograms. Same contract as the H5 writer (reference:
+        # backend/cbas.py:410-442 is atomic for H5 but not for this CSV).
+        tmp = output_csv + ".tmp"
+        pd.DataFrame(probs, columns=self.bundle.behaviors).to_csv(tmp, index=False)
+        os.replace(tmp, output_csv)
         return output_csv
 
 

@@ -154,10 +154,19 @@ class RecordingManager:
         try:
             cam_dir = self.camera_dir(session, camera_name)
             if os.path.isdir(cam_dir) and self.on_final_segment:
+                from cbas_tpu.ingest.standardize import is_aug_video
+                from cbas_tpu.utils.naming import is_staging_artifact
+
+                # Same filter as every other scanner: a '*.tmp.mp4' staging
+                # file (augmentation/import mid-write) or an '_aug' sibling
+                # can be the newest mtime in the dir and must never be
+                # queued as the recording's final segment.
                 segments = [
                     os.path.join(cam_dir, f)
                     for f in os.listdir(cam_dir)
                     if f.endswith(".mp4")
+                    and not is_staging_artifact(f)
+                    and not is_aug_video(f)
                 ]
                 if segments:
                     latest = max(segments, key=os.path.getmtime)

@@ -61,11 +61,15 @@ def scan_todo(project_path: str) -> List[str]:
 
 def scan_classify_todo(proj, model_name: str) -> List[str]:
     """Embedding H5s lacking ``model_name``'s outputs CSV (the same rule as
-    Api.start_classification, app/api.py)."""
+    Api.start_classification, app/api.py — incl. skipping augmentation
+    siblings, whose predictions nothing consumes)."""
+    from cbas_tpu.ingest.standardize import is_aug_video
     from cbas_tpu.utils.naming import h5_path_for_video, outputs_csv_for_h5
 
     todo = []
     for video in proj.all_video_files():
+        if is_aug_video(video):
+            continue
         h5 = h5_path_for_video(video)
         if os.path.exists(h5) and not os.path.exists(
             outputs_csv_for_h5(h5, model_name)
@@ -195,8 +199,9 @@ def run_worker(manifest: str, encoder_path: str, chip: Optional[int],
 def _run_classify_worker(manifest: str, encoder_path: str, model_dir: str,
                          claim_ttl: float) -> int:
     """Classify mode: drain a manifest of embedding H5s through one
-    InferenceSession. The outputs CSV is the done-marker, written tmp+rename
-    (infer_h5's direct write could leave a partial CSV that reads as done)."""
+    InferenceSession. The outputs CSV is the done-marker; infer_h5 itself
+    writes tmp+rename, so a killed worker never leaves a partial CSV that
+    reads as done."""
     from cbas_tpu.engine.classifier import ClassifierBundle
     from cbas_tpu.engine.infer import InferenceSession
     from cbas_tpu.utils.claims import ClaimHeartbeat
@@ -217,16 +222,14 @@ def _run_classify_worker(manifest: str, encoder_path: str, model_dir: str,
             continue
         try:
             t0 = time.time()
-            tmp = csv + ".tmp"
             with ClaimHeartbeat(claim_path(h5, model), claim_ttl):
-                out = session.infer_h5(h5, output_csv=tmp)
+                out = session.infer_h5(h5, output_csv=csv)
             if not out:
                 # infer_h5 declined (empty H5): no CSV exists, so the item
                 # stays todo — report it as a failure, not a success.
                 failed += 1
                 _emit({"h5": h5, "error": "no output (empty embedding file)"})
                 continue
-            os.replace(tmp, csv)
             done += 1
             _emit({"h5": h5, "csv": csv, "wall_s": round(time.time() - t0, 2)})
         except Exception as e:

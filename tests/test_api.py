@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pandas as pd
 import pytest
 
 cv2 = pytest.importorskip("cv2")
@@ -364,3 +365,46 @@ def test_cancel_training_clears_queue(api):
     api.cancel_training_task("d")
     assert tw.pending() == 0
     assert api.state.training_cancel.is_set()
+
+
+def test_guided_labeling_reinfers_stale_csv(api):
+    """start_labeling_with_preload must re-infer when the outputs CSV
+    predates the model's saved weights: after a same-name retrain, a stale
+    CSV would present the PREVIOUS model's predictions as review guidance
+    (same staleness rule as the disagreement report)."""
+    import time as _time
+
+    from cbas_tpu.engine.classifier import ClassifierBundle
+    from cbas_tpu.models.heads import DeltasHeadConfig, init_deltas_params
+    from cbas_tpu.utils.naming import h5_path_for_video, outputs_csv_for_h5
+
+    for _ in range(600):  # wait for the stale sweep's encodes
+        q = api.get_encoding_queue_status()
+        if q["queued"] == 0 and q["done"] >= q["total"]:
+            break
+        _time.sleep(0.1)
+    proj = api.state.project
+    cfg = DeltasHeadConfig(in_features=64, out_features=2, seq_len=7, lstm_hidden_size=8)
+    params = jax.device_get(init_deltas_params(jax.random.key(5), cfg))
+    ClassifierBundle(
+        name="gm", behaviors=["walk", "rest"], seq_len=7,
+        params={k: np.asarray(v) for k, v in params.items()},
+        lstm_hidden_size=8, encoder_identifier=proj.encoder_model_identifier,
+    ).save(os.path.join(proj.models_dir, "gm"))
+    proj.reload()
+
+    video = os.path.join(proj.recordings_dir, "sess", "m0", "m0_00001.mp4")
+    csv = outputs_csv_for_h5(h5_path_for_video(video), "gm")
+    planted = pd.DataFrame({"walk": [0.123] * 30, "rest": [0.877] * 30})
+    planted.to_csv(csv, index=False)
+    os.utime(csv, (1.0, 1.0))  # older than model.npz
+
+    assert api.start_labeling_with_preload("d", "gm", video, 1)
+    df = pd.read_csv(csv)
+    assert not np.allclose(df["walk"].to_numpy(), 0.123), (
+        "stale CSV was served as guidance instead of re-inferring"
+    )
+    # a FRESH csv (newer than the weights) is reused, not re-inferred
+    mtime = os.path.getmtime(csv)
+    assert api.start_labeling_with_preload("d", "gm", video, 1)
+    assert os.path.getmtime(csv) == mtime

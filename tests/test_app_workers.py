@@ -144,6 +144,63 @@ def test_encode_then_live_classify_chain(app_project, tmp_path):
 
 
 
+def test_classify_worker_hot_reloads_retrained_bundle(app_project):
+    """Retraining the LIVE model (same name) must flow into live inference:
+    the worker watches the bundle files' on-disk identity and rebuilds its
+    session (the staleness the reference ships: workthreads.py:462-471 only
+    reloads on a name change). A torn mid-save read holds classification
+    (tasks kept, model kept selected) instead of serving stale weights."""
+    proj, state, video = app_project
+    h5 = h5_path_for_video(video)
+    with hdf5_store.EmbeddingWriter(h5, encoder_identifier="e", embed_dim=64) as w:
+        w.append(np.random.default_rng(0).normal(size=(30, 64)).astype(np.float16))
+
+    def save_bundle(seed, temperature):
+        cfg = DeltasHeadConfig(in_features=64, out_features=2, seq_len=7, lstm_hidden_size=8)
+        params = jax.device_get(init_deltas_params(jax.random.key(seed), cfg))
+        ClassifierBundle(
+            name="hotm", behaviors=["a", "b"], seq_len=7,
+            params={k: np.asarray(v) for k, v in params.items()},
+            lstm_hidden_size=8, temperature=temperature,
+            encoder_identifier=proj.encoder_model_identifier,
+        ).save(os.path.join(proj.models_dir, "hotm"))
+
+    save_bundle(seed=1, temperature=1.0)
+    proj.reload()
+    csv = outputs_csv_for_h5(h5, "hotm")
+    cw = ClassifyWorker(state, config=InferenceConfig(chunk_frames=50, window_batch=16))
+
+    state.live_inference_model_name = "hotm"
+    state.classify_tasks.append(h5)
+    assert cw.process_one()
+    first = pd.read_csv(csv).to_numpy()
+    session_v1 = cw._session
+
+    # Retrain under the same name: different weights + temperature.
+    save_bundle(seed=2, temperature=2.0)
+    os.remove(csv)
+    state.live_inference_model_name = "hotm"  # unchanged selection
+    state.classify_tasks.append(h5)
+    assert cw.process_one()
+    assert cw._session is not session_v1, "session was not hot-reloaded"
+    second = pd.read_csv(csv).to_numpy()
+    assert not np.allclose(first, second), "stale weights served after retrain"
+
+    # Torn mid-save read: corrupt npz holds classification without dropping
+    # the batch or the selection; a completed save resumes it.
+    npz = os.path.join(proj.models_dir, "hotm", "model.npz")
+    with open(npz, "wb") as f:
+        f.write(b"not a zip")
+    os.remove(csv)
+    state.classify_tasks.append(h5)
+    assert not cw.process_one()  # held, not failed
+    assert len(state.classify_tasks) == 1
+    assert state.live_inference_model_name == "hotm"
+    save_bundle(seed=3, temperature=1.5)
+    assert cw.process_one()
+    assert os.path.exists(csv)
+
+
 def test_start_classification_skips_done(app_project):
     proj, state, video = app_project
     h5 = h5_path_for_video(video)
@@ -427,3 +484,50 @@ def test_watcher_and_scan_skip_staging_artifacts(tmp_path):
     w.poll_once(now=0.0)
     w.poll_once(now=1.0)
     assert [os.path.basename(p) for p in seen] == ["m0_00001.mp4"]
+
+
+def test_final_segment_skips_staging_and_aug_files(tmp_path):
+    """stop() queues the newest REAL segment — not a '*.tmp.mp4' staging file
+    or an '_aug' sibling that happens to be newer (the same filter every
+    other scanner applies)."""
+    queued = []
+    mgr = RecordingManager(str(tmp_path), on_final_segment=queued.append)
+    cam_dir = mgr.camera_dir("sess", "cam")
+    os.makedirs(cam_dir)
+    real = os.path.join(cam_dir, "cam_00002.mp4")
+    for name in ("cam_00001.mp4", "cam_00002.mp4"):
+        with open(os.path.join(cam_dir, name), "wb") as f:
+            f.write(b"v")
+    time.sleep(0.02)
+    for name in ("cam_00002_aug.mp4", "cam_00003.mp4.tmp.mp4"):  # newer
+        with open(os.path.join(cam_dir, name), "wb") as f:
+            f.write(b"v")
+
+    class FakeProc:
+        stdin = None
+        def poll(self): return 0
+        def wait(self, timeout=None): return 0
+        def kill(self): pass
+
+    mgr.active["cam"] = (FakeProc(), time.time(), "sess")
+    assert mgr.stop("cam")
+    assert queued == [real]
+
+
+def test_start_classification_api_skips_aug_h5(app_project):
+    """Batch classification must not queue augmentation siblings' embeddings:
+    nothing consumes their predictions (actogram stitching and the labeling
+    lists both hide _aug artifacts)."""
+    from cbas_tpu.app.api import Api
+
+    proj, state, video = app_project
+    api = Api(state)
+    for stem in ("m0_00002", "m0_00002_aug"):
+        h5 = os.path.join(os.path.dirname(video), f"{stem}_cls.h5")
+        with hdf5_store.EmbeddingWriter(h5, encoder_identifier="e", embed_dim=8) as w:
+            w.append(np.zeros((5, 8), np.float16))
+    n = api.start_classification("m", [proj.recordings_dir])
+    queued = state.classify_tasks.snapshot()
+    assert n == len(queued)
+    assert any(p.endswith("m0_00002_cls.h5") for p in queued)
+    assert not any("_aug_cls.h5" in p for p in queued)

@@ -377,3 +377,27 @@ def test_clean_same_label_overlap_unions_instead_of_losing_frames():
     cleaned = clean_and_sort_labels(doc)
     assert [(i["start"], i["end"]) for i in cleaned["labels"]["walk"]] == [(0.0, 20.0)]
     assert clean_and_sort_labels(cleaned) == cleaned  # still idempotent
+
+
+def test_dataset_normalizes_null_behavior_lists(tmp_path):
+    """A hand-edited labels.yaml with `behavior:` (YAML null) must read as an
+    empty list so every labels-iterating consumer (labeling session, label
+    sets, training manifests, augmentation) survives the file."""
+    from cbas_tpu.core.project import Dataset, Project
+
+    proj = Project.create_project(str(tmp_path), "p")
+    proj.create_dataset("beh", ["walk", "rest"], [])
+    ds_path = os.path.join(proj.datasets_dir, "beh")
+    with open(os.path.join(ds_path, "labels.yaml"), "w") as f:
+        f.write(
+            "behaviors:\n- walk\n- rest\nlabels:\n  walk:\n  rest:\n"
+            "  - {video: v.mp4, start: 0, end: 3, label: rest}\n"
+        )
+    ds = Dataset(ds_path)
+    assert ds.labels["labels"]["walk"] == []
+    assert len(ds.labels["labels"]["rest"]) == 1
+    assert len(ds.all_instances()) == 1
+    # a labels.yaml whose labels: key itself is null heals to an empty dict
+    with open(os.path.join(ds_path, "labels.yaml"), "w") as f:
+        f.write("behaviors:\n- walk\nlabels:\n")
+    assert Dataset(ds_path).labels["labels"] == {}
