@@ -50,7 +50,11 @@ from cbas_tpu.ingest.standardize import (
 )
 from cbas_tpu.ingest.watcher import RecordingWatcher
 from cbas_tpu.utils.logging import log_message
-from cbas_tpu.utils.naming import h5_path_for_video, outputs_csv_for_h5
+from cbas_tpu.utils.naming import (
+    h5_path_for_video,
+    outputs_csv_for_h5,
+    outputs_csv_is_stale,
+)
 
 
 class Api:
@@ -784,15 +788,7 @@ class Api:
         # same-name retrain, a stale CSV would present the PREVIOUS model's
         # predictions as guidance (same staleness rule as the disagreement
         # report, engine/orchestrator.py generate_disagreement_report).
-        stale = True
-        if os.path.exists(csv):
-            try:
-                stale = os.path.getmtime(csv) < os.path.getmtime(
-                    os.path.join(model.path, "model.npz")
-                )
-            except OSError:
-                stale = False  # no saved weights to compare: trust the CSV
-        if stale:
+        if outputs_csv_is_stale(csv, model.path):
             try:
                 csv = InferenceSession(bundle, mesh=self.state.mesh).infer_h5(h5, output_csv=csv)
             except Exception as e:

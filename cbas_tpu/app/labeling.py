@@ -458,7 +458,10 @@ class LabelingSession:
         for behavior in master.get("labels", {}):
             master["labels"][behavior] = [
                 i
-                for i in master["labels"].get(behavior, [])
+                # `or []`: a hand-edited `behavior:` key reads as YAML null;
+                # this raw reload bypasses Dataset.__init__'s normalization,
+                # and the user's reviewed labels must still commit.
+                for i in (master["labels"].get(behavior) or [])
                 if str(i.get("video", "")).replace("\\", "/") != self.rel_video
             ]
         for inst in commit:

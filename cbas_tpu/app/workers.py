@@ -84,7 +84,14 @@ class EncodeWorker(threading.Thread):
             done, total = st.encode_progress()
             st.callbacks.emit("update_global_encoding_progress", done, total, 100.0)
             if out and st.live_inference_model_name:
-                st.classify_tasks.append(out)
+                from cbas_tpu.ingest.standardize import is_aug_video
+
+                # Same exclusion as Api.start_classification: augmentation
+                # siblings get encoded (training needs their embeddings) but
+                # nothing consumes their predictions — don't chain them into
+                # live classification.
+                if not is_aug_video(path):
+                    st.classify_tasks.append(out)
             return True
         except Exception as e:
             st.note_encode_done()

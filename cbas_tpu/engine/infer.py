@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 from typing import Callable, Optional
 
 import h5py
@@ -214,9 +215,19 @@ class InferenceSession:
         # reads as "already classified" and silently time-shifts stitched
         # actograms. Same contract as the H5 writer (reference:
         # backend/cbas.py:410-442 is atomic for H5 but not for this CSV).
-        tmp = output_csv + ".tmp"
-        pd.DataFrame(probs, columns=self.bundle.behaviors).to_csv(tmp, index=False)
-        os.replace(tmp, output_csv)
+        # Unique staging name: two in-process writers of the same CSV (live
+        # worker chaining a re-encode + a guided-labeling re-infer share no
+        # claim protocol) must not publish each other's half-written tmp.
+        tmp = f"{output_csv}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+        try:
+            pd.DataFrame(probs, columns=self.bundle.behaviors).to_csv(tmp, index=False)
+            os.replace(tmp, output_csv)
+        finally:
+            if os.path.exists(tmp):
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
         return output_csv
 
 

@@ -472,7 +472,11 @@ def generate_disagreement_report(
     """Find contiguous blocks where the model contradicts human labels, sorted
     by model confidence (reference: backend/workthreads.py:728-811)."""
     from cbas_tpu.engine.infer import InferenceSession
-    from cbas_tpu.utils.naming import h5_path_for_video, outputs_csv_for_h5
+    from cbas_tpu.utils.naming import (
+        h5_path_for_video,
+        outputs_csv_for_h5,
+        outputs_csv_is_stale,
+    )
 
     disagreements = []
     by_video: dict = {}
@@ -493,14 +497,8 @@ def generate_disagreement_report(
         # ones are written under the same model name so they don't
         # masquerade as a phantom model called task.name.
         csv_path = outputs_csv_for_h5(h5_path, f"{task.name}_model")
-        npz = os.path.join(project.models_dir, f"{task.name}_model", "model.npz")
-        stale = True
-        if os.path.exists(csv_path):
-            try:
-                stale = os.path.getmtime(csv_path) < os.path.getmtime(npz)
-            except OSError:
-                stale = False  # no saved weights to compare: trust the CSV
-        if stale:
+        model_dir = os.path.join(project.models_dir, f"{task.name}_model")
+        if outputs_csv_is_stale(csv_path, model_dir):
             if session is None:
                 session = InferenceSession(bundle)
             csv_path = session.infer_h5(h5_path, output_csv=csv_path)

@@ -32,6 +32,35 @@ def outputs_csv_for_h5(h5_path: str, model_name: str) -> str:
     return h5_path[: -len(H5_SUFFIX)] + f"_{model_name}{OUTPUTS_SUFFIX}"
 
 
+def outputs_csv_is_stale(csv_path: str, model_dir: str) -> bool:
+    """True when ``csv_path`` must be re-inferred before its predictions can
+    be trusted as coming from the model currently saved in ``model_dir``.
+
+    The rule (shared by guided labeling and the disagreement report): a CSV
+    older than the bundle's saved weights was written by the PREVIOUS model
+    of the same name and would masquerade as the current one. Weights mtime
+    is the newest of ``model.npz``/``model.pth`` — pth-only bundles (imported
+    reference artifacts, core/project.py Model fallback) must trigger the
+    same staleness. With no weights file at all the CSV is trusted; a CSV
+    that vanishes between the existence check and ``getmtime`` is stale (the
+    re-infer rewrites it).
+    """
+    if not os.path.exists(csv_path):
+        return True
+    weight_mtimes = []
+    for fname in ("model.npz", "model.pth"):
+        try:
+            weight_mtimes.append(os.path.getmtime(os.path.join(model_dir, fname)))
+        except OSError:
+            pass
+    if not weight_mtimes:
+        return False  # no saved weights to compare: trust the CSV
+    try:
+        return os.path.getmtime(csv_path) < max(weight_mtimes)
+    except OSError:
+        return True  # csv vanished under us: re-infer
+
+
 _FP_CACHE: dict = {}
 
 

@@ -531,3 +531,51 @@ def test_start_classification_api_skips_aug_h5(app_project):
     assert n == len(queued)
     assert any(p.endswith("m0_00002_cls.h5") for p in queued)
     assert not any("_aug_cls.h5" in p for p in queued)
+
+
+def test_encode_worker_does_not_chain_aug_into_classify(app_project, tmp_path):
+    """The encode->live-classify chain must skip augmentation siblings:
+    their embeddings feed training, but nothing consumes their predictions
+    (same exclusion Api.start_classification applies)."""
+    import shutil
+
+    proj, state, video = app_project
+    aug = video[:-4] + "_aug.mp4"
+    shutil.copy(video, aug)
+    state.live_inference_model_name = "whatever"
+    state.encode_tasks.append(aug)
+    state.encode_tasks.append(video)
+    ew = EncodeWorker(state, config=EncodeConfig(chunk_frames=16))
+    assert ew.process_one()  # aug
+    assert ew.process_one()  # real
+    chained = state.classify_tasks.snapshot()
+    assert chained == [h5_path_for_video(video)], (
+        "aug sibling's H5 must not enter the live classify queue"
+    )
+
+
+def test_outputs_csv_is_stale_pth_only_bundle(tmp_path):
+    """Staleness keys on the newest of model.npz/model.pth: an imported
+    reference bundle (pth-only, core/project.py Model fallback) whose
+    weights were replaced must re-infer; a fresh CSV is trusted; a missing
+    CSV is always stale; no weights at all trusts the CSV."""
+    from cbas_tpu.utils.naming import outputs_csv_is_stale
+
+    model_dir = str(tmp_path / "m")
+    os.makedirs(model_dir)
+    csv = str(tmp_path / "x_model_outputs.csv")
+
+    assert outputs_csv_is_stale(csv, model_dir)  # no CSV yet
+
+    with open(csv, "w") as f:
+        f.write("a\n1\n")
+    assert not outputs_csv_is_stale(csv, model_dir)  # no weights: trust CSV
+
+    pth = os.path.join(model_dir, "model.pth")
+    with open(pth, "wb") as f:
+        f.write(b"w")
+    os.utime(csv, (1.0, 1.0))  # CSV predates the pth weights
+    assert outputs_csv_is_stale(csv, model_dir)
+
+    os.utime(pth, (0.5, 0.5))  # CSV newer than the weights
+    assert not outputs_csv_is_stale(csv, model_dir)

@@ -633,3 +633,28 @@ def test_playback_stage_is_noop(project):
     finally:
         api.state.labeling_session = None
         s.close()
+
+
+def test_save_commits_over_null_behavior_list(project):
+    """A hand-edited ``behavior:`` key (YAML null) in labels.yaml must not
+    eat the user's reviewed labels: save() reloads the file raw (bypassing
+    Dataset.__init__'s normalization) and has to tolerate the null itself."""
+    from cbas_tpu.core.config import dump_yaml, load_yaml
+
+    proj, video, rel = project
+    ds = proj.datasets["d"]
+    master = load_yaml(ds.labels_path)
+    master["labels"]["rest"] = None  # what `rest:` with no value parses to
+    dump_yaml(master, ds.labels_path)
+
+    s = make_session(project)
+    s.jump_to_frame(40)
+    s.label_frame(1)           # start pending 'rest'
+    s.jump_to_frame(48)
+    s.label_frame(1)           # close it
+    assert s.save()["status"] == "success"
+    s.close()
+
+    reloaded = Project(proj.path).datasets["d"]
+    rest = reloaded.labels["labels"]["rest"]
+    assert len(rest) == 1 and rest[0]["start"] == 40 and rest[0]["end"] == 48
