@@ -34,9 +34,13 @@ rate of the H2D ceiling and the device program (~1/(1/500+1/1986)≈400 fps
 at 256², measured 308-366), never at min(stages) as true overlap would
 give. Real TPU hosts have independent DMA engines, so the pipeline's
 overlap structure (decode thread ∥ in-flight device batch ∥ H5 append)
-pays off there; through the relay, end_to_end_fps_256 ≈ harmonic(
-h2d_fps_ceiling_256, device fps) is the expected ceiling, and that is what
-the artifact shows.
+pays off there; through the relay, the expected e2e rate is the harmonic
+of the H2D frame rate and the device program. The relay's bandwidth is
+also strongly TIME-VARYING (20 MB/s to >1 GB/s within minutes, measured
+r3), so every e2e rep is normalized against an H2D probe taken
+immediately before it: ``pipeline_efficiency_pct`` ≈ 100 means the
+pipeline delivers everything the relay permits at that instant, which is
+the round-over-round comparable number.
 """
 
 import json
@@ -156,16 +160,26 @@ def _spread(samples) -> dict:
     }
 
 
+_H2D_BUF = None
+
+
 def bench_h2d(repeats: int = 5) -> dict:
-    """Synchronized H2D MB/s (a D2H first defeats async-queue illusions)."""
+    """Synchronized H2D MB/s (a D2H first defeats async-queue illusions).
+
+    The relay's bandwidth is strongly time-varying (measured this round:
+    20 MB/s to >1 GB/s within minutes), so single-call probes of this are
+    interleaved with the end-to-end reps below to normalize them."""
     import jax
     import jax.numpy as jnp
 
-    x = np.random.default_rng(0).integers(0, 256, (320, 480, 640), np.uint8)
+    global _H2D_BUF
+    if _H2D_BUF is None:
+        _H2D_BUF = np.random.default_rng(0).integers(0, 256, (320, 480, 640), np.uint8)
+    x = _H2D_BUF
     d = jax.device_put(x)
     jax.device_get(d)  # force a real sync round-trip
     s = jax.jit(lambda a: jnp.sum(a, dtype=jnp.int32))
-    int(s(d))  # compile
+    int(s(d))  # compile (cached across calls)
     rates = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -174,25 +188,53 @@ def bench_h2d(repeats: int = 5) -> dict:
     return _spread(rates)
 
 
-def bench_end_to_end(enc, path: str, batch: int, repeats: int = 5) -> dict:
+def bench_end_to_end(
+    enc,
+    path: str,
+    batch: int,
+    repeats: int = 5,
+    device_fps: float = 0.0,
+    frame_bytes: int = 0,
+) -> dict:
     """encode_file() wall-clock fps: decode + H2D + device + HDF5 append.
 
     Median of ``repeats`` with spread: the sandbox relay's synchronized
-    bandwidth swings run to run; a single best-of hides that noise floor."""
+    bandwidth swings run to run; a single best-of hides that noise floor.
+
+    When ``device_fps``/``frame_bytes`` are given, an H2D probe runs
+    immediately before every rep and the rep's *relay-expected* rate is the
+    harmonic of that probe's frame rate and the device program (the relay
+    serializes H2D against compute — controlled experiment in the module
+    docstring). ``pipeline_efficiency_pct`` = measured/expected per rep; a
+    value near 100 means the pipeline delivers everything the relay permits
+    at that instant, so relay weather cancels out of round-over-round
+    comparisons. (Comparing one global e2e median against an H2D ceiling
+    probed minutes earlier is meaningless under this variance.)"""
     from cbas_tpu.core.config import EncodeConfig
     from cbas_tpu.engine.encode import EncodeStats, encode_file
 
     # chunk_frames == the already-compiled device batch: no extra compile.
     cfg = EncodeConfig(chunk_frames=batch)
-    rates = []
+    rates, expected, effs = [], [], []
     for rep in range(repeats + 1):
+        normalize = rep > 0 and device_fps > 0 and frame_bytes > 0
+        if normalize:
+            h2d_fps = bench_h2d(repeats=1)["median"] * 1e6 / frame_bytes
+            exp = 1.0 / (1.0 / h2d_fps + 1.0 / device_fps)
         st = EncodeStats()
         out = encode_file(enc, path, config=cfg, stats=st)
         if out:
             os.remove(out)
         if rep > 0:  # rep 0 warms the device-program compile for this geometry
             rates.append(st.fps)
-    return _spread(rates)
+            if normalize:
+                expected.append(exp)
+                effs.append(100.0 * st.fps / exp)
+    result = _spread(rates)
+    if effs:
+        result["relay_expected"] = _spread(expected)
+        result["pipeline_efficiency_pct"] = _spread(effs)
+    return result
 
 
 def wait_for_device(retries: int = 6, probe_timeout_s: int = 90, wait_s: int = 30) -> bool:
@@ -273,7 +315,9 @@ def main() -> None:
         h2d = bench_h2d()
         extras["h2d_mb_s"] = h2d["median"]
         extras["h2d_mb_s_spread"] = h2d
-        e2e = bench_end_to_end(enc, video, batch)
+        e2e = bench_end_to_end(
+            enc, video, batch, device_fps=fps, frame_bytes=height * width
+        )
         extras["end_to_end_fps"] = e2e["median"]
         extras["end_to_end_fps_spread"] = e2e
 
@@ -281,9 +325,15 @@ def main() -> None:
         # (reference: backend/cbas.py:732-733). At 64 kB/frame the sandbox
         # relay is no longer the binding stage, so this row measures the real
         # decode || H2D || compute || H5 pipeline (r2 verdict weak #3).
+        # The device rate at this geometry is measured fresh (not read from a
+        # stale table) so the per-rep efficiency normalization is honest.
         video256 = ensure_bench_video(BENCH_VIDEO_256, 256, 256)
         extras["decode_fps_256"] = round(bench_decode(video256), 1)
-        e2e256 = bench_end_to_end(enc, video256, 384)
+        fps256 = bench_device_program(enc, 384, 256, 256)
+        extras["device_fps_256"] = round(fps256, 1)
+        e2e256 = bench_end_to_end(
+            enc, video256, 384, device_fps=fps256, frame_bytes=256 * 256
+        )
         extras["end_to_end_fps_256"] = e2e256["median"]
         extras["end_to_end_fps_256_spread"] = e2e256
         # What the sandbox relay's measured bandwidth permits at 64 kB/frame:
@@ -315,20 +365,12 @@ def main() -> None:
         extras["end_to_end_fps_256_reuse"] = _spread(rates)["median"]
         total = max(1, st.key_frames + st.reused_frames)
         extras["reuse_static_pct"] = round(100.0 * st.reused_frames / total, 1)
-        # The relay serializes H2D against device compute (measured, see
-        # module docstring), so through this harness the expected pipeline
-        # ceiling is the harmonic rate of the two stages, not min(stages).
-        try:
-            repo = os.path.dirname(os.path.abspath(__file__))
-            rows = json.load(open(os.path.join(repo, "benchmarks", "bench_all.json")))["rows"]
-            dev256 = next(
-                r["frames_per_s"] for r in rows
-                if r["program"].startswith("dinov3-vitb16") and r["geometry"].startswith("256")
-            )
-            hc = extras["h2d_fps_ceiling_256"]
-            extras["e2e_256_relay_expected"] = round(1.0 / (1.0 / hc + 1.0 / dev256), 1)
-        except Exception:
-            pass
+        # Relay-normalized summary: median per-rep efficiency vs what the
+        # relay permitted at each rep's instant (see bench_end_to_end).
+        if "pipeline_efficiency_pct" in e2e256:
+            extras["e2e_256_pipeline_efficiency_pct"] = e2e256[
+                "pipeline_efficiency_pct"
+            ]["median"]
     except Exception as e:  # end-to-end extras must never sink the headline
         extras["end_to_end_error"] = f"{type(e).__name__}: {e}"
 
