@@ -518,3 +518,50 @@ def test_temperature_calibration_never_worse_than_reference(ref_workthreads, see
         assert nll(t_ours) < nll(1.0)
     # when LBFGS converged (it usually does here), the optima agree
     assert abs(t_ours - t_ref) < 0.05 or nll(t_ours) < nll(t_ref) - 1e-6
+
+
+@pytest.mark.parametrize("seed,seq_len", [(0, 7), (1, 15), (2, 31)])
+def test_build_manifest_matches_reference_convert_instances(ref_cbas, tmp_path, seed, seq_len):
+    """Manifest differential: our build_manifest vs the reference's actual
+    Project.convert_instances (cbas.py:1171-1219) over randomized instances —
+    boundary windows, short videos, missing H5s, unknown and padded labels.
+    The manifest defines exactly which (file, frame, label) triples train, so
+    an off-by-one here silently shifts every training window."""
+    from cbas_tpu.core import hdf5_store
+    from cbas_tpu.engine.data import build_manifest
+
+    rng = np.random.default_rng(300 + seed)
+    root = str(tmp_path)
+    lengths = {"a.mp4": 120, "b.mp4": seq_len - 1, "c.mp4": 40}  # b: too short
+    for name, n in lengths.items():
+        vdir = os.path.join(root, "recordings", "s", name.split(".")[0])
+        os.makedirs(vdir, exist_ok=True)
+        h5 = os.path.join(vdir, name.replace(".mp4", "_cls.h5"))
+        with hdf5_store.EmbeddingWriter(h5, encoder_identifier="e", embed_dim=8) as w:
+            w.append(rng.normal(size=(n, 8)).astype(np.float16))
+
+    def rel(name):
+        return f"recordings/s/{name.split('.')[0]}/{name}"
+
+    insts = []
+    for _ in range(25):
+        name = rng.choice(list(lengths))
+        start = int(rng.integers(-2, lengths[name]))
+        insts.append({
+            "video": rel(name),
+            "start": start,
+            "end": start + int(rng.integers(0, 30)),
+            "label": rng.choice(["walk", " rest ", "groom", "unknown-beh"]),
+        })
+    insts.append({"video": rel("a.mp4"), "start": -1, "end": -1, "label": "walk"})
+    insts.append({"video": "recordings/s/missing/missing.mp4", "start": 0, "end": 5, "label": "walk"})
+    insts.append({"video": None, "start": 0, "end": 5, "label": "walk"})
+
+    ref_manifest = ref_cbas.mod.Project.convert_instances(
+        types.SimpleNamespace(), root, insts, seq_len, BEHAVIORS
+    )
+    ours = build_manifest(root, insts, seq_len, BEHAVIORS)
+    assert [(os.path.normpath(p), f, l) for p, f, l in ours] == [
+        (os.path.normpath(p), f, l) for p, f, l in ref_manifest
+    ]
+    assert len(ours) > 0  # the scenario actually produced trainable windows
