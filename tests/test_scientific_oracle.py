@@ -4,6 +4,11 @@ Loads the *actual* reference module (/root/reference/backend/cbas.py, with
 its device/GUI dependencies stubbed) and asserts our pure reimplementations
 produce identical results on randomized inputs:
 
+- encode_file (H5-for-H5 product differential, cbas.py:399-456; exposes the
+  reference HDF5 fp16 carry-drop halving, pinned separately)
+- fit_temperature (calibration NLL never worse than the LBFGS fit,
+  workthreads.py:103-137)
+- convert_instances (training-window manifest, cbas.py:1171-1219)
 - predictions_to_instances (threshold event extraction, cbas.py:903-926)
 - predictions_to_instances_with_confidence (medfilt block grouping,
   cbas.py:928-956)
