@@ -100,7 +100,7 @@ def _attn_kernel(
 
 def _packed_attn_kernel(
     q_ref, k_ref, v_ref, cosq_ref, sinq_ref, cosk_ref, sink_ref, o_ref,
-    *, scale: float, n_valid: int, gp: int, use_rope: bool,
+    *, scale: float, n_valid: int, gp: int, use_rope: bool, pvt: bool,
 ):
     """Head-PAIR packed attention: q/o are (gp, block_q, 2d), k/v are
     (gp, n_pad, 2d) with two heads side by side on the minor dim.
@@ -112,6 +112,16 @@ def _packed_attn_kernel(
     still runs per head on 64-lane slices (exact, parity-tested). Measured
     whole-kernel at ViT-B 480p batch 320: 49.2 ms unpacked -> 36.4 ms packed
     -> 20.4 ms packed + tight-q + edge-block K/V (the DMA floor).
+
+    ``pvt`` computes scores TRANSPOSED: s_t = k @ q^T (keys on sublanes,
+    queries on lanes), softmax over the sublane axis, then out^T = v^T @ p_t.
+    The PV contraction depth becomes n_keys (full MXU depth, vs d=64 = half)
+    and its output is (d, block_q) = full-lane width (vs 64-wide). Measured
+    at ViT-B 480p (n=1216): 23.4 -> 21.4 ms whole-kernel (median of 10
+    interleaved A/B rounds, ratio 0.912) — the PV matmul was the last
+    half-rate MXU pass. The extra v^T / out^T relayouts are VMEM-local and
+    amortize over the n_pad-deep contraction; measured wins at every
+    production and small-N geometry (see _use_pvt for the table).
     """
     n_pad = k_ref.shape[1]
     d = q_ref.shape[-1] // 2
@@ -131,13 +141,17 @@ def _packed_attn_kernel(
     def rot_half(t):
         return jnp.concatenate([-t[:, d // 2 :], t[:, : d // 2]], axis=1)
 
-    def one_head(q, k, v, cq, sq):
+    def rope_qk(q, k, cq, sq):
         if use_rope:
             # scale pre-folded into the q-side tables by the caller loop
             q = q * cq.astype(q.dtype) + rot_half(q) * sq.astype(q.dtype)
             k = k * cosk_ref[...].astype(k.dtype) + rot_half(k) * sink_ref[...].astype(k.dtype)
         else:
             q = q * jnp.asarray(scale, q.dtype)
+        return q, k
+
+    def one_head(q, k, v, cq, sq):
+        q, k = rope_qk(q, k, cq, sq)
         if v_live is not None:
             v = jnp.where(v_live, v, jnp.zeros((), v.dtype))
         s = jax.lax.dot_general(
@@ -152,6 +166,25 @@ def _packed_attn_kernel(
             preferred_element_type=jnp.float32,
         ) / denom
 
+    def one_head_pvt(q, k, v, cq, sq):
+        # Same math, transposed orientation: keys become the sublane axis of
+        # the score tile, so the key mask is a row select here (v_live).
+        q, k = rope_qk(q, k, cq, sq)
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (n_pad, block_q) fp32
+        if v_live is not None:
+            st = jnp.where(v_live, st, _NEG_INF)
+            v = jnp.where(v_live, v, jnp.zeros((), v.dtype))
+        st = st - jnp.max(st, axis=0, keepdims=True)
+        p = jnp.exp(st)
+        denom = jnp.sum(p, axis=0, keepdims=True)
+        # out^T = v^T @ p: n_pad-deep contraction, (d, block_q) output
+        return jax.lax.dot_general(
+            v.swapaxes(0, 1), p.astype(v.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / denom
+
     def pair(g, _):
         q2 = q_ref[pl.ds(g, 1)][0]
         k2 = k_ref[pl.ds(g, 1)][0]
@@ -161,11 +194,17 @@ def _packed_attn_kernel(
             sq = sinq_ref[...] * scale
         else:
             cq = sq = None
-        o_a = one_head(q2[:, :d], k2[:, :d], v2[:, :d], cq, sq)
-        o_b = one_head(q2[:, d:], k2[:, d:], v2[:, d:], cq, sq)
-        o_ref[pl.ds(g, 1)] = jnp.concatenate([o_a, o_b], axis=1).astype(
-            o_ref.dtype
-        )[None]
+        if pvt:
+            ot_a = one_head_pvt(q2[:, :d], k2[:, :d], v2[:, :d], cq, sq)
+            ot_b = one_head_pvt(q2[:, d:], k2[:, d:], v2[:, d:], cq, sq)
+            ot = jnp.concatenate([ot_a, ot_b], axis=0)  # (2d, block_q)
+            o_ref[pl.ds(g, 1)] = ot.swapaxes(0, 1).astype(o_ref.dtype)[None]
+        else:
+            o_a = one_head(q2[:, :d], k2[:, :d], v2[:, :d], cq, sq)
+            o_b = one_head(q2[:, d:], k2[:, d:], v2[:, d:], cq, sq)
+            o_ref[pl.ds(g, 1)] = jnp.concatenate([o_a, o_b], axis=1).astype(
+                o_ref.dtype
+            )[None]
         return 0
 
     jax.lax.fori_loop(0, gp, pair, 0)
@@ -381,6 +420,24 @@ def fused_attention(
     return out.reshape(B, H, N, d)
 
 
+def _use_pvt(block_q: int, n_pad: int) -> bool:
+    """Whether the transposed-PV orientation wins at this geometry.
+
+    Measured on TPU v5e, ViT-B-shaped whole-kernel medians (interleaved A/B,
+    pvt/standard time ratio): N=80 -> 0.949, N=128 -> 0.923, N=208 -> 0.890,
+    N=272 (256x256 production) -> 0.855, N=1216 (480p production) -> 0.912.
+    PV's n_pad-deep contraction replaces the last half-rate (d=64) MXU pass
+    and its output tile is full lane width; the v^T/out^T relayouts are
+    VMEM-local and cheaper than the saved MXU idle at every measured token
+    count, so the transposed orientation is unconditionally on.
+    ``CBAS_ATTN_PVT`` (0/1) forces either orientation for measurement.
+    """
+    env = os.environ.get("CBAS_ATTN_PVT")
+    if env is not None:
+        return env not in ("", "0")
+    return True
+
+
 def fused_attention_packed(
     q2: jnp.ndarray,
     k2: jnp.ndarray,
@@ -391,6 +448,7 @@ def fused_attention_packed(
     n_valid: Optional[int] = None,
     rope_cos: Optional[jnp.ndarray] = None,
     rope_sin: Optional[jnp.ndarray] = None,
+    pvt: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Attention over head-PAIR packed (B, G, N, 2d) tensors (G = H/2, two
     heads side by side on the minor dim); returns the same packed layout.
@@ -442,11 +500,13 @@ def fused_attention_packed(
         cos_k = jnp.ones((n_pad, d), jnp.float32)
         sin_k = jnp.zeros((n_pad, d), jnp.float32)
 
+    if pvt is None:
+        pvt = _use_pvt(block_q, n_pad)
     grid = (B * G // gp, q_pad // block_q)
     out = pl.pallas_call(
         functools.partial(
             _packed_attn_kernel, scale=scale, n_valid=n_valid, gp=gp,
-            use_rope=use_rope,
+            use_rope=use_rope, pvt=pvt,
         ),
         out_shape=jax.ShapeDtypeStruct((B * G, N, dd), q2.dtype),
         grid=grid,

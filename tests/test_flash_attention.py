@@ -48,6 +48,7 @@ def test_fused_attention_matches_reference(B, H, N, d, block_q):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("pvt", [False, True])
 @pytest.mark.parametrize(
     "B,H,N,d,block_q,n_valid",
     [
@@ -56,8 +57,10 @@ def test_fused_attention_matches_reference(B, H, N, d, block_q):
         (2, 2, 200, 64, 256, 190),    # model-level padding masked as keys
     ],
 )
-def test_packed_attention_matches_reference(B, H, N, d, block_q, n_valid):
-    """Head-pair packed kernel == reference on the unpacked layout."""
+def test_packed_attention_matches_reference(B, H, N, d, block_q, n_valid, pvt):
+    """Head-pair packed kernel == reference on the unpacked layout, in both
+    score orientations (pvt=True is the transposed-PV production path at
+    large-N geometries)."""
     rng = np.random.default_rng(2)
     q = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
@@ -69,7 +72,7 @@ def test_packed_attention_matches_reference(B, H, N, d, block_q, n_valid):
         q, k, v = q * mask, k * mask, v * mask
     got2 = fused_attention_packed(
         _pack_pairs(q), _pack_pairs(k), _pack_pairs(v), scale,
-        block_q=block_q, interpret=True, n_valid=n_valid,
+        block_q=block_q, interpret=True, n_valid=n_valid, pvt=pvt,
     )
     got = _unpack_pairs(got2)
     want = reference_attention(
@@ -103,13 +106,14 @@ def test_packed_attention_rope_matches_explicit():
     qr = q * cos[None, None] + rot(q) * sin[None, None]
     kr = k * cos[None, None] + rot(k) * sin[None, None]
     want = reference_attention(qr, kr, v, scale)
-    got = _unpack_pairs(
-        fused_attention_packed(
-            _pack_pairs(q), _pack_pairs(k), _pack_pairs(v), scale,
-            interpret=True, rope_cos=cos, rope_sin=sin,
+    for pvt in (False, True):
+        got = _unpack_pairs(
+            fused_attention_packed(
+                _pack_pairs(q), _pack_pairs(k), _pack_pairs(v), scale,
+                interpret=True, rope_cos=cos, rope_sin=sin, pvt=pvt,
+            )
         )
-    )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
 
 
 def test_fused_attention_bf16_io():
