@@ -420,22 +420,26 @@ def fused_attention(
     return out.reshape(B, H, N, d)
 
 
-def _use_pvt(block_q: int, n_pad: int) -> bool:
+def _use_pvt(use_rope: bool, n_pad: int) -> bool:
     """Whether the transposed-PV orientation wins at this geometry.
 
     Measured on TPU v5e, ViT-B-shaped whole-kernel medians (interleaved A/B,
-    pvt/standard time ratio): N=80 -> 0.949, N=128 -> 0.923, N=208 -> 0.890,
-    N=272 (256x256 production) -> 0.855, N=1216 (480p production) -> 0.912.
-    PV's n_pad-deep contraction replaces the last half-rate (d=64) MXU pass
-    and its output tile is full lane width; the v^T/out^T relayouts are
-    VMEM-local and cheaper than the saved MXU idle at every measured token
-    count, so the transposed orientation is unconditionally on.
-    ``CBAS_ATTN_PVT`` (0/1) forces either orientation for measurement.
+    pvt/standard time ratio). WITH RoPE (the dinov3 families) pvt wins at
+    every token count: N=80 -> 0.949, N=128 -> 0.923, N=208 -> 0.890,
+    N=272 (256x256 production) -> 0.855, N=336 -> 0.784, N=1216 (480p
+    production) -> 0.912. WITHOUT RoPE (dinov2: learned pos-embeds) the
+    short-N kernels are VPU-bound — rope's per-pair VPU work is what hides
+    pvt's extra relayouts and sublane reduces — so pvt only wins once the
+    MXU passes are deep enough to dominate: N=272 -> 1.034, N=336 -> 1.089
+    (the dinov2-base 256x256 geometry, where pvt cost -1.8% whole-model),
+    N=1216 -> 0.876. Rule: rope always, else n_pad >= 512 (break-even is
+    between 336 and 1216). ``CBAS_ATTN_PVT`` (0/1) forces either
+    orientation for measurement.
     """
     env = os.environ.get("CBAS_ATTN_PVT")
     if env is not None:
         return env not in ("", "0")
-    return True
+    return use_rope or n_pad >= 512
 
 
 def fused_attention_packed(
@@ -501,7 +505,7 @@ def fused_attention_packed(
         sin_k = jnp.zeros((n_pad, d), jnp.float32)
 
     if pvt is None:
-        pvt = _use_pvt(block_q, n_pad)
+        pvt = _use_pvt(use_rope, n_pad)
     grid = (B * G // gp, q_pad // block_q)
     out = pl.pallas_call(
         functools.partial(
