@@ -153,3 +153,22 @@ def test_exact_n_kv_blocks_match_reference(N, n_valid):
         )
     )[:, :, :nv]
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_use_pvt_selection_rule(monkeypatch):
+    """The measured transposed-PV dispatch rule (flash_attention._use_pvt):
+    RoPE geometries always take pvt (interleaved A/B medians win at every
+    token count, 0.784-0.949); no-RoPE geometries only past the VPU-bound
+    regime (1.089 at n_pad=336, 0.876 at n_pad=1216 -> threshold 512).
+    CBAS_ATTN_PVT overrides both ways for measurement."""
+    from cbas_tpu.ops.flash_attention import _use_pvt
+
+    monkeypatch.delenv("CBAS_ATTN_PVT", raising=False)
+    assert _use_pvt(True, 80)      # rope: on even at the smallest geometry
+    assert _use_pvt(True, 1216)
+    assert not _use_pvt(False, 336)   # dinov2-base 256x256: std orientation
+    assert _use_pvt(False, 1216)      # no-rope long-N: MXU-bound, pvt wins
+    monkeypatch.setenv("CBAS_ATTN_PVT", "0")
+    assert not _use_pvt(True, 1216)
+    monkeypatch.setenv("CBAS_ATTN_PVT", "1")
+    assert _use_pvt(False, 80)
