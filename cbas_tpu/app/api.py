@@ -923,7 +923,13 @@ class Api:
         def zoom(s: LabelingSession):
             if 0 <= s.selected_index < len(s.buffer):
                 inst = s.buffer[s.selected_index]
-                start, end = inst["start"], inst["end"]
+                # Zoom frames the ORIGINAL extent when present: refiltered/
+                # nudged instances keep _original_start/_original_end until
+                # the next commit strips them, and the reference centers the
+                # zoom bar on that pre-trim extent
+                # (backend/label_train_page.py:1474-1475).
+                start = inst.get("_original_start", inst["start"])
+                end = inst.get("_original_end", inst["end"])
                 context = (end - start) * 2
                 z0 = max(0, start - context)
                 z1 = min(s.total_frames, end + context)

@@ -451,13 +451,24 @@ def select_live_model(state: AppState, model_name: Optional[str]) -> None:
 
 def start_classification(state: AppState, model_name: str, h5_files: List[str]) -> int:
     """Select the live model and enqueue files lacking that model's outputs
-    (reference: backend/label_train_page.py:1853-1895)."""
-    from cbas_tpu.utils.naming import outputs_csv_for_h5
-    import os
+    (reference: backend/label_train_page.py:1853-1895). "Lacking" includes
+    CSVs older than the bundle's saved weights: after a same-name retrain an
+    existence-only check would see every stale CSV as done, queue nothing,
+    and keep presenting the previous model's predictions under the new
+    model's name (same rule as Api guided labeling / the disagreement
+    report, utils/naming.py outputs_csv_is_stale)."""
+    from cbas_tpu.utils.naming import outputs_csv_for_h5, outputs_csv_is_stale
 
-    todo = [
-        f for f in h5_files if not os.path.exists(outputs_csv_for_h5(f, model_name))
-    ]
+    model = state.project.models.get(model_name) if state.project else None
+    model_dir = model.path if model else ""
+
+    def needs_infer(h5: str) -> bool:
+        csv = outputs_csv_for_h5(h5, model_name)
+        if not model_dir:
+            return not os.path.exists(csv)
+        return outputs_csv_is_stale(csv, model_dir)
+
+    todo = [f for f in h5_files if needs_infer(f)]
     select_live_model(state, model_name)
     if todo:
         state.batch_classification_active = True

@@ -438,7 +438,8 @@ def _use_pvt(use_rope: bool, n_pad: int) -> bool:
     """
     env = os.environ.get("CBAS_ATTN_PVT")
     if env is not None:
-        return env not in ("", "0")
+        # same falsy spellings as CBAS_TPU_FUSED_ATTENTION (models/vit.py)
+        return env.lower() not in ("", "0", "false", "no", "off")
     return use_rope or n_pad >= 512
 
 

@@ -61,19 +61,34 @@ def scan_todo(project_path: str) -> List[str]:
 
 def scan_classify_todo(proj, model_name: str) -> List[str]:
     """Embedding H5s lacking ``model_name``'s outputs CSV (the same rule as
-    Api.start_classification, app/api.py — incl. skipping augmentation
-    siblings, whose predictions nothing consumes)."""
+    Api.start_classification, app/workers.py — incl. skipping augmentation
+    siblings, whose predictions nothing consumes, and treating CSVs older
+    than the bundle's saved weights as missing so a same-name retrain
+    re-runs the fleet instead of keeping the previous model's predictions)."""
     from cbas_tpu.ingest.standardize import is_aug_video
-    from cbas_tpu.utils.naming import h5_path_for_video, outputs_csv_for_h5
+    from cbas_tpu.utils.naming import (
+        h5_path_for_video,
+        outputs_csv_for_h5,
+        outputs_csv_is_stale,
+    )
+
+    model = proj.models.get(model_name)
+    model_dir = model.path if model else ""
 
     todo = []
     for video in proj.all_video_files():
         if is_aug_video(video):
             continue
         h5 = h5_path_for_video(video)
-        if os.path.exists(h5) and not os.path.exists(
-            outputs_csv_for_h5(h5, model_name)
-        ):
+        if not os.path.exists(h5):
+            continue
+        csv = outputs_csv_for_h5(h5, model_name)
+        stale = (
+            outputs_csv_is_stale(csv, model_dir)
+            if model_dir
+            else not os.path.exists(csv)
+        )
+        if stale:
             todo.append(h5)
     return todo
 

@@ -212,6 +212,34 @@ def test_start_classification_skips_done(app_project):
     assert n == 0 and state.live_inference_model_name == "m"
 
 
+def test_start_classification_requeues_stale_csv_after_retrain(app_project):
+    """A CSV older than the bundle's saved weights counts as missing: after
+    a same-name retrain, an existence-only check would queue nothing and
+    keep presenting the PREVIOUS model's predictions under the new model's
+    name (utils/naming.py outputs_csv_is_stale, shared with Api guided
+    labeling and the disagreement report)."""
+    proj, state, video = app_project
+    h5 = h5_path_for_video(video)
+    with hdf5_store.EmbeddingWriter(h5, encoder_identifier="e", embed_dim=8) as w:
+        w.append(np.zeros((10, 8)))
+    model_dir = os.path.join(proj.models_dir, "m")
+    os.makedirs(model_dir)
+    with open(os.path.join(model_dir, "config.yaml"), "w") as f:
+        f.write("behaviors: [a, b]\n")
+    csv = outputs_csv_for_h5(h5, "m")
+    pd.DataFrame({"a": [1]}).to_csv(csv, index=False)
+    old = time.time() - 60
+    os.utime(csv, (old, old))
+    with open(os.path.join(model_dir, "model.npz"), "wb") as f:
+        f.write(b"x")  # retrain: weights newer than the CSV
+    proj.reload()
+    assert start_classification(state, "m", [h5]) == 1
+    # draining the queue and rewriting the CSV makes it current again
+    os.utime(csv, None)
+    state.classify_tasks.drain()
+    assert start_classification(state, "m", [h5]) == 0
+
+
 def test_record_command_recipe():
     cam = CameraSettings(
         name="c1", rtsp_url="rtsp://host/profile1", framerate=10, resolution=256,

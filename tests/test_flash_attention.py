@@ -168,7 +168,8 @@ def test_use_pvt_selection_rule(monkeypatch):
     assert _use_pvt(True, 1216)
     assert not _use_pvt(False, 336)   # dinov2-base 256x256: std orientation
     assert _use_pvt(False, 1216)      # no-rope long-N: MXU-bound, pvt wins
-    monkeypatch.setenv("CBAS_ATTN_PVT", "0")
-    assert not _use_pvt(True, 1216)
+    for falsy in ("0", "false", "no", "off", "OFF"):
+        monkeypatch.setenv("CBAS_ATTN_PVT", falsy)
+        assert not _use_pvt(True, 1216)
     monkeypatch.setenv("CBAS_ATTN_PVT", "1")
     assert _use_pvt(False, 80)

@@ -349,9 +349,17 @@ def test_encode_file_matches_genuine_reference(ref_cbas, tmp_path, monkeypatch):
             rgb[..., 1] = g
             return _Batch(rgb)
 
-    ref_cbas.mod.decord.VideoReader = _FakeVideoReader
-    ref_cbas.mod.decord.cpu = lambda i=0: None
-    ref_cbas.mod.gui_state.proj.encoder_model_identifier = "oracle-enc"
+    # via monkeypatch, not direct assignment: ref_cbas is module-scoped, so
+    # an unrestored fake (bound to this test's tmp_path) would leak into
+    # every later oracle test in the module
+    monkeypatch.setattr(
+        ref_cbas.mod.decord, "VideoReader", _FakeVideoReader, raising=False
+    )
+    monkeypatch.setattr(ref_cbas.mod.decord, "cpu", lambda i=0: None, raising=False)
+    monkeypatch.setattr(
+        ref_cbas.mod.gui_state.proj, "encoder_model_identifier", "oracle-enc",
+        raising=False,
+    )
 
     ref_h5 = ref_cbas.mod.encode_file(ref_encoder, src)
     assert ref_h5 is not None
