@@ -97,11 +97,21 @@ class OpenCVVideoReader(VideoReader):
                 # Small forward jump: grab()-skip is frame-EXACT, where a
                 # CAP_PROP_POS_FRAMES seek is keyframe-based and can land on
                 # the wrong frame for long-GOP codecs (and costs a container
-                # seek). Backward or far jumps still seek.
+                # seek). Backward or far jumps still seek. Track the frames
+                # ACTUALLY skipped: a failed grab mid-skip would otherwise
+                # desynchronize the recorded position from the decoder and
+                # silently mislabel every frame that follows.
+                advanced = 0
                 for _ in range(gap):
                     if not self._cap.grab():
                         break
-                self._next_frame = start
+                    advanced += 1
+                self._next_frame += advanced
+                if advanced < gap:
+                    # `start` is unreachable (EOF/corruption mid-skip):
+                    # decoding from the earlier position would return frames
+                    # silently mislabeled as [start, ...).
+                    return np.empty((0, self.height, self.width, 3), np.uint8)
             elif gap != 0:
                 self._cap.set(self._cv2.CAP_PROP_POS_FRAMES, start)
                 self._next_frame = start
@@ -122,7 +132,10 @@ class OpenCVVideoReader(VideoReader):
             return frames
 
     def close(self) -> None:
-        self._cap.release()
+        # Under the read lock: a concurrent close during read_batch would
+        # free the cv2 capture mid-read (same contract as NativeVideoReader).
+        with self._lock:
+            self._cap.release()
 
 
 def _native_available() -> bool:
@@ -135,12 +148,26 @@ def _native_available() -> bool:
 
 
 def open_video(path: str, backend: str = "auto") -> VideoReader:
-    """Open a video with the best available decoder."""
+    """Open a video with the best available decoder.
+
+    ``backend``: ``auto`` (native when built, else OpenCV), ``native``
+    (raise if unavailable), or ``opencv``. Anything else raises — a typo
+    must not silently route everything through the slow path.
+    """
+    if backend not in ("auto", "native", "opencv"):
+        raise ValueError(f"unknown decode backend {backend!r}")
     if backend in ("auto", "native") and _native_available():
         from cbas_tpu.ingest.native.loader import NativeVideoReader
 
         try:
-            return NativeVideoReader(path)
+            reader = NativeVideoReader(path)
+            # Containers carrying neither nb_frames nor a duration report 0
+            # frames from libav metadata; cv2's scan-count fallback still
+            # counts them, so don't let "auto" silently skip a decodable
+            # video as empty. Explicit "native" returns what native sees.
+            if backend == "native" or reader.frame_count > 0:
+                return reader
+            reader.close()
         except Exception as e:
             if backend == "native":
                 raise

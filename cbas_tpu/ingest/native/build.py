@@ -27,8 +27,11 @@ def build(force: bool = False) -> str:
     walkers would otherwise try to import it as an extension module).
     """
     os.makedirs(BUILD_DIR, exist_ok=True)
-    if not force and os.path.exists(LIB) and os.path.getmtime(LIB) >= os.path.getmtime(SRC):
-        return LIB
+    if not force and os.path.exists(LIB):
+        # A packaged install may ship only the prebuilt .so (decoder.cpp
+        # stripped): a missing source never invalidates an existing library.
+        if not os.path.exists(SRC) or os.path.getmtime(LIB) >= os.path.getmtime(SRC):
+            return LIB
     # Per-process tmp name: two processes racing on first use must not write
     # the same tmp path, or one's os.replace can install the other's
     # half-written object (then every CDLL fails for the process lifetime).

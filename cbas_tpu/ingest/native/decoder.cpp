@@ -38,6 +38,12 @@ struct Decoder {
     bool saw_pts = false;  // stream has yielded a usable timestamp at least once
     AVRational tb{};
     int64_t start_ts = 0;
+    // False when the container left start_time unset: the epoch is then
+    // latched from the FIRST decoded frame's pts (decode_next). Without the
+    // latch, streams whose packets carry a large pts base would map every
+    // frame to a huge index — seeks would land at the file start and return
+    // frames silently mislabeled as the requested indices.
+    bool start_ts_known = false;
 };
 
 void set_err(char* err, int errlen, const std::string& msg) {
@@ -61,7 +67,12 @@ int decode_next(Decoder* d) {
     while (true) {
         int ret = avcodec_receive_frame(d->codec, d->frame);
         if (ret == 0) {
-            int64_t idx = pts_to_index(d, d->frame->best_effort_timestamp);
+            const int64_t pts = d->frame->best_effort_timestamp;
+            if (pts != AV_NOPTS_VALUE && !d->start_ts_known) {
+                d->start_ts = pts;  // first presented frame defines index 0
+                d->start_ts_known = true;
+            }
+            int64_t idx = pts_to_index(d, pts);
             if (idx < 0) idx = d->next_index;
             else d->saw_pts = true;
             d->next_index = idx + 1;
@@ -109,11 +120,23 @@ int seek_before(Decoder* d, int64_t index) {
     return 0;
 }
 
-void copy_rgb(Decoder* d, uint8_t* dst) {
+// Convert the current frame to RGB24 at the OPEN dimensions. The swscale
+// context is re-resolved per frame (sws_getCachedContext: a no-op when the
+// geometry is unchanged) because some sources switch resolution or pixel
+// format mid-stream — scaling such a frame with the open-time context would
+// read past the decoded planes (srcSliceH larger than the actual frame).
+// Returns 0 on success, <0 when no context can be built for the frame.
+int copy_rgb(Decoder* d, uint8_t* dst) {
+    d->sws_rgb = sws_getCachedContext(
+        d->sws_rgb, d->frame->width, d->frame->height,
+        static_cast<AVPixelFormat>(d->frame->format), d->width, d->height,
+        AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
+    if (!d->sws_rgb) return -1;
     uint8_t* planes[4] = {dst, nullptr, nullptr, nullptr};
     int strides[4] = {3 * d->width, 0, 0, 0};
-    sws_scale(d->sws_rgb, d->frame->data, d->frame->linesize, 0, d->height,
-              planes, strides);
+    sws_scale(d->sws_rgb, d->frame->data, d->frame->linesize, 0,
+              d->frame->height, planes, strides);
+    return 0;
 }
 
 // Write only the green plane of the current frame to `dst` (h*w bytes),
@@ -121,11 +144,53 @@ void copy_rgb(Decoder* d, uint8_t* dst) {
 // bit-identical to RGB channel 1 (the reference consumed decord's RGB24;
 // swscale's planar-GBRP path rounds differently, so it is NOT used here).
 int copy_green(Decoder* d, uint8_t* dst, uint8_t* scratch_rgb) {
-    copy_rgb(d, scratch_rgb);
+    if (copy_rgb(d, scratch_rgb) < 0) return -1;
     const size_t frame_px = static_cast<size_t>(d->width) * d->height;
     const uint8_t* src = scratch_rgb + 1;  // G of pixel 0
     for (size_t p = 0; p < frame_px; ++p) dst[p] = src[p * 3];
     return 0;
+}
+
+// Shared reposition rule for the read entry points. Returns 0 when the
+// forward decode walk may proceed, <0 on a hard error. A failed seek with a
+// forward target is NOT an error: decode-and-discard from the current
+// position returns the exact frames (just slower) — precisely the case for
+// PTS-less containers that reject timestamp seeks.
+int reposition(Decoder* d, int64_t start) {
+    if (start == d->next_index) return 0;
+    const int64_t discard_limit =
+        d->next_index + static_cast<int64_t>(2.0 * d->fps) + 64;
+    if (start >= d->next_index && start <= discard_limit) return 0;
+    int ret = seek_before(d, start);
+    if (ret < 0 && start >= d->next_index) return 0;
+    return ret;
+}
+
+// Shared body of nd_read_rgb / nd_read_green: reposition, then decode
+// forward, discarding pre-target frames. `scratch_rgb` selects green mode
+// (nullptr = RGB). Returns frames written, or <0 when nothing could be
+// decoded at all — mid-stream corruption returns the frames decoded so far
+// (a truncated recording still yields embeddings up to the bad frame).
+int64_t read_frames(Decoder* d, int64_t start, int64_t count, uint8_t* out,
+                    uint8_t* scratch_rgb) {
+    if (reposition(d, start) < 0) return -1;
+    const size_t frame_bytes = static_cast<size_t>(d->width) * d->height *
+                               (scratch_rgb ? 1 : 3);
+    int64_t written = 0;
+    while (written < count) {
+        int got = decode_next(d);
+        if (got < 0) return written > 0 ? written : got;
+        if (got == 0) break;
+        const int64_t idx = d->next_index - 1;  // index of the decoded frame
+        if (idx < start + written) continue;    // pre-target: discard
+        // For CFR content idx == start + written; PTS gaps just advance.
+        uint8_t* dst = out + written * frame_bytes;
+        const int rc =
+            scratch_rgb ? copy_green(d, dst, scratch_rgb) : copy_rgb(d, dst);
+        if (rc < 0) return written > 0 ? written : -1;
+        ++written;
+    }
+    return written;
 }
 
 }  // namespace
@@ -171,7 +236,8 @@ Decoder* nd_open(const char* path, char* err, int errlen) {
     d->tb = st->time_base;
     AVRational fr = av_guess_frame_rate(d->fmt, st, nullptr);
     d->fps = (fr.num && fr.den) ? av_q2d(fr) : 30.0;
-    d->start_ts = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
+    d->start_ts_known = st->start_time != AV_NOPTS_VALUE;
+    d->start_ts = d->start_ts_known ? st->start_time : 0;
     d->frame_count = st->nb_frames;
     if (d->frame_count <= 0 && st->duration != AV_NOPTS_VALUE) {
         d->frame_count =
@@ -212,55 +278,14 @@ int64_t nd_frame_count(Decoder* d) { return d->frame_count; }
 // Decode `count` frames starting at `start` into `out` (count*h*w*3 bytes,
 // RGB24). Returns frames decoded, or <0 on error.
 int64_t nd_read_rgb(Decoder* d, int64_t start, int64_t count, uint8_t* out) {
-    // Reposition: backward, or forward beyond a cheap decode-and-discard span.
-    if (start != d->next_index) {
-        const int64_t discard_limit =
-            d->next_index + static_cast<int64_t>(2.0 * d->fps) + 64;
-        if (start < d->next_index || start > discard_limit) {
-            if (seek_before(d, start) < 0) return -1;
-        }
-    }
-    const size_t frame_bytes = static_cast<size_t>(d->width) * d->height * 3;
-    int64_t written = 0;
-    while (written < count) {
-        int got = decode_next(d);
-        if (got < 0) return written > 0 ? written : got;  // partial on corruption
-        if (got == 0) break;
-        const int64_t idx = d->next_index - 1;  // index of the decoded frame
-        if (idx < start + written) continue;    // pre-target: discard
-        // For CFR content idx == start + written; PTS gaps just advance.
-        copy_rgb(d, out + written * frame_bytes);
-        ++written;
-    }
-    return written;
+    return read_frames(d, start, count, out, nullptr);
 }
 
 // Same but only the green plane (out: count*h*w bytes). `scratch_rgb` must
 // hold one RGB frame (h*w*3 bytes; reused as the discard plane for B/R).
 int64_t nd_read_green(Decoder* d, int64_t start, int64_t count, uint8_t* out,
                       uint8_t* scratch_rgb) {
-    if (start != d->next_index) {
-        const int64_t discard_limit =
-            d->next_index + static_cast<int64_t>(2.0 * d->fps) + 64;
-        if (start < d->next_index || start > discard_limit) {
-            if (seek_before(d, start) < 0) return -1;
-        }
-    }
-    const size_t frame_px = static_cast<size_t>(d->width) * d->height;
-    int64_t written = 0;
-    while (written < count) {
-        int got = decode_next(d);
-        // Mid-stream corruption: return the frames decoded so far (a
-        // truncated recording still yields embeddings up to the bad frame);
-        // only surface an error when nothing could be decoded at all.
-        if (got < 0) return written > 0 ? written : got;
-        if (got == 0) break;
-        const int64_t idx = d->next_index - 1;
-        if (idx < start + written) continue;  // pre-target: discard
-        if (copy_green(d, out + written * frame_px, scratch_rgb) < 0) return -1;
-        ++written;
-    }
-    return written;
+    return read_frames(d, start, count, out, scratch_rgb);
 }
 
 }  // extern "C"

@@ -27,8 +27,23 @@ def _load() -> Optional[ctypes.CDLL]:
             from cbas_tpu.ingest.native.build import build
 
             lib = ctypes.CDLL(build())
-        except Exception:
+        except Exception as e:
             _build_failed = True
+            # Loud, once: this is the common breakage (missing g++ or libav
+            # dev headers on a deploy host) and it permanently routes every
+            # decode through the slow OpenCV path — without this line the
+            # open_video() WARN never fires because _native_available()
+            # already answered False.
+            try:
+                from cbas_tpu.utils.logging import log_message
+
+                log_message(
+                    f"Native decoder unavailable ({type(e).__name__}: {e}); "
+                    "all video decode falls back to OpenCV at reduced "
+                    "throughput.", "WARN",
+                )
+            except Exception:
+                pass
             return None
 
         lib.nd_open.restype = ctypes.c_void_p

@@ -88,3 +88,30 @@ def test_frame_content_is_frame_indexed(video):
         expected = (idx * 3) % 256
         assert abs(int(np.median(frame[:, :, 1])) - expected) <= 2, idx
     r.close()
+
+
+def test_open_video_rejects_unknown_backend(video):
+    with pytest.raises(ValueError):
+        open_video(video, backend="natve")  # typo must not silently degrade
+
+
+def test_open_video_auto_falls_back_on_zero_frame_count(video, monkeypatch):
+    """Containers with neither nb_frames nor a duration make libav report 0
+    frames; 'auto' must hand such files to cv2 (whose scan-count still counts
+    them) instead of letting encode_file skip the video as empty."""
+    from cbas_tpu.ingest import decode as decode_mod
+
+    class _ZeroCount(loader.NativeVideoReader):
+        def __init__(self, path):
+            super().__init__(path)
+            self.frame_count = 0
+
+    monkeypatch.setattr(loader, "NativeVideoReader", _ZeroCount)
+    r = decode_mod.open_video(video, backend="auto")
+    assert isinstance(r, decode_mod.OpenCVVideoReader)
+    assert r.frame_count == 75
+    r.close()
+    # explicit "native" returns what native sees (caller asked for it)
+    r2 = decode_mod.open_video(video, backend="native")
+    assert isinstance(r2, _ZeroCount)
+    r2.close()
