@@ -166,6 +166,11 @@ def analyze_label_conflicts(labels_doc: dict) -> Dict[str, int]:
                 seen.add(key)
                 uniques.append(inst)
 
+    # Adjacent-pair count, a deliberate reference mirror
+    # (backend/label_train_page.py:843-850): an instance that spans several
+    # later ones counts as ONE overlap even though cleaning will trim each of
+    # them, so the dry-run number is a lower bound on instances modified —
+    # in both implementations (the differential oracle pins this).
     overlaps = 0
     by_video: Dict[str, List[Instance]] = defaultdict(list)
     for inst in uniques:
@@ -286,7 +291,12 @@ def coverage_report(
             # grouping (splits.subject_of), so the coverage view can never
             # drift from what the splitter will actually do
             subj = subject_of(inst)
-            label = str(inst.get("label"))
-            if label in report[subj]:
-                report[subj][label] += int(inst["end"]) - int(inst["start"]) + 1
+            # strip like build_manifest does, so an instance training USES
+            # ('walk ' trains as 'walk') is visible in the coverage view;
+            # tolerate hand-edited instances missing start/end the same way
+            # the manifest path does (skip, don't 500 the API)
+            label = str(inst.get("label", "")).strip()
+            start, end = inst.get("start"), inst.get("end")
+            if label in report[subj] and start is not None and end is not None:
+                report[subj][label] += int(end) - int(start) + 1
     return {k: dict(v) for k, v in report.items()}

@@ -192,11 +192,20 @@ class Dataset:
         train_set, test_set = set(train_subjects), set(test_subjects)
 
         def counts(selected: set) -> tuple[Counter, Counter]:
+            # stripped labels + tolerant field access, mirroring
+            # engine/data.py build_manifest: the dataset card must count the
+            # same instances training will actually use, and a malformed
+            # hand-edited instance must not crash the card refresh
             chosen = [i for i in insts if subject_of(i) in selected]
-            n_inst = Counter(i["label"] for i in chosen)
+            n_inst: Counter = Counter()
             n_frames: Counter = Counter()
             for i in chosen:
-                n_frames[i["label"]] += int(i["end"]) - int(i["start"]) + 1
+                label = str(i.get("label", "")).strip()
+                start, end = i.get("start"), i.get("end")
+                if not label or start is None or end is None:
+                    continue
+                n_inst[label] += 1
+                n_frames[label] += int(end) - int(start) + 1
             return n_inst, n_frames
 
         tr_i, tr_f = counts(train_set)

@@ -14,6 +14,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import tempfile
 import time
 from collections import defaultdict
 from typing import Dict, List, Sequence, Tuple
@@ -97,6 +98,13 @@ class RandomSplitProvider(SplitProvider):
 
     @staticmethod
     def _covers_all(insts: Sequence[Instance], behaviors: set) -> bool:
+        # Deliberate reference mirror (backend/splits.py:60-64): RAW labels,
+        # EXACT set equality. A single out-of-set label (e.g. 'walk ' with a
+        # trailing space) therefore defeats stratification on all attempts —
+        # in both implementations. Do not "fix" to strip+superset here: the
+        # seed-for-seed split-equality contract (test_splits oracle) depends
+        # on taking the same accept/reject path per attempt. Label hygiene
+        # belongs in preflight/clean_and_sort_labels, before splitting.
         return {inst["label"] for inst in insts} == behaviors
 
     def get_split(
@@ -107,6 +115,10 @@ class RandomSplitProvider(SplitProvider):
         behaviors: Sequence[str],
         allow_relaxed_fallback: bool = False,
     ) -> Split:
+        # ``all_subjects`` is accepted but unused — the reference signature
+        # takes it and likewise re-derives subjects from the instances
+        # (backend/splits.py:91-100); honoring a caller-restricted list here
+        # would change RNG consumption and break seed-for-seed equality.
         current_seed = self.initial_seed + run_index
 
         by_subject: Dict[str, List[Instance]] = defaultdict(list)
@@ -200,10 +212,19 @@ def write_split_manifest(
     doc = {"dataset_fingerprint": fingerprint, "splits": splits}
     if metadata:
         doc.update(metadata)
-    # tmp + rename like every other config artifact (core/config.dump_yaml):
-    # a crash mid-dump must not leave a truncated manifest that kills the
-    # next ManifestSplitProvider load with a JSONDecodeError.
-    tmp = f"{path}.tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(doc, f, indent=2)
-    os.replace(tmp, path)
+    # mkstemp + rename like core/config.dump_yaml: a crash mid-dump must not
+    # leave a truncated manifest (JSONDecodeError on the next load), and two
+    # sweep runners racing on the same path must not interleave into one
+    # shared '<path>.tmp' — each writer gets a unique tmp, last complete
+    # manifest wins the rename.
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".json.tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(doc, f, indent=2)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise

@@ -51,9 +51,15 @@ def build_manifest(
 
     by_video: Dict[str, List[Instance]] = defaultdict(list)
     for inst in instances:
-        v = inst.get("video")
+        # Normalize Windows separators like every other consumer (splits
+        # subject_of, clean_and_sort_labels, preflight): a labels.yaml
+        # authored on Windows must not produce an empty manifest here after
+        # preflight just validated the same paths. (The reference skips the
+        # replace and relies on os.path.join being on Windows,
+        # backend/cbas.py:1189.)
+        v = str(inst.get("video", "")).replace("\\", "/")
         if v:
-            by_video[str(v)].append(inst)
+            by_video[v].append(inst)
 
     for i, (rel_video, insts) in enumerate(by_video.items()):
         if progress_callback:
@@ -138,22 +144,23 @@ class WindowSource:
         memory), stays on the lazy per-window HDF5 path instead of
         OOM-killing the training job.
         """
-        import h5py
-
         spans: Dict[str, Tuple[int, int]] = {}
         for path, center, _ in self.manifest:
             lo, hi = spans.get(path, (center, center))
             spans[path] = (min(lo, center), max(hi, center))
 
+        # Both the planning pass and the load pass below go through the
+        # shared handle cache: one open per file total, instead of open/close
+        # twice per file (train, val and calibration sources each preload,
+        # so the doubled opens added up on network storage).
         total = 0
         plans: Dict[str, Tuple[int, int]] = {}
         for path, (lo, hi) in spans.items():
-            with h5py.File(path, "r") as f:
-                ds = f[DATASET_NAME]
-                start = max(0, lo - self.half)
-                stop = min(ds.shape[0], hi + self.half + 1)
-                plans[path] = (start, stop)
-                total += (stop - start) * ds.shape[1] * ds.dtype.itemsize
+            ds = self.cache.get(path)[DATASET_NAME]
+            start = max(0, lo - self.half)
+            stop = min(ds.shape[0], hi + self.half + 1)
+            plans[path] = (start, stop)
+            total += (stop - start) * ds.shape[1] * ds.dtype.itemsize
 
         budget = _preload_budget_bytes()
         if total > budget:
@@ -169,8 +176,7 @@ class WindowSource:
 
         ram: Dict[str, Tuple[np.ndarray, int]] = {}
         for path, (start, stop) in plans.items():
-            with h5py.File(path, "r") as f:
-                ram[path] = (f[DATASET_NAME][start:stop], start)
+            ram[path] = (self.cache.get(path)[DATASET_NAME][start:stop], start)
         self._ram = ram
 
     def __len__(self) -> int:
@@ -231,7 +237,6 @@ class DeviceWindowStore:
 
     def __init__(self, manifest: Sequence[ManifestEntry], seq_len: int, sharding=None,
                  ram: "Optional[Dict[str, Tuple[np.ndarray, int]]]" = None):
-        import h5py
         import jax
         import jax.numpy as jnp
 
