@@ -274,7 +274,9 @@ class ClassifyWorker(threading.Thread):
         log_message(f"Classifying: {path} with model '{model_name}'")
         ok = True
         try:
-            session.infer_h5(path)
+            # shutdown doubles as the cancel signal: an hour-long file spans
+            # hundreds of device calls and the teardown join is bounded
+            session.infer_h5(path, cancel_event=st.shutdown)
             st.callbacks.emit("notify_new_data_available")
         except Exception as e:
             ok = False

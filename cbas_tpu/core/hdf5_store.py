@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import threading
+import uuid
 from typing import Dict, Iterator, Optional, Tuple
 
 import h5py
@@ -41,7 +42,13 @@ class EmbeddingWriter:
         chunk_rows: int = DEFAULT_H5_CHUNK_ROWS,
     ):
         self.out_path = out_path
-        self.tmp_path = out_path + ".tmp"
+        # Unique staging name (same contract as infer.py's CSV tmp): two
+        # concurrent encoders of one video — the app's EncodeWorker and a
+        # fleet worker share no claim protocol — must not truncate each
+        # other's live h5py handle through a shared '<out>.tmp', or the
+        # first close(success=True) publishes interleaved pages as the
+        # durable done-marker. Keeps the '.tmp' suffix (cleanup sweeps).
+        self.tmp_path = f"{out_path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
         self._h5 = h5py.File(self.tmp_path, "w")
         if encoder_identifier is not None:
             self._h5.attrs["encoder_model_identifier"] = encoder_identifier

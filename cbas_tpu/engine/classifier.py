@@ -125,7 +125,10 @@ class ClassifierBundle:
 
     @classmethod
     def load(cls, model_dir: str, expected_encoder: Optional[str] = None) -> "ClassifierBundle":
-        config = load_yaml(os.path.join(model_dir, "config.yaml"))
+        # Empty/blank config.yaml parses to None (yaml.safe_load); normalize
+        # once so the .get() fallbacks below can't AttributeError on a
+        # legacy bundle whose metadata must come from shapes/meta instead.
+        config = dict(load_yaml(os.path.join(model_dir, "config.yaml")) or {})
 
         meta_path = os.path.join(model_dir, "model_meta.json")
         if os.path.exists(meta_path):

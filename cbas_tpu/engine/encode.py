@@ -156,39 +156,48 @@ def encode_file(
         done = 0
         # One device batch stays in flight: while chunk N computes on the TPU,
         # chunk N+1 is transferred/dispatched and chunk N-1's rows hit disk.
-        in_flight = None  # (pending, chunk_end)
+        in_flight = None  # (pending, chunk_end, was_warm, n_frames, dispatch_s)
+
+        def await_in_flight() -> None:
+            # The device wait is charged to the meter of the batch BEING
+            # awaited: charging it to the batch being dispatched (the old
+            # shape) credited batch 0's compile stall to batch 1's WARM
+            # entry, defeating the ENCODE_FRAMES vs ENCODE_FRAMES_COLD split.
+            nonlocal done, in_flight
+            pending, chunk_end, was_warm, n_frames, dispatch_s = in_flight
+            t = time.perf_counter()
+            emb = encoder.to_host(pending)
+            writer.append(emb)
+            dt = time.perf_counter() - t
+            metrics.add(H5_ROWS, emb.shape[0], dt)
+            if stats is not None:
+                stats.device_s += dt
+            # Compile-tainted batches go to their own meter so steady-state
+            # throughput stays honest and short videos still show activity.
+            meter = ENCODE_FRAMES if was_warm else ENCODE_FRAMES_COLD
+            metrics.add(meter, n_frames, dispatch_s + dt)
+            done = chunk_end
+            in_flight = None
+            if progress_callback:
+                progress_callback(done / video_len * 100.0)
+
         try:
             while True:
                 item = chunk_q.get()
                 if item is _SENTINEL:
                     if in_flight is not None:
-                        t = time.perf_counter()
-                        writer.append(encoder.to_host(in_flight[0]))
-                        if stats is not None:
-                            stats.device_s += time.perf_counter() - t
-                        done = in_flight[1]
-                        if progress_callback:
-                            progress_callback(done / video_len * 100.0)
+                        await_in_flight()
                     break
                 start, planes = item
                 t_enc = time.perf_counter()
                 pending = encoder.encode_planes_async(planes, batch=cfg.chunk_frames)
                 was_warm = pending[2]  # decided inside the encoder's program cache
+                dispatch_s = time.perf_counter() - t_enc
                 if in_flight is not None:
-                    t = time.perf_counter()
-                    emb = encoder.to_host(in_flight[0])
-                    writer.append(emb)
-                    metrics.add(H5_ROWS, emb.shape[0], time.perf_counter() - t)
-                    if stats is not None:
-                        stats.device_s += time.perf_counter() - t
-                    done = in_flight[1]
-                    if progress_callback:
-                        progress_callback(done / video_len * 100.0)
-                # Compile-tainted batches go to their own meter so steady-state
-                # throughput stays honest and short videos still show activity.
-                meter = ENCODE_FRAMES if was_warm else ENCODE_FRAMES_COLD
-                metrics.add(meter, len(planes), time.perf_counter() - t_enc)
-                in_flight = (pending, start + len(planes))
+                    await_in_flight()
+                in_flight = (
+                    pending, start + len(planes), was_warm, len(planes), dispatch_s
+                )
             if decode_err:
                 raise decode_err[0]
             if cancel_event is not None and cancel_event.is_set() and done < video_len:
@@ -274,20 +283,27 @@ def _encode_file_reuse(
         pending_rows: collections.deque = collections.deque()
         batches_done: dict = {}   # batch_idx -> host (n, D) embeddings
         next_batch = 0            # index the staging buffer will dispatch as
-        in_flight = None          # (batch_idx, pending)
+        in_flight = None  # (batch_idx, pending, n_frames, was_warm, dispatch_s)
         emitted = 0
         keys = reused = 0
 
         def resolve_in_flight() -> None:
+            # Meter at RESOLVE time (dispatch span + device wait), same
+            # attribution rule as the dense path's await_in_flight: metering
+            # at dispatch recorded only the ~ms async call, inflating
+            # reuse-mode ENCODE_FRAMES rates by orders of magnitude.
             nonlocal in_flight
             if in_flight is None:
                 return
-            bidx, pending = in_flight
+            bidx, pending, n_frames, was_warm, dispatch_s = in_flight
             in_flight = None
             t = time.perf_counter()
             batches_done[bidx] = encoder.to_host(pending)
+            dt = time.perf_counter() - t
             if stats is not None:
-                stats.device_s += time.perf_counter() - t
+                stats.device_s += dt
+            meter = ENCODE_FRAMES if was_warm else ENCODE_FRAMES_COLD
+            metrics.add(meter, n_frames, dispatch_s + dt)
 
         def dispatch_staging() -> None:
             nonlocal staged, in_flight, next_batch
@@ -302,17 +318,12 @@ def _encode_file_reuse(
             pending = encoder.encode_planes_async(
                 staging[:staged].copy(), batch=cfg.chunk_frames
             )
-            meter = ENCODE_FRAMES if pending[2] else ENCODE_FRAMES_COLD
-            metrics.add(meter, staged, time.perf_counter() - t_enc)
-            prev, in_flight = in_flight, (next_batch, pending)
+            dispatch_s = time.perf_counter() - t_enc
+            new = (next_batch, pending, staged, pending[2], dispatch_s)
             next_batch += 1
             staged = 0
-            if prev is not None:
-                bidx, p = prev
-                t = time.perf_counter()
-                batches_done[bidx] = encoder.to_host(p)
-                if stats is not None:
-                    stats.device_s += time.perf_counter() - t
+            resolve_in_flight()
+            in_flight = new
 
         def flush_rows() -> None:
             """Append the longest frame-order prefix whose batches are done,

@@ -174,8 +174,17 @@ class InferenceSession:
         h5_path: str,
         output_csv: Optional[str] = None,
         progress_callback: Optional[Callable[[float], None]] = None,
+        cancel_event=None,
     ) -> Optional[str]:
-        """Run the full file and write ``*_<model>_outputs.csv``."""
+        """Run the full file and write ``*_<model>_outputs.csv``.
+
+        ``cancel_event`` (a threading.Event) is polled per chunk: inference
+        of an hour-long video spans hundreds of device calls, and shutdown
+        joins workers with a bounded timeout — without a cancel hook the
+        join times out and a subsequent project load races the still-running
+        worker (same contract as encode_file's cancel_event). A canceled
+        file writes NO csv (the CSV's existence is the done-marker).
+        """
         output_csv = output_csv or outputs_csv_for_h5(h5_path, self.bundle.name)
         h = self.bundle.seq_len // 2
         chunk = self.cfg.chunk_frames
@@ -189,6 +198,8 @@ class InferenceSession:
 
             all_probs = []
             for start in range(0, total, chunk):
+                if cancel_event is not None and cancel_event.is_set():
+                    return None
                 end = min(start + chunk, total)
                 read_start = max(0, start - h)
                 read_end = min(total, end + h)

@@ -519,6 +519,20 @@ def train_head(
                 if i % 50 == 0:
                     print(f"[Epoch {e + 1}/{epochs} Batch {i}] Loss: {float(loss):.4f}")
 
+        def cancel_return():
+            # Mirror of the loop-top cancel branch: return only COMPLETE
+            # epochs' results.
+            nonlocal best_params, best_epoch
+            if best_params is None and not has_val and epoch_reports:
+                best_params, best_epoch = params, len(epoch_reports) - 1
+            return (jax.device_get(best_params) if best_params is not None else None,
+                    epoch_reports, best_epoch)
+
+        if cancel_event.is_set():
+            # Canceled mid-epoch: skip evaluation entirely — don't spend
+            # device time on a result that must be discarded anyway.
+            return cancel_return()
+
         # Per-epoch evaluation (balanced train stream + sequential val).
         eval_sampler = BalancedSampler(
             train_source.manifest, len(behaviors), seed=seed + 1000 + e
@@ -531,6 +545,10 @@ def train_head(
             t_true, t_pred = predict_source(
                 params, logits_prog, train_source, eval_sampler, batch_size, cancel_event
             )
+        if cancel_event.is_set():
+            # Cancel landed during the train-set eval: t_true is a truncated
+            # prefix (or empty) — don't record it or count it as no_improve.
+            return cancel_return()
         if t_true.size == 0:
             # Keep reports index-aligned with epoch numbers even for a
             # skipped evaluation (callers index reports[best_epoch]).
@@ -559,6 +577,14 @@ def train_head(
                 )
             if v_true.size:
                 val_report, val_cm = report_and_cm(v_true, v_pred, behaviors)
+
+        if cancel_event.is_set():
+            # A cancel that landed DURING evaluation truncated the predict
+            # loops: recording the partial prefix could beat the genuine
+            # best_f1 and be checkpointed as the production winner, and an
+            # empty val eval would inflate no_improve into a phantom
+            # early-stop on resume. Discard the epoch's evaluation.
+            return cancel_return()
 
         epoch_reports.append(PerformanceReport(train_report, train_cm, val_report, val_cm))
 
