@@ -296,6 +296,18 @@ class Api:
             self.state.project.save_camera(CameraSettings.from_dict(data))
         return True
 
+    def rename_camera(self, old_name: str, new_name: str) -> bool:
+        """Rename a camera, moving its config directory (reference:
+        record_page.py:307-360 — save_camera_settings delegates renames to
+        rename_camera_internal, which stops the stream/preview first)."""
+        new_name = self._safe_component(new_name)
+        if new_name is None or not self.state.project:
+            return False
+        if self.recorder:
+            self.recorder.stop(old_name)
+        self.stop_live_preview()
+        return self.state.project.rename_camera(old_name, new_name)
+
     def delete_camera(self, name: str) -> bool:
         proj = self.state.project
         if not proj or name not in proj.cameras:
@@ -462,14 +474,29 @@ class Api:
         return sorted(out)
 
     def get_inferred_videos_for_session(self, model_name: str, session: str) -> Dict[str, List[str]]:
+        """Subject -> video paths that have an outputs CSV for the model.
+
+        Returns VIDEO paths (not CSVs), with augmented siblings and orphaned
+        CSVs (video deleted) excluded — the reference's playback picker has
+        the same contract (label_train_page.py:449-466)."""
         if not self.state.project:
             return {}
+        from cbas_tpu.utils.naming import video_for_outputs_csv
+
         subjects = self.state.project.recordings.get(session, {})
-        return {
-            name: sorted(rec.classifications.get(model_name, []))
-            for name, rec in subjects.items()
-            if model_name in rec.classifications
-        }
+        out: Dict[str, List[str]] = {}
+        for name, rec in subjects.items():
+            videos = sorted(
+                v
+                for v in (
+                    video_for_outputs_csv(c, model_name)
+                    for c in rec.classifications.get(model_name, [])
+                )
+                if not is_aug_video(v) and os.path.exists(v)
+            )
+            if videos:
+                out[name] = videos
+        return out
 
     def get_classified_video_tree(self, model_name: str) -> Dict[str, Dict[str, List[str]]]:
         if not self.state.project:

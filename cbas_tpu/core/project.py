@@ -336,6 +336,25 @@ class Project:
         dump_yaml(cam.to_dict(), os.path.join(cam_dir, "config.yaml"))
         self.cameras[cam.name] = cam
 
+    def rename_camera(self, old_name: str, new_name: str) -> bool:
+        """Move cameras/<old>/ to cameras/<new>/ and rewrite the config name
+        (reference: record_page.py:326-360 rename_camera_internal). Refuses if
+        the target name already exists; the caller must stop any active
+        stream/preview first (the recorder indexes sessions by camera name)."""
+        new_name = new_name.strip()
+        if not new_name or old_name not in self.cameras:
+            return False
+        if new_name == old_name:
+            return True
+        new_dir = os.path.join(self.cameras_dir, new_name)
+        if new_name in self.cameras or os.path.exists(new_dir):
+            return False
+        os.rename(os.path.join(self.cameras_dir, old_name), new_dir)
+        cam = self.cameras.pop(old_name)
+        cam.name = new_name
+        self.save_camera(cam)
+        return True
+
     def create_dataset(
         self, name: str, behaviors: List[str], recordings_whitelist: List[str]
     ) -> Optional[Dataset]:

@@ -76,14 +76,35 @@ bus.on("log_line", (line) => {
 const overlay = document.getElementById("encode-overlay");
 const overlayFill = document.getElementById("encode-bar-fill");
 const overlayText = document.getElementById("encode-overlay-text");
+// While the overlay is visible, poll the queue depth so newly-watched files
+// arriving mid-batch are reflected (reference: global.js:170 polls
+// get_encoding_queue_status to drive the overlay counts).
+let encodeQueuePoll = null;
+let encodeQueueLine = "";
+function stopEncodeQueuePoll() {
+  clearInterval(encodeQueuePoll);
+  encodeQueuePoll = null;
+  encodeQueueLine = "";
+}
 bus.on("update_global_encoding_progress", (done, total, pct) => {
   if (done >= total) {
     overlay.classList.add("hidden");
+    stopEncodeQueuePoll();
     return;
   }
   overlay.classList.remove("hidden");
   overlayFill.style.width = pct + "%";
-  overlayText.textContent = `encoding ${done + 1}/${total} (${pct.toFixed(0)}%)`;
+  overlayText.textContent =
+    `encoding ${done + 1}/${total} (${pct.toFixed(0)}%)` + encodeQueueLine;
+  if (!encodeQueuePoll)
+    encodeQueuePoll = setInterval(async () => {
+      try {
+        const s = await rpc("get_encoding_queue_status");
+        encodeQueueLine = s.queued > 0 ? ` · ${s.queued} queued` : "";
+      } catch (_) {
+        stopEncodeQueuePoll();
+      }
+    }, 3000);
 });
 
 // ---- modal helper ---------------------------------------------------------

@@ -239,26 +239,21 @@
   async function refreshVideoList() {
     // The labeling list is scoped to the selected dataset's recording
     // whitelist (reference: get_hierarchical_video_list filters by it);
-    // the visualize page's list stays unscoped.
+    // the visualize page's picker is owned by visualize.js (scoped to
+    // classified videos instead).
     const ds = $("lt-ds-select").value || null;
-    const [scoped, all] = await Promise.all([
-      rpc("get_hierarchical_video_list", ds),
-      rpc("get_hierarchical_video_list"),
-    ]);
-    const fill = (sel, tree) => {
-      sel.innerHTML = "";
-      Object.entries(tree).forEach(([sess, subjects]) => {
-        Object.entries(subjects).forEach(([subj, vids]) => {
-          vids.forEach((v) => {
-            const label = `${sess}/${subj}/${v.path.split("/").pop()}` +
-              (v.has_labels ? " ✓" : "") + (v.encoded ? "" : " (not encoded)");
-            sel.appendChild(new Option(label, v.path));
-          });
+    const scoped = await rpc("get_hierarchical_video_list", ds);
+    const sel = $("lt-video-select");
+    sel.innerHTML = "";
+    Object.entries(scoped).forEach(([sess, subjects]) => {
+      Object.entries(subjects).forEach(([subj, vids]) => {
+        vids.forEach((v) => {
+          const label = `${sess}/${subj}/${v.path.split("/").pop()}` +
+            (v.has_labels ? " ✓" : "") + (v.encoded ? "" : " (not encoded)");
+          sel.appendChild(new Option(label, v.path));
         });
       });
-    };
-    fill($("lt-video-select"), scoped);
-    fill($("vz-video"), all);
+    });
   }
   $("lt-ds-select").onchange = refreshVideoList;
 
@@ -550,10 +545,24 @@
 
   $("lt-start").onclick = () =>
     rpc("start_labeling", $("lt-ds-select").value, $("lt-video-select").value);
-  $("lt-start-review").onclick = () =>
-    rpc("start_labeling_with_preload",
+  $("lt-start-review").onclick = async () => {
+    // Videos that already carry human labels get an explicit confirm before
+    // a review session (reference: startPreLabeling's video_has_labels
+    // check, label_train_page.js:1677-1691): committing the session later
+    // rewrites that video's entries in labels.yaml.
+    const video = $("lt-video-select").value;
+    if (await rpc("video_has_labels", video)) {
+      const msg =
+        "This video already contains human-verified labels.\n\n" +
+        "A Review & Correct session loads your existing labels alongside " +
+        "the model's new predictions; committing corrections will rewrite " +
+        "this video's labels with the combined set.\n\nProceed?";
+      if (!confirm(msg)) return;
+    }
+    await rpc("start_labeling_with_preload",
         $("lt-ds-select").value, $("lt-model-select").value,
-        $("lt-video-select").value, parseInt($("lt-smooth").value, 10));
+        video, parseInt($("lt-smooth").value, 10));
+  };
 
   // hygiene tools
   const report = (r) => {
@@ -618,7 +627,15 @@
   $("tr-ds").onchange = rebuildWeightsPanel;
 
   $("tr-train").onclick = async () => {
-    // Preflight first (reference: checkAndShowTrainModal runs the split
+    // H5-readiness gate first (reference: label_train_page.js:2212 —
+    // check_dataset_files_ready before training; unencoded videos would
+    // silently drop their labeled instances from the manifest).
+    const [ready, readyMsg] = await rpc("check_dataset_files_ready", $("tr-ds").value);
+    if (!ready) {
+      $("tr-status").textContent = readyMsg || "dataset files not ready";
+      return;
+    }
+    // Preflight next (reference: checkAndShowTrainModal runs the split
     // validity check before opening the dialog): warn-and-confirm instead of
     // silently training with an empty validation split.
     // test fraction is only reserved when the held-out-test box is checked

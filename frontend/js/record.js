@@ -56,6 +56,7 @@
       <img data-thumb="${name}" alt="">
       <div class="muted">${esc(cam.rtsp_url || "no URL")}</div>
       <div class="formrow">
+        name <input size="10" value="${name}" data-rename>
         fps <input size="2" value="${esc(cam.framerate)}" data-f="framerate">
         res <input size="3" value="${esc(cam.resolution)}" data-f="resolution">
         seg(s) <input size="4" value="${esc(cam.segment_seconds)}" data-f="segment_seconds">
@@ -74,6 +75,20 @@
         <button data-act="del" class="danger">Delete</button>
       </div>`;
     card.querySelector('[data-act="save"]').onclick = async () => {
+      // A changed name field renames first (moves cameras/<old>/ on disk,
+      // stopping any active stream — reference: record_page.js:396 +
+      // record_page.py rename_camera_internal), then settings save under
+      // the new name.
+      let saveName = cam.name;
+      const newName = card.querySelector("[data-rename]").value.trim();
+      if (newName && newName !== cam.name) {
+        if (!(await rpc("rename_camera", cam.name, newName))) {
+          alert(`rename failed: '${newName}' may already exist`);
+          refreshCameras();
+          return;
+        }
+        saveName = newName;
+      }
       const settings = { rtsp_url: cam.rtsp_url };
       card.querySelectorAll("[data-f]").forEach((inp) => {
         const v = parseFloat(inp.value);
@@ -82,7 +97,7 @@
         settings[inp.dataset.f] = Number.isFinite(v) ? v : cam[inp.dataset.f];
       });
       try {
-        await rpc("save_camera_settings", cam.name, settings);
+        await rpc("save_camera_settings", saveName, settings);
       } catch (e) {
         alert("save failed: " + e.message);
       }

@@ -29,6 +29,23 @@
     s.innerHTML = "";
     Object.keys(tree).forEach((sess) => s.appendChild(new Option(sess, sess)));
     await refreshSubjects(tree);
+    refreshVideoPicker(tree);
+  }
+
+  // Ethogram/playback video picker, scoped to videos that actually have
+  // predictions for the selected model (reference:
+  // get_inferred_videos_for_session feeds the playback list,
+  // label_train_page.js:1598) — both features need an outputs CSV.
+  function refreshVideoPicker(tree) {
+    const sel = $("vz-video");
+    sel.innerHTML = "";
+    Object.entries(tree || {}).forEach(([sess, subjects]) => {
+      Object.entries(subjects).forEach(([subj, vids]) => {
+        vids.forEach((v) =>
+          sel.appendChild(new Option(`${sess}/${subj}/${v.split("/").pop()}`, v))
+        );
+      });
+    });
   }
 
   async function refreshSubjects(tree) {

@@ -95,6 +95,33 @@ def test_camera_crud(api):
     assert api.delete_camera("cam1") and api.get_camera_list() == []
 
 
+def test_rename_camera(api):
+    import yaml
+
+    assert api.create_camera("cam1", {"rtsp_url": "rtsp://x", "framerate": 10})
+    assert api.create_camera("cam2", {"rtsp_url": "rtsp://y"})
+    # collision with an existing camera refuses (reference:
+    # record_page.py:329-332)
+    assert not api.rename_camera("cam1", "cam2")
+    # rename moves cameras/<old>/ and rewrites the config name
+    assert api.rename_camera("cam1", "camA")
+    assert {c["name"] for c in api.get_camera_list()} == {"camA", "cam2"}
+    proj = api.state.project
+    assert os.path.isdir(os.path.join(proj.cameras_dir, "camA"))
+    assert not os.path.isdir(os.path.join(proj.cameras_dir, "cam1"))
+    with open(os.path.join(proj.cameras_dir, "camA", "config.yaml")) as f:
+        assert yaml.safe_load(f)["name"] == "camA"
+    assert api.get_camera_settings("camA")["rtsp_url"] == "rtsp://x"
+    # the new name becomes a path component: traversal is refused
+    assert not api.rename_camera("camA", "../evil")
+    # unknown source / no-op rename
+    assert not api.rename_camera("ghost", "cam9")
+    assert api.rename_camera("camA", "camA")
+    # a from-disk reload sees the renamed camera
+    assert api.reload_project_data()
+    assert "camA" in {c["name"] for c in api.get_camera_list()}
+
+
 def test_trees_and_labels(api):
     tree = api.get_record_tree()
     assert set(tree["sess"]) == {"m0", "m1", "m2", "m3"}
@@ -210,6 +237,20 @@ def test_visualization_endpoints(api, tmp_path):
     ) == {"columns": ["walk", "rest"], "rows": n, "csv_path": csv}
     assert api.get_inferred_session_dirs("mymodel") == ["sess"]
     assert "m0" in api.get_classified_video_tree("mymodel")["sess"]
+
+    # The playback picker contract: VIDEO paths (not CSVs), aug siblings and
+    # orphaned CSVs excluded (reference: label_train_page.py:449-466).
+    aug_video = os.path.join(rec_dir, "m0_00001_aug.mp4")
+    open(aug_video, "wb").close()
+    pd.DataFrame({"walk": [0.9], "rest": [0.1]}).to_csv(
+        os.path.join(rec_dir, "m0_00001_aug_mymodel_outputs.csv"), index=False
+    )
+    pd.DataFrame({"walk": [0.9], "rest": [0.1]}).to_csv(
+        os.path.join(rec_dir, "m0_09999_mymodel_outputs.csv"), index=False
+    )  # orphan: no m0_09999.mp4
+    proj.reload()
+    inferred = api.get_inferred_videos_for_session("mymodel", "sess")
+    assert inferred["m0"] == [os.path.join(rec_dir, "m0_00001.mp4")]
 
     results = api.generate_actograms(
         root_dir=os.path.join(proj.recordings_dir, "sess"),
