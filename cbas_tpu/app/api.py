@@ -51,6 +51,7 @@ from cbas_tpu.ingest.standardize import (
 from cbas_tpu.ingest.watcher import RecordingWatcher
 from cbas_tpu.utils.logging import log_message
 from cbas_tpu.utils.naming import (
+    OUTPUTS_SUFFIX,
     h5_path_for_video,
     outputs_csv_for_h5,
     outputs_csv_is_stale,
@@ -392,8 +393,19 @@ class Api:
             return []
         return sorted(self.state.project.recordings.keys())
 
-    def reveal_recording_folder(self) -> Optional[str]:
-        return self.state.project.recordings_dir if self.state.project else None
+    def reveal_recording_folder(
+        self, session_name: Optional[str] = None, camera_name: Optional[str] = None
+    ) -> Optional[str]:
+        """No args: the recordings root. With the reference frontend's
+        (session, camera) pair (record_page.js:119 / record_page.py:288),
+        that subject's folder — None if it doesn't exist."""
+        if not self.state.project:
+            return None
+        root = self.state.project.recordings_dir
+        if session_name and camera_name:
+            p = os.path.join(root, session_name, camera_name)
+            return p if os.path.isdir(p) else None
+        return root
 
     # ------------------------------------------------------------------
     # Record/inference trees
@@ -498,13 +510,40 @@ class Api:
                 out[name] = videos
         return out
 
-    def get_classified_video_tree(self, model_name: str) -> Dict[str, Dict[str, List[str]]]:
+    def get_classified_video_tree(self, model_name: Optional[str] = None):
+        """With a model: {session: {subject: [video...]}} for that model (our
+        UI). Without — the reference frontend's zero-arg shape
+        (visualize_page.js:364 / visualize_page.py:361) — the reference's
+        nested-list tree of videos classified by ANY model:
+        [(session, [(subject, [{"name", "path"}...])...])...]."""
         if not self.state.project:
-            return {}
-        return {
-            session: self.get_inferred_videos_for_session(model_name, session)
-            for session in self.get_inferred_session_dirs(model_name)
-        }
+            return {} if model_name is not None else []
+        if model_name is not None:
+            return {
+                session: self.get_inferred_videos_for_session(model_name, session)
+                for session in self.get_inferred_session_dirs(model_name)
+            }
+        from cbas_tpu.utils.naming import video_for_outputs_csv
+
+        tree = []
+        for session in sorted(self.state.project.recordings):
+            subjects = []
+            for name, rec in sorted(self.state.project.recordings[session].items()):
+                classified = sorted(
+                    {
+                        v
+                        for m, csvs in rec.classifications.items()
+                        for v in (video_for_outputs_csv(c, m) for c in csvs)
+                        if os.path.exists(v) and not is_aug_video(v)
+                    }
+                )
+                if classified:
+                    subjects.append(
+                        (name, [{"name": os.path.basename(v), "path": v} for v in classified])
+                    )
+            if subjects:
+                tree.append((session, subjects))
+        return tree
 
     # ------------------------------------------------------------------
     # Import
@@ -598,9 +637,23 @@ class Api:
                     out.add(str(i.get("video", "")).replace("\\", "/"))
         return out
 
-    def video_has_labels(self, video_path: str) -> bool:
+    def video_has_labels(self, video_path: str, _ref_video: Optional[str] = None) -> bool:
+        """One arg: does ANY dataset label this video (our UI's confirm).
+        Two args — the reference frontend's (dataset_name, video_path) shape
+        (label_train_page.js:1677 / label_train_page.py:572) — scope the
+        check to that dataset's labels."""
         if not self.state.project:
             return False
+        if _ref_video is not None:
+            ds = self.state.project.datasets.get(video_path)
+            if ds is None:
+                return False
+            rel = os.path.relpath(_ref_video, self.state.project.path).replace("\\", "/")
+            return any(
+                inst.get("video") == rel
+                for insts in (ds.labels.get("labels") or {}).values()
+                for inst in insts or []
+            )
         rel = os.path.relpath(video_path, self.state.project.path).replace("\\", "/")
         return rel in self._labeled_video_set()
 
@@ -676,10 +729,14 @@ class Api:
         threading.Thread(target=worker, daemon=True).start()
         return True
 
-    def sync_augmented_dataset(self, dataset_name: str) -> int:
+    def sync_augmented_dataset(self, dataset_name: str, target_name: Optional[str] = None) -> int:
+        """One arg: the augmented dataset to resync from its source. Two args
+        — the reference's (source, target) shape (label_train_page.js:752) —
+        resync the TARGET (the augmented one; the source is derived from the
+        aug labels themselves, so the first arg is informational)."""
         if not self.state.project:
             return 0
-        return resync_aug_labels(self.state.project, dataset_name)
+        return resync_aug_labels(self.state.project, target_name or dataset_name)
 
     # ------------------------------------------------------------------
     # Models / training / inference
@@ -705,8 +762,28 @@ class Api:
         select_live_model(self.state, model_name)
         return True
 
-    def train_model(self, dataset_name: str, **hyperparams) -> bool:
+    # Positional order matches the reference's 17-arg train_model
+    # (backend/label_train_page.py:1804-1808) so the reference training
+    # dialog's call works unchanged; our dialog passes keywords. The
+    # reference JS sends numbers as strings — coerced below like the
+    # reference's int()/float() casts.
+    _TRAIN_POSITIONAL = (
+        ("batch_size", int), ("learning_rate", float), ("epochs", int),
+        ("sequence_length", int), ("training_method", str), ("patience", int),
+        ("num_runs", int), ("num_trials", int), ("optimization_target", str),
+        ("use_test", bool), ("test_split", float), ("custom_weights", None),
+        ("weight_decay", float), ("label_smoothing", float),
+        ("lstm_hidden_size", int), ("lstm_layers", int),
+    )
+
+    def train_model(self, dataset_name: str, *ref_args, **hyperparams) -> bool:
         """Queue a training job (the reference's 17-arg train_model)."""
+        if len(ref_args) > len(self._TRAIN_POSITIONAL):
+            raise TypeError(f"train_model takes at most {1 + len(self._TRAIN_POSITIONAL)} args")
+        for (key, cast), val in zip(self._TRAIN_POSITIONAL, ref_args):
+            if key in hyperparams:
+                raise TypeError(f"train_model got duplicate argument {key!r}")
+            hyperparams[key] = cast(val) if cast is not None and val is not None else val
         if not self.state.project or self.train_worker is None:
             return False
         ds = self.state.project.datasets.get(dataset_name)
@@ -767,10 +844,29 @@ class Api:
         return video_path
 
     def start_labeling(self, dataset_name: str, video_path: str,
+                       preloaded_instances: Optional[List[dict]] = None,
                        filter_for_behavior: Optional[str] = None) -> bool:
+        # Positional shape matches the reference's start_labeling(name,
+        # video, instances, filter_for_behavior) (backend/app.py:228) so the
+        # reference frontend's 4-arg call works unchanged.
         return self._start_session(
-            dataset_name, self._abs_video(video_path), None, filter_for_behavior
+            dataset_name, self._abs_video(video_path), preloaded_instances,
+            filter_for_behavior,
         )
+
+    def get_videos_for_dataset(self, dataset_name: str) -> List[List[str]]:
+        """[path, display] pairs of the dataset's whitelist-scoped videos —
+        the reference frontend's pre-label modal calls this
+        (label_train_page.js:1658) but the reference backend never defines
+        it, leaving that picker stuck on 'Loading videos…'; here it works."""
+        out: List[List[str]] = []
+        for sess, subjects in self.get_hierarchical_video_list(dataset_name).items():
+            for subj, vids in subjects.items():
+                for v in vids:
+                    out.append(
+                        [v["path"], f"{sess}/{subj}/{os.path.basename(v['path'])}"]
+                    )
+        return out
 
     def start_labeling_with_preload(
         self, dataset_name: str, model_name: str, video_path: str, smoothing_window: int
@@ -870,15 +966,33 @@ class Api:
         session.render_payload()
         return True
 
-    def start_playback_session(self, dataset_name: str, model_name: str, video_path: str) -> bool:
+    def start_playback_session(self, dataset_name, model_name, video_path=None, _ref_predictions=None) -> bool:
         """Read-only playback of the MODEL'S predictions through the labeling
         renderer (reference: label_train_page.py:1902-1929): the model's
         outputs CSV becomes the timeline, every instance shown regardless of
-        confidence, all edits blocked."""
+        confidence, all edits blocked.
+
+        Also accepts the reference frontend's 4-arg shape
+        (video_path, behaviors, colors, predictions) from
+        label_train_page.js:1345 — detected by the list in the second slot;
+        the model is resolved from the video's newest outputs CSV (the
+        shipped colors/predictions round-trip is unnecessary server-side)."""
         proj = self.state.project
         if proj is None:
             return False
-        video_path = self._abs_video(video_path)
+        if isinstance(model_name, (list, tuple)):
+            video_path = self._abs_video(dataset_name)
+            found = self._latest_outputs_csv(video_path)
+            if found is None:
+                return False
+            model_name = found[1]
+            # playback ignores the dataset's labels; any dataset anchors the
+            # session (behaviors come from the model override below)
+            if not proj.datasets:
+                return False
+            dataset_name = next(iter(sorted(proj.datasets)))
+        else:
+            video_path = self._abs_video(video_path)
         csv = outputs_csv_for_h5(h5_path_for_video(video_path), model_name)
         if not os.path.exists(csv):
             self.state.callbacks.emit(
@@ -996,19 +1110,59 @@ class Api:
             s.confirmation_mode = False
         return self._with_session(f)
 
-    def get_frame_from_video(self, video_path: str, frame_index: int) -> Optional[str]:
+    def get_frame_from_video(self, video_path: str, frame_index: int = 0) -> Optional[str]:
+        # frame_index defaults to 0 for the reference frontend's one-arg
+        # first-frame grab (label_train_page.js:770, crop preview).
         return grab_frame(video_path, frame_index=frame_index)
 
     # ------------------------------------------------------------------
     # Visualization
     # ------------------------------------------------------------------
 
-    def get_predictions_for_video(self, video_path: str, model_name: str) -> Optional[dict]:
-        csv = outputs_csv_for_h5(h5_path_for_video(video_path), model_name)
+    def _latest_outputs_csv(self, video_path: str) -> Optional[tuple]:
+        """(csv_path, model_name) of the newest outputs CSV for a video, any
+        model (reference: visualize_page.py:36-48 picks by mtime)."""
+        stem = os.path.splitext(os.path.basename(video_path))[0]
+        rec_dir = os.path.dirname(video_path)
+        try:
+            csvs = [
+                os.path.join(rec_dir, f)
+                for f in os.listdir(rec_dir)
+                if f.startswith(stem + "_") and f.endswith(OUTPUTS_SUFFIX)
+            ]
+        except OSError:
+            return None
+        if not csvs:
+            return None
+        latest = max(csvs, key=os.path.getmtime)
+        model = os.path.basename(latest)[len(stem) + 1 : -len(OUTPUTS_SUFFIX)]
+        return latest, model
+
+    def get_predictions_for_video(
+        self, video_path: str, model_name: Optional[str] = None
+    ) -> Optional[dict]:
+        """With a model: that model's outputs. Without (the reference
+        frontend's one-arg shape, visualize_page.js:411): the LATEST outputs
+        CSV for the video by mtime, whichever model wrote it."""
+        if model_name is None:
+            found = self._latest_outputs_csv(video_path)
+            if found is None:
+                return None
+            csv, model_name = found
+        else:
+            csv = outputs_csv_for_h5(h5_path_for_video(video_path), model_name)
         if not os.path.exists(csv):
             return None
         df = pd.read_csv(csv)
-        return {"columns": list(df.columns), "rows": len(df), "csv_path": csv}
+        model = self.state.project.models.get(model_name) if self.state.project else None
+        behaviors = list((model.config.get("behaviors") if model else None) or df.columns)
+        return {
+            "columns": list(df.columns),
+            "rows": len(df),
+            "csv_path": csv,
+            "model_name": model_name,
+            "behaviors": behaviors,
+        }
 
     def generate_actograms(
         self,
@@ -1067,7 +1221,24 @@ class Api:
         binsize_minutes: int,
         threshold: float,
         out_dir: Optional[str] = None,
+        _ref_threshold: Optional[float] = None,
     ) -> Optional[str]:
+        if _ref_threshold is not None:
+            # The reference frontend's 9-positional shape
+            # (visualize_page.js:347 / visualize_page.py:203): (out_dir,
+            # session, subject, model, behaviors, framerate, binsize,
+            # start_hour, threshold). start_hour only shifts the actogram
+            # PLOT, never the binned counts (cbas.py:999 bins from frame 0),
+            # so it is accepted and dropped; threshold arrives as a 0-100
+            # percentage (the reference divides by 100).
+            out_dir, session, subject, model, behaviors = (
+                root_dir, subject, model, behaviors, framerate)
+            framerate, binsize_minutes = float(binsize_minutes), int(threshold)
+            threshold = float(_ref_threshold) / 100.0
+            root_dir = (
+                os.path.join(self.state.project.recordings_dir, session)
+                if self.state.project else session
+            )
         directory = os.path.join(root_dir, subject)
         df = visualize.stitch_outputs(directory, model)
         if df is None:
@@ -1095,10 +1266,24 @@ class Api:
         except (OSError, UnicodeDecodeError):
             return None
 
-    def generate_ethogram(self, csv_path: str, framerate: float) -> Optional[str]:
-        if not os.path.exists(csv_path):
+    def generate_ethogram(self, path: str, framerate: float = 10.0):
+        """(csv_path, framerate) -> base64 PNG (our UI). A VIDEO path — the
+        reference frontend's one-arg shape (visualize_page.js:438 /
+        visualize_page.py:402) — resolves the newest outputs CSV for that
+        video and returns the reference's {"name", "blob"} dict."""
+        if path.endswith(".mp4"):
+            found = self._latest_outputs_csv(path)
+            if found is None or not os.path.exists(found[0]):
+                return None
+            df = pd.read_csv(found[0])
+            blob = visualize.ethogram_blob(
+                df, list(df.columns), framerate,
+                title=f"Ethogram for: {os.path.basename(path)}",
+            )
+            return {"name": os.path.basename(path), "blob": blob} if blob else None
+        if not os.path.exists(path):
             return None
-        df = pd.read_csv(csv_path)
+        df = pd.read_csv(path)
         behaviors = list(df.columns)
         return visualize.ethogram_blob(df, behaviors, framerate)
 

@@ -196,7 +196,9 @@
         if (!done)
           item.onclick = async () => {
             closeModal();
-            await rpc("start_labeling", name, video, beh);
+            // 3rd slot is preloaded_instances in the reference-shaped
+            // signature; the behavior filter rides 4th
+            await rpc("start_labeling", name, video, null, beh);
           };
         list.appendChild(item);
       });

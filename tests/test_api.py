@@ -232,9 +232,44 @@ def test_visualization_endpoints(api, tmp_path):
     pd.DataFrame({"walk": walk, "rest": 1 - walk}).to_csv(csv, index=False)
     proj.reload()
 
-    assert api.get_predictions_for_video(
-        os.path.join(rec_dir, "m0_00001.mp4"), "mymodel"
-    ) == {"columns": ["walk", "rest"], "rows": n, "csv_path": csv}
+    video = os.path.join(rec_dir, "m0_00001.mp4")
+    assert api.get_predictions_for_video(video, "mymodel") == {
+        "columns": ["walk", "rest"], "rows": n, "csv_path": csv,
+        "model_name": "mymodel", "behaviors": ["walk", "rest"],
+    }
+    # One-arg reference shape: newest outputs CSV by mtime, any model.
+    assert api.get_predictions_for_video(video)["model_name"] == "mymodel"
+    # Reference-shaped zero-arg tree: [(session, [(subject, [{name,path}])])].
+    ref_tree = api.get_classified_video_tree()
+    assert ref_tree[0][0] == "sess"
+    assert ref_tree[0][1][0] == ("m0", [{"name": "m0_00001.mp4", "path": video}])
+    # Video-path ethogram (reference one-arg shape) returns {"name","blob"}.
+    etho = api.generate_ethogram(video)
+    assert etho and etho["name"] == "m0_00001.mp4" and etho["blob"]
+
+    # Reference 9-positional export shape: (out_dir, session, subject, model,
+    # behaviors, framerate, binsize, start_hour, threshold-as-percent).
+    out_dir = str(tmp_path / "exports")
+    os.makedirs(out_dir, exist_ok=True)
+    path9 = api.generate_and_save_data(
+        out_dir, "sess", "m0", "mymodel", ["walk"], 10, 1, 0, 50
+    )
+    assert path9 and path9.startswith(out_dir) and os.path.exists(path9)
+    ours = api.generate_and_save_data(
+        os.path.join(api.state.project.recordings_dir, "sess"),
+        "m0", "mymodel", ["walk"], 10.0, 1, 0.5, out_dir,
+    )
+    import pandas as pd2
+    assert pd2.read_csv(path9)["walk"].tolist() == pd2.read_csv(ours)["walk"].tolist()
+
+    # Reference 4-arg playback shape (video, behaviors, colors, predictions):
+    # model resolved from the newest CSV; session opens read-only.
+    assert api.start_playback_session(
+        video, ["walk", "rest"], ["#fff", "#000"],
+        {"columns": ["walk", "rest"], "data": [[0.9, 0.1]]},
+    )
+    assert api.state.labeling_session is not None
+    assert api.state.labeling_session.mode == "playback"
     assert api.get_inferred_session_dirs("mymodel") == ["sess"]
     assert "m0" in api.get_classified_video_tree("mymodel")["sess"]
 
