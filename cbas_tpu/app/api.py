@@ -103,6 +103,8 @@ class Api:
         try:
             st.project = Project(path)
         except Exception as e:
+            # reference startup error dialog (startup_page.py showErrorOnStartup)
+            st.callbacks.emit("showErrorOnStartup", str(e))
             return {"success": False, "message": str(e)}
 
         try:
@@ -327,7 +329,11 @@ class Api:
         cam = self.state.project.cameras.get(name) if self.state.project else None
         if cam is None or not cam.rtsp_url:
             return None
-        return grab_frame(cam.rtsp_url, resize=(cam.resolution, cam.resolution))
+        b64 = grab_frame(cam.rtsp_url, resize=(cam.resolution, cam.resolution))
+        # The reference UI receives thumbnails as a PUSH (record_page.py:67
+        # eel.updateImageSrc), not from the RPC return; emit both ways.
+        self.state.callbacks.emit("updateImageSrc", name, b64)
+        return b64
 
     def fetch_specific_thumbnails(self, names: List[str]) -> Dict[str, Optional[str]]:
         """Grab many camera thumbnails concurrently (worker pool, see
@@ -341,6 +347,8 @@ class Api:
         }
         out: Dict[str, Optional[str]] = {n: None for n in names}
         out.update(grab_frames_parallel(sources))
+        for n, b64 in out.items():
+            self.state.callbacks.emit("updateImageSrc", n, b64)
         return out
 
     def start_camera_stream(self, name: str, session_name: str) -> bool:
@@ -582,6 +590,14 @@ class Api:
             on_imported=self._queue_external_video,
         )
         self.state.project.reload_recordings()
+        # reference completion toast (label_train_page.py:208-213)
+        self.state.callbacks.emit(
+            "notify_import_complete",
+            bool(imported),
+            f"Imported {len(imported)} video(s) to '{session_name}/{subject_name}'."
+            if imported
+            else "Import failed: no files were imported.",
+        )
         return imported
 
     # ------------------------------------------------------------------
@@ -1184,30 +1200,40 @@ class Api:
         with st.viz_lock:
             st.latest_viz_task_id = task_id
         directory = os.path.join(root_dir, subject)
-        master_df = visualize.stitch_outputs(directory, model)
-        if master_df is None:
-            return None
         results = {}
-        for behavior in behaviors:
-            with st.viz_lock:
-                if st.latest_viz_task_id != task_id:
-                    return None  # superseded
-            acto = visualize.Actogram(
-                behavior=behavior,
-                framerate=framerate,
-                start=start_hour,
-                binsize_minutes=binsize_minutes,
-                threshold=threshold,
-                lightcycle=lightcycle,
-                plot_acrophase=plot_acrophase,
-                preloaded_df=master_df,
-                model=model,
+        try:
+            master_df = visualize.stitch_outputs(directory, model)
+            if master_df is None:
+                return None
+            for behavior in behaviors:
+                with st.viz_lock:
+                    if st.latest_viz_task_id != task_id:
+                        return None  # superseded
+                acto = visualize.Actogram(
+                    behavior=behavior,
+                    framerate=framerate,
+                    start=start_hour,
+                    binsize_minutes=binsize_minutes,
+                    threshold=threshold,
+                    lightcycle=lightcycle,
+                    plot_acrophase=plot_acrophase,
+                    preloaded_df=master_df,
+                    model=model,
+                )
+                if acto.blob:
+                    results[behavior] = acto.blob
+        except Exception as e:
+            # our frontend surfaces the RPC error; the reference page listens
+            # for this event instead (visualize_page.py:166-173)
+            st.callbacks.emit(
+                "showErrorOnVisualizePage", f"Failed to generate actograms: {e}"
             )
-            if acto.blob:
-                results[behavior] = acto.blob
+            raise
         with st.viz_lock:
             if st.latest_viz_task_id == task_id:
-                st.callbacks.emit("updateActogramDisplay", results)
+                # task_id rides along for the reference page's own stale
+                # check (visualize_page.js:126); our frontend ignores it
+                st.callbacks.emit("updateActogramDisplay", results, task_id)
                 return results
         return None
 
@@ -1303,6 +1329,87 @@ def bind_eel(api: Api) -> bool:
     return True
 
 
+def _adapt_label_payload(args: tuple):
+    """Our rich labeling payload -> the reference's four receiver calls.
+
+    The reference render loop pushes updateLabelImageSrc(main, timeline,
+    zoom, activeBehavior) plus updateFileInfo / setConfirmationModeUI /
+    updateLabelingStats per behavior (backend/label_train_page.py render_image
+    path); our session emits ONE payload dict that our frontend draws
+    client-side. The bridge re-renders the raster strips server-side
+    (raster_to_blob) so the reference page shows real timeline images."""
+    from cbas_tpu.app.labeling import raster_to_blob
+
+    (p,) = args
+    colors = p.get("colors") or []
+    total = max(1, p.get("total_frames") or 1)
+    frac = (p.get("frame_index") or 0) / total
+    zoom_lo, zoom_hi = p.get("zoom_start", 0.0), p.get("zoom_end", total)
+    zoom_frac = None
+    if zoom_hi > zoom_lo and zoom_lo <= (p.get("frame_index") or 0) < zoom_hi:
+        zoom_frac = ((p.get("frame_index") or 0) - zoom_lo) / (zoom_hi - zoom_lo)
+    pending = p.get("pending") or {}
+    behaviors = p.get("behaviors") or []
+    ptype = pending.get("type")
+    active = (
+        behaviors[ptype] if isinstance(ptype, int) and 0 <= ptype < len(behaviors) else None
+    )
+    out = [
+        (
+            "updateLabelImageSrc",
+            (
+                p.get("frame"),
+                raster_to_blob(p.get("timeline") or [-1], colors, frac),
+                raster_to_blob(p.get("zoom_timeline") or [-1], colors, zoom_frac),
+                active,
+            ),
+        ),
+        ("updateFileInfo", (p.get("video_name") or "",)),
+        ("setConfirmationModeUI", (bool(p.get("confirmation_mode")),)),
+    ]
+    counts = p.get("counts") or {}
+    insts = p.get("instance_counts") or {}
+    for b in behaviors:
+        out.append(("updateLabelingStats", (b, insts.get(b, 0), counts.get(b, 0))))
+    return out
+
+
+# Emission-shape adapters for receivers whose reference signature differs
+# from our event payloads: our-event-name -> fn(args) -> [(js_name, args)].
+_EEL_ADAPTERS = {
+    # ours: (done, total, pct); reference: one status object
+    # (frontend/js/global.js:22, backend/workthreads.py:298-314)
+    "update_global_encoding_progress": lambda a: [
+        (
+            "update_global_encoding_progress",
+            (
+                {
+                    "overall_processed": a[0],
+                    "overall_total": a[1],
+                    "current_percent": a[2],
+                },
+            ),
+        )
+    ],
+    # ours: ({behavior: blob}, task_id); reference: ([{name, blob}], taskId)
+    # (frontend/js/visualize_page.js:126)
+    "updateActogramDisplay": lambda a: [
+        (
+            "updateActogramDisplay",
+            (
+                [{"name": k, "blob": v} for k, v in (a[0] or {}).items()],
+                a[1] if len(a) > 1 else 0,
+            ),
+        )
+    ],
+    # ours: one payload dict; reference: four distinct receivers
+    "updateLabelImageSrc": _adapt_label_payload,
+    # ours: "log_line"; reference: update_log_panel(message)
+    # (frontend/js/global.js:72, backend/app.py:400-409)
+    "log_line": lambda a: [("update_log_panel", (a[0],))],
+}
+
+
 def bridge_callbacks_to_eel(api: Api, eel_module=None):
     """Forward every worker Callbacks emission to the JS side.
 
@@ -1312,23 +1419,31 @@ def bridge_callbacks_to_eel(api: Api, eel_module=None):
     listener completes the bridge so the reference ``frontend/js/*`` pages —
     which register their receivers via JS-side ``eel.expose`` — receive the
     same ``update_global_encoding_progress`` / ``updateLabelImageSrc`` / ...
-    calls unchanged. Returns the registered listener (callers can
-    ``callbacks.remove_listener`` it).
+    calls in their expected shapes (``_EEL_ADAPTERS`` translates the events
+    whose payloads differ; everything else forwards verbatim). Returns the
+    registered listener (callers can ``callbacks.remove_listener`` it).
     """
     if eel_module is None:
         import eel as eel_module
 
     def forward(name: str, args: tuple) -> None:
-        js_fn = getattr(eel_module, name, None)
-        if js_fn is None:
-            return  # not a JS-exposed function (e.g. server-internal event)
+        adapter = _EEL_ADAPTERS.get(name)
         try:
-            # eel.<fn>(*args) returns a handle; calling it dispatches without
-            # waiting for a JS return value (fire-and-forget, like the
-            # reference's ``eel.updateLabelImageSrc(blob)()``).
-            js_fn(*args)()
-        except Exception as e:  # a dead websocket must never kill a worker
-            print(f"Eel callback '{name}' failed: {e}")
+            forwards = adapter(args) if adapter else [(name, args)]
+        except Exception as e:  # a malformed payload must never kill a worker
+            print(f"Eel adapter '{name}' failed: {e}")
+            return
+        for js_name, js_args in forwards:
+            js_fn = getattr(eel_module, js_name, None)
+            if js_fn is None:
+                continue  # not a JS-exposed function (e.g. server-internal)
+            try:
+                # eel.<fn>(*args) returns a handle; calling it dispatches
+                # without waiting for a JS return value (fire-and-forget,
+                # like the reference's ``eel.updateLabelImageSrc(blob)()``).
+                js_fn(*js_args)()
+            except Exception as e:  # a dead websocket must never kill a worker
+                print(f"Eel callback '{js_name}' failed: {e}")
 
     api.state.callbacks.add_listener(forward)
     return forward

@@ -50,6 +50,38 @@ def _sig(inst: dict) -> Tuple:
     return (inst["start"], inst["end"], inst["label"])
 
 
+def _hex_to_bgr(hx: str) -> Tuple[int, int, int]:
+    hx = hx.lstrip("#")
+    return (int(hx[4:6], 16), int(hx[2:4], 16), int(hx[0:2], 16))
+
+
+def raster_to_blob(
+    raster: Sequence[int],
+    colors: Sequence[str],
+    playhead_frac: Optional[float] = None,
+    height: int = 28,
+) -> str:
+    """Colorize a behavior-index timeline raster into a base64 JPEG strip.
+
+    Our own frontend colorizes the raw raster on a canvas; the REFERENCE
+    frontend expects server-rendered timeline image blobs
+    (updateLabelImageSrc's timeline/zoom args, label_train_page.js:904), so
+    the eel bridge renders them here. -1 entries are the unlabeled
+    background; ``playhead_frac`` draws the white playhead line."""
+    from cbas_tpu.app.media import _to_jpeg_b64
+
+    raster = np.asarray(raster, np.int32)
+    img = np.full((height, len(raster), 3), 52, np.uint8)  # #343434 background
+    for b in np.unique(raster):
+        if b < 0:
+            continue
+        img[:, raster == b] = _hex_to_bgr(colors[int(b) % len(colors)])
+    if playhead_frac is not None:
+        x = min(len(raster) - 1, max(0, int(playhead_frac * len(raster))))
+        img[:, max(0, x - 1) : x + 2] = (255, 255, 255)
+    return _to_jpeg_b64(img)
+
+
 class LabelingSession:
     """One interactive labeling session over a single video."""
 
@@ -582,6 +614,7 @@ class LabelingSession:
             "frame": frame_b64,
             "frame_index": self.frame_index,
             "total_frames": self.total_frames,
+            "video_name": os.path.basename(self.video_path),
             "timeline": self.timeline_raster().tolist(),
             # fixed-width (10%) zoom raster around the playhead/selection —
             # the reference renders a second, zoomed timeline every frame

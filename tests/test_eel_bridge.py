@@ -112,13 +112,47 @@ def test_bind_eel_exposes_every_reference_function(eel_stub):
 
 @needs_reference
 def test_bridge_forwards_every_js_callback_name(eel_stub):
+    """Every reference JS receiver is reachable through the bridge: verbatim
+    for pass-through events, via _EEL_ADAPTERS for the shape-translated ones
+    (whose payload fidelity test_reference_frontend_compat.py covers)."""
+    from cbas_tpu.app.api import _EEL_ADAPTERS
+
     api = Api(AppState())
     bridge_callbacks_to_eel(api, eel_module=eel_stub)
+    adapted_targets = {
+        js_name
+        for fn in _EEL_ADAPTERS.values()
+        for js_name, _ in _probe_adapter(fn)
+    }
     for i, name in enumerate(sorted(reference_js_callbacks())):
+        if name in _EEL_ADAPTERS or name in adapted_targets:
+            continue
         api.state.callbacks.emit(name, f"arg{i}", i)
     got = {name: args for name, args in eel_stub.js_calls}
     for i, name in enumerate(sorted(reference_js_callbacks())):
+        if name in _EEL_ADAPTERS or name in adapted_targets:
+            assert name in adapted_targets, f"adapter dropped '{name}'"
+            continue
         assert got.get(name) == (f"arg{i}", i), f"callback '{name}' not delivered"
+
+
+def _probe_adapter(fn):
+    """Drive an adapter with a representative production payload so its
+    target receiver names can be enumerated."""
+    payload = {
+        "frame": "b64", "frame_index": 1, "total_frames": 10,
+        "video_name": "v.mp4", "timeline": [-1, 0], "zoom_timeline": [0],
+        "zoom_start": 0.0, "zoom_end": 5.0, "behaviors": ["walk"],
+        "colors": ["#1f77b4"], "pending": {"type": -1, "start": -1},
+        "confirmation_mode": False, "counts": {"walk": 0},
+        "instance_counts": {"walk": 0},
+    }
+    for probe in ((payload,), ({"walk": "b64"}, 1), (1, 2, 50.0), ("line",)):
+        try:
+            return fn(probe)
+        except Exception:
+            continue
+    return []
 
 
 def test_bridge_survives_js_side_errors(eel_stub, capsys):
@@ -156,12 +190,18 @@ def test_worker_emission_reaches_js_end_to_end(eel_stub, monkeypatch, tmp_path):
     st.note_encode_queued()
     assert worker.process_one()
 
+    # The bridge delivers the reference's single status-object shape
+    # (frontend/js/global.js:22; backend/workthreads.py:298-314).
     progress_calls = [
-        args for name, args in eel_stub.js_calls
+        args[0] for name, args in eel_stub.js_calls
         if name == "update_global_encoding_progress"
     ]
-    assert (0, 1, 50.0) in progress_calls  # mid-file progress
-    assert (1, 1, 100.0) in progress_calls  # completion
+    assert {  # mid-file progress
+        "overall_processed": 0, "overall_total": 1, "current_percent": 50.0,
+    } in progress_calls
+    assert {  # completion
+        "overall_processed": 1, "overall_total": 1, "current_percent": 100.0,
+    } in progress_calls
 
 
 def test_main_eel_mode_wires_bridge_and_prints_contract(eel_stub, tmp_path, capsys):
