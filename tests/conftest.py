@@ -47,3 +47,61 @@ def load_reference_module(name: str):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+import contextlib
+import importlib.machinery
+import importlib.util
+import types
+
+
+def stub_module(name: str, **attrs):
+    """A stand-in for a reference dependency (eel/cmap/decord/...) with a
+    real ModuleSpec so importlib.util.find_spec on it doesn't raise."""
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    return m
+
+
+@contextlib.contextmanager
+def load_reference_page(target: str, stubs: dict):
+    """Load a reference GUI-page module (backend/<target>.py) for
+    differential oracles, with its runtime deps stubbed and the real
+    scientific modules (classifier_head, splits, cbas) underneath.
+
+    ``stubs`` maps module names (eel/gui_state/workthreads/cmap/...) to
+    stub modules from :func:`stub_module`. sys.modules is restored on exit
+    so oracle fixtures can't leak stubs into other tests.
+    """
+    stubs = dict(stubs)
+    if "decord" not in sys.modules:
+        stubs.setdefault("decord", stub_module("decord"))
+
+    def _load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    names = list(stubs) + [
+        "classifier_head", "backend", "backend.splits", "cbas",
+        f"ref_{target}",
+    ]
+    saved = {k: sys.modules.get(k) for k in names}
+    try:
+        sys.modules.update(stubs)
+        _load("classifier_head", os.path.join(REFERENCE_BACKEND, "classifier_head.py"))
+        backend_pkg = types.ModuleType("backend")
+        backend_pkg.__path__ = [REFERENCE_BACKEND]
+        sys.modules["backend"] = backend_pkg
+        _load("backend.splits", os.path.join(REFERENCE_BACKEND, "splits.py"))
+        _load("cbas", os.path.join(REFERENCE_BACKEND, "cbas.py"))
+        yield _load(f"ref_{target}", os.path.join(REFERENCE_BACKEND, f"{target}.py"))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
