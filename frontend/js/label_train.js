@@ -493,6 +493,16 @@
   };
   // video size toggle (reference: toggleVideoSize)
   $("lt-size").onclick = () => $("lt-frame").classList.toggle("size-lg");
+  // typed frame jump (reference: jumpToFrame + frame-jump-input,
+  // label_train_page.js:1388-1394 — Enter in the input or the Go button)
+  const jumpTyped = () => {
+    const n = parseInt($("lt-jump-input").value, 10);
+    if (!isNaN(n)) rpc("jump_to_frame", n);
+  };
+  $("lt-jump-go").onclick = jumpTyped;
+  $("lt-jump-input").addEventListener("keydown", (e) => {
+    if (e.key === "Enter") { e.preventDefault(); jumpTyped(); }
+  });
   $("lt-timeline-zoom").onclick = (e) => {
     if (!session || session.zoom_end === undefined) return;
     const r = e.target.getBoundingClientRect();
