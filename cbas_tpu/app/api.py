@@ -1141,13 +1141,32 @@ class Api:
         stem = os.path.splitext(os.path.basename(video_path))[0]
         rec_dir = os.path.dirname(video_path)
         try:
-            csvs = [
-                os.path.join(rec_dir, f)
-                for f in os.listdir(rec_dir)
-                if f.startswith(stem + "_") and f.endswith(OUTPUTS_SUFFIX)
-            ]
+            listing = os.listdir(rec_dir)
         except OSError:
             return None
+        # A bare startswith would also match sibling videos' outputs: the
+        # augmentation sibling ("x_aug_<model>_outputs.csv" for video x) and
+        # any longer-stem sibling ("trial1_retake_<model>_outputs.csv" for
+        # trial1). Apply stitch_outputs' two guards (app/visualize.py): skip
+        # when the remainder is an aug sibling's, or when a LONGER known
+        # video/H5 stem owns the file.
+        sib_stems = {f[:-4] for f in listing if f.endswith(".mp4")} | {
+            f[: -len("_cls.h5")] for f in listing if f.endswith("_cls.h5")
+        }
+        sib_stems.discard(stem)
+        prefix = stem + "_"
+        csvs = []
+        for f in listing:
+            if not (f.startswith(prefix) and f.endswith(OUTPUTS_SUFFIX)):
+                continue
+            rest = f[len(prefix) : -len(OUTPUTS_SUFFIX)]
+            if not rest or rest.startswith("aug_"):
+                continue
+            if any(
+                len(vs) > len(stem) and f.startswith(vs + "_") for vs in sib_stems
+            ):
+                continue
+            csvs.append(os.path.join(rec_dir, f))
         if not csvs:
             return None
         latest = max(csvs, key=os.path.getmtime)

@@ -220,19 +220,26 @@ def _run_classify_worker(manifest: str, encoder_path: str, model_dir: str,
     from cbas_tpu.engine.classifier import ClassifierBundle
     from cbas_tpu.engine.infer import InferenceSession
     from cbas_tpu.utils.claims import ClaimHeartbeat
-    from cbas_tpu.utils.naming import outputs_csv_for_h5
+    from cbas_tpu.utils.jax_setup import enable_compilation_cache
+    from cbas_tpu.utils.naming import outputs_csv_for_h5, outputs_csv_is_stale
 
+    enable_compilation_cache()
     bundle = ClassifierBundle.load(model_dir, expected_encoder=encoder_path)
     session = InferenceSession(bundle)
     model = bundle.name
     done = failed = 0
     for h5 in json.load(open(manifest)):
         csv = outputs_csv_for_h5(h5, model)
-        if os.path.exists(csv):
+        # Skip by the SAME rule the parent scan used (outputs_csv_is_stale),
+        # not bare existence: after a same-name retrain every stale CSV is in
+        # the manifest precisely because it exists but presents the previous
+        # model's predictions — an existence check would skip all of them.
+        if not outputs_csv_is_stale(csv, model_dir):
             continue
         if not try_claim(h5, claim_ttl, model=model):
             continue
-        if os.path.exists(csv):  # finished by the prior lease holder
+        # finished by the prior lease holder
+        if not outputs_csv_is_stale(csv, model_dir):
             release_claim(h5, model=model)
             continue
         try:

@@ -1,6 +1,7 @@
 """API surface tests on a synthetic project (headless)."""
 
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -239,6 +240,22 @@ def test_visualization_endpoints(api, tmp_path):
     }
     # One-arg reference shape: newest outputs CSV by mtime, any model.
     assert api.get_predictions_for_video(video)["model_name"] == "mymodel"
+    # Sibling outputs must never win the by-mtime pick, even when newer:
+    # the augmentation sibling's CSV and a longer-stem sibling video's CSV
+    # both start with this video's stem + "_".
+    aug_csv = os.path.join(rec_dir, "m0_00001_aug_mymodel_outputs.csv")
+    pd.DataFrame({"walk": walk[:5], "rest": 1 - walk[:5]}).to_csv(aug_csv, index=False)
+    sib_video = os.path.join(rec_dir, "m0_00001_retake.mp4")
+    open(sib_video, "wb").close()
+    sib_csv = os.path.join(rec_dir, "m0_00001_retake_othermodel_outputs.csv")
+    pd.DataFrame({"walk": walk[:5], "rest": 1 - walk[:5]}).to_csv(sib_csv, index=False)
+    future = time.time() + 60
+    os.utime(aug_csv, (future, future))
+    os.utime(sib_csv, (future, future))
+    picked = api.get_predictions_for_video(video)
+    assert picked["model_name"] == "mymodel" and picked["csv_path"] == csv
+    for p in (aug_csv, sib_csv, sib_video):
+        os.remove(p)
     # Reference-shaped zero-arg tree: [(session, [(subject, [{name,path}])])].
     ref_tree = api.get_classified_video_tree()
     assert ref_tree[0][0] == "sess"

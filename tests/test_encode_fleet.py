@@ -88,6 +88,32 @@ def test_two_cpu_workers_drain_the_demo_project(tmp_path):
                  if f.endswith(".claim") or f.endswith(".csv.tmp")]
     assert leftovers == []
 
+    # same-name retrain: weights newer than every CSV -> all 8 are stale and
+    # the workers must RE-classify them, not skip on bare CSV existence
+    # (the skip rule must match the parent scan's outputs_csv_is_stale)
+    model_dir = os.path.join(root, "models", "demo_behaviors_model")
+    now = time.time()
+    for fname in ("model.npz", "model.pth"):
+        wp = os.path.join(model_dir, fname)
+        if os.path.exists(wp):
+            os.utime(wp, (now, now))  # "retrained" just now
+    for l in per_file:  # CSVs predate the retrain
+        os.utime(l["csv"], (now - 1000, now - 1000))
+    out = subprocess.run(
+        [sys.executable, "-m", "cbas_tpu.tools.encode_fleet",
+         "--project", root, "--workers", "2", "--force-cpu",
+         "--model", "demo_behaviors_model"],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert lines[-1]["still_stale"] == 0
+    tallies = [l for l in lines if "worker_done" in l]
+    assert sum(w["classified"] for w in tallies) == 8, (
+        "stale CSVs after a retrain were skipped instead of re-classified"
+    )
+
 
 def test_claim_contention_exactly_one_winner(tmp_path):
     """N threads racing for the same claim: exactly one wins per round, even
