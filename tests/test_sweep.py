@@ -24,6 +24,44 @@ def test_batch_derivation_token_budget():
     assert derive_batch_size_for_seq_len(9999) == 32  # floor at minimum
 
 
+def test_batch_derivation_matches_reference_oracle():
+    """Differential oracle: our derivation vs the GENUINE reference
+    derive_batch_size_for_seq_len (/root/reference/sweep_runner.py:85-97),
+    over every grid point a sweep could plausibly visit.
+
+    The reference function is extracted from the source AST (the module's
+    top level imports the whole torch backend and builds a live experiment
+    grid, which a unit test must not execute); the two helpers are pure.
+    """
+    import ast
+
+    src_path = "/root/reference/sweep_runner.py"
+    if not os.path.exists(src_path):
+        pytest.skip("reference sweep_runner not available")
+    tree = ast.parse(open(src_path).read())
+    wanted = {"_nice_multiple", "derive_batch_size_for_seq_len"}
+    ns: dict = {}
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name in wanted:
+            exec(compile(ast.Module([node], []), src_path, "exec"), ns)
+    assert wanted <= ns.keys(), "reference helpers not found in sweep_runner.py"
+    ref = ns["derive_batch_size_for_seq_len"]
+
+    for seq_len in (1, 3, 9, 15, 31, 33, 63, 95, 127, 255, 1023, 9999):
+        for base_batch in (32, 256, 512, 1024, 2048):
+            for base_seq in (15, 31, 63):
+                for snap in (16, 32, 64):
+                    got = derive_batch_size_for_seq_len(
+                        seq_len, base_batch=base_batch, base_seq=base_seq,
+                        batch_cap=base_batch, minimum=32, snap=snap,
+                    )
+                    want = ref(
+                        seq_len, base_batch=base_batch, base_seq=base_seq,
+                        batch_cap=base_batch, minimum=32, snap=snap,
+                    )
+                    assert got == want, (seq_len, base_batch, base_seq, snap)
+
+
 @pytest.fixture(scope="module")
 def project(tmp_path_factory):
     root = tmp_path_factory.mktemp("sweepproj")
