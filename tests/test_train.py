@@ -137,7 +137,7 @@ def test_adam_matches_torch_with_decay_groups():
         params = optax.apply_updates(params, updates)
 
     np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(float(params["gate"]), float(tg), rtol=1e-4)
+    np.testing.assert_allclose(float(params["gate"]), float(tg.detach()), rtol=1e-4)
 
 
 # ---------------------------------------------------------------------------
