@@ -201,15 +201,21 @@ def bench_end_to_end(
     Median of ``repeats`` with spread: the sandbox relay's synchronized
     bandwidth swings run to run; a single best-of hides that noise floor.
 
-    When ``device_fps``/``frame_bytes`` are given, an H2D probe runs
-    immediately before every rep and the rep's *relay-expected* rate is the
-    harmonic of that probe's frame rate and the device program (the relay
-    serializes H2D against compute — controlled experiment in the module
-    docstring). ``pipeline_efficiency_pct`` = measured/expected per rep; a
-    value near 100 means the pipeline delivers everything the relay permits
-    at that instant, so relay weather cancels out of round-over-round
-    comparisons. (Comparing one global e2e median against an H2D ceiling
-    probed minutes earlier is meaningless under this variance.)"""
+    When ``device_fps``/``frame_bytes`` are given, each rep is *bracketed*
+    by H2D probes (one immediately before, one immediately after; the max of
+    the pair is used) and the rep's *relay-expected* rate is the harmonic of
+    that probe rate and the device program (the relay serializes H2D against
+    compute — controlled experiment in the module docstring).
+    ``pipeline_efficiency_pct`` = measured/expected per rep; a value near
+    100 means the pipeline delivers everything the relay permits at that
+    instant, so relay weather cancels out of round-over-round comparisons.
+    Bracketing matters: r3 used a single before-probe, which under-measured
+    the bandwidth available *during* the rep on the time-varying relay and
+    pushed efficiency medians to a meaningless 113-122% (r3 verdict weak #2).
+    Using max(before, after) biases the expected rate *up*, so efficiency
+    can no longer sit persistently above 100 because of probe placement.
+    (Comparing one global e2e median against an H2D ceiling probed minutes
+    earlier is meaningless under this variance.)"""
     from cbas_tpu.core.config import EncodeConfig
     from cbas_tpu.engine.encode import EncodeStats, encode_file
 
@@ -219,8 +225,7 @@ def bench_end_to_end(
     for rep in range(repeats + 1):
         normalize = rep > 0 and device_fps > 0 and frame_bytes > 0
         if normalize:
-            h2d_fps = bench_h2d(repeats=1)["median"] * 1e6 / frame_bytes
-            exp = 1.0 / (1.0 / h2d_fps + 1.0 / device_fps)
+            h2d_before = bench_h2d(repeats=1)["median"] * 1e6 / frame_bytes
         st = EncodeStats()
         out = encode_file(enc, path, config=cfg, stats=st)
         if out:
@@ -228,6 +233,9 @@ def bench_end_to_end(
         if rep > 0:  # rep 0 warms the device-program compile for this geometry
             rates.append(st.fps)
             if normalize:
+                h2d_after = bench_h2d(repeats=1)["median"] * 1e6 / frame_bytes
+                h2d_fps = max(h2d_before, h2d_after)
+                exp = 1.0 / (1.0 / h2d_fps + 1.0 / device_fps)
                 expected.append(exp)
                 effs.append(100.0 * st.fps / exp)
                 h2d_rates.append(h2d_fps)
@@ -364,13 +372,15 @@ def main() -> None:
         if outp:
             os.remove(outp)
         rates = []
-        for _ in range(3):
+        for _ in range(5):
             st = EncodeStats()
             outp = encode_file(enc, cage, config=cfgr, stats=st)
             if outp:
                 os.remove(outp)
             rates.append(st.fps)
-        extras["end_to_end_fps_256_reuse"] = _spread(rates)["median"]
+        reuse_spread = _spread(rates)
+        extras["end_to_end_fps_256_reuse"] = reuse_spread["median"]
+        extras["end_to_end_fps_256_reuse_spread"] = reuse_spread
         total = max(1, st.key_frames + st.reused_frames)
         extras["reuse_static_pct"] = round(100.0 * st.reused_frames / total, 1)
         # Relay-normalized summary: median per-rep efficiency vs what the
