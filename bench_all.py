@@ -140,13 +140,15 @@ def main() -> None:
         encode_rows += [
             ("facebook/dinov3-vits16", "dinov3-vits16", 1024, 256, 256),
             ("facebook/dinov3-vitl16", "dinov3-vitl16", 256, 256, 256),
-            # the project-default encoder family (patch 14 -> 329 tokens)
-            ("facebook/dinov2-with-registers-base", "dinov2-with-registers-base", 480, 256, 256),
+            # the project-default encoder family (patch 14 -> 329 tokens);
+            # batch re-tuned 480 -> 384 for the r4 flat-layout kernel
+            ("facebook/dinov2-with-registers-base", "dinov2-with-registers-base", 384, 256, 256),
             # 480p rows for the small/large backbones: BASELINE.json config 1
             # runs ViT-S on 640x480 video and config 4 batch-infers the L
             # backbone, so the table should bound both at that geometry too
             ("facebook/dinov3-vits16", "dinov3-vits16", 640, 480, 640),
-            ("facebook/dinov3-vitl16", "dinov3-vitl16", 96, 480, 640),
+            # batch re-tuned 96 -> 160 for the r4 flat-layout kernel
+            ("facebook/dinov3-vitl16", "dinov3-vitl16", 160, 480, 640),
         ]
     for args in encode_rows:
         rows.append(_encode_row(*args))

@@ -436,6 +436,39 @@ def _attention(
     # needs an even local head count (odd TP shards fall back to unpacked).
     packed = fused and hd == 64 and h_local % 2 == 0
 
+    if packed and fa.use_fat_attention():
+        # FLAT row-major layout (r4): plain 2-D projection matmuls feed the
+        # kernel directly — (B*N, D_local) row-major IS its operand layout,
+        # so XLA inserts no copies around the custom call (the packed einsum
+        # layout cost one full q/k/v copy per layer, HLO-verified). Falls
+        # through to the packed path when the geometry doesn't fit
+        # (fused_attention_fat returns None).
+        cos_full = sin_full = None
+        if rope is not None:
+            cos_full, sin_full = _full_rope_tables(rope, cfg.num_prefix_tokens, N)
+
+        def proj_flat(name: str, has_bias: bool) -> jnp.ndarray:
+            y = x @ params[f"{name}.weight"].T.astype(x.dtype)
+            if has_bias:
+                y = y + params[f"{name}.bias"].astype(x.dtype)
+            return y
+
+        q = proj_flat(names[0], biases[0])
+        k = proj_flat(names[1], biases[1])
+        v = proj_flat(names[2], biases[2])
+        ctx = fa.fused_attention_fat(
+            q, k, v, scale, n_valid=n_valid,
+            rope_cos=cos_full, rope_sin=sin_full,
+        )
+        if ctx is not None:
+            wo = params[f"{out_name}.weight"].astype(x.dtype)
+            h_out = wo.shape[1] // hd
+            out = ctx @ wo.T
+            out = _maybe_psum(out, h_out < H)
+            if out_bias:
+                out = out + params[f"{out_name}.bias"].astype(x.dtype)
+            return out
+
     if fused:
         cos_full = sin_full = None
         if rope is not None:

@@ -539,6 +539,186 @@ def fused_attention_packed(
     return out.reshape(B, G, N, dd)
 
 
+def _fat_kernel(
+    q_ref, k_ref, v_ref, cosq_ref, sinq_ref, cosk_ref, sink_ref, o_ref,
+    *, scale: float, n_valid: int, gb: int, n_pairs: int, use_rope: bool,
+    pvt: bool, unroll: bool,
+):
+    """Attention over row-major (gb, N, D) blocks — D = heads*64 with each
+    head PAIR a 128-aligned lane band. See :func:`fused_attention_fat`."""
+    n_pad = q_ref.shape[1]
+    d = 64
+
+    def rot_half(t):
+        return jnp.concatenate([-t[:, d // 2:], t[:, : d // 2]], axis=1)
+
+    if use_rope:
+        cq = cosq_ref[...] * scale  # scale folded into the q-side tables
+        sq = sinq_ref[...] * scale
+
+    if n_valid < n_pad:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+        live = row < n_valid
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+        live_col = col < n_valid
+    else:
+        live = live_col = None
+
+    def one_head(qh, kh, vh):
+        if use_rope:
+            qh = qh * cq.astype(qh.dtype) + rot_half(qh) * sq.astype(qh.dtype)
+            kh = kh * cosk_ref[...].astype(kh.dtype) + rot_half(kh) * sink_ref[...].astype(kh.dtype)
+        else:
+            qh = qh * jnp.asarray(scale, qh.dtype)
+        if live is not None:
+            vh = jnp.where(live, vh, jnp.zeros((), vh.dtype))
+        if pvt:
+            st = jax.lax.dot_general(kh, qh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            if live is not None:
+                st = jnp.where(live, st, _NEG_INF)
+            st = st - jnp.max(st, axis=0, keepdims=True)
+            p = jnp.exp(st)
+            den = jnp.sum(p, axis=0, keepdims=True)
+            ot = jax.lax.dot_general(vh.swapaxes(0, 1), p.astype(vh.dtype),
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) / den
+            return ot.swapaxes(0, 1)
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if live_col is not None:
+            s = jnp.where(live_col, s, _NEG_INF)
+        s = s - jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s)
+        den = jnp.sum(p, axis=1, keepdims=True)
+        return jax.lax.dot_general(p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32) / den
+
+    def pair_body(i, g):
+        off = g * 128
+        q2 = q_ref[pl.ds(i, 1), :, pl.ds(off, 128)][0]
+        k2 = k_ref[pl.ds(i, 1), :, pl.ds(off, 128)][0]
+        v2 = v_ref[pl.ds(i, 1), :, pl.ds(off, 128)][0]
+        o_a = one_head(q2[:, :d], k2[:, :d], v2[:, :d])
+        o_b = one_head(q2[:, d:], k2[:, d:], v2[:, d:])
+        o_ref[pl.ds(i, 1), :, pl.ds(off, 128)] = jnp.concatenate(
+            [o_a, o_b], axis=1).astype(o_ref.dtype)[None]
+
+    def item(i, _):
+        if unroll:
+            # Static unroll lets Mosaic emit static tile loads and stream the
+            # per-pair matmuls back to back: -11% whole-kernel at N=272 vs
+            # fori. Only chosen when the stacked score buffers fit VMEM.
+            for g in range(n_pairs):
+                pair_body(i, g)
+        else:
+            def pair(g, _2):
+                pair_body(i, g)
+                return 0
+            jax.lax.fori_loop(0, n_pairs, pair, 0)
+        return 0
+
+    jax.lax.fori_loop(0, gb, item, 0)
+
+
+def fused_attention_fat(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    n_valid: Optional[int] = None,
+    rope_cos: Optional[jnp.ndarray] = None,
+    rope_sin: Optional[jnp.ndarray] = None,
+    pvt: Optional[bool] = None,
+    interpret: bool = False,
+) -> Optional[jnp.ndarray]:
+    """Attention over FLAT row-major (B, N, D) tensors, D = num_heads * 64.
+
+    This is the production layout for d=64 backbones since r4: the plain 2-D
+    projection matmul's output (B*N, D) row-major IS the kernel's operand
+    layout (a free bitcast), so XLA inserts **no copies** around the custom
+    call — the packed (B, G, N, 128) einsum layout measurably cost one full
+    copy of q, k AND v per layer (HLO-verified, ~1.2 ms/layer at ViT-B
+    256x256). Each head pair occupies a 128-aligned lane band, sliced
+    in-kernel (Mosaic requires 128-multiple lane offsets; the 64-lane halves
+    split in-register exactly like the packed kernel). Whole-model: 2061 ->
+    2242 fps at ViT-B 256x256 batch 384, 498 -> 508 fps at 480p batch 320,
+    153 -> 155 fps ViT-L 480p (benchmarks/attn_probes/probe18-23).
+
+    Returns None when this kernel cannot serve the geometry (head_dim != 64,
+    odd pair count, or VMEM would overflow) — callers fall back to
+    :func:`fused_attention_packed`.
+    """
+    B, N, D = q.shape
+    if D % 128 != 0:
+        return None
+    if jax.default_backend() == "cpu" or os.environ.get("CBAS_PALLAS_INTERPRET"):
+        interpret = True
+    if n_valid is None:
+        n_valid = N
+    itemsize = q.dtype.itemsize
+    n_pairs = D // 128
+    use_rope = rope_cos is not None
+    if pvt is None:
+        pvt = _use_pvt(use_rope, N)
+
+    budget, limit = _vmem_caps()
+    # block VMEM: 4 tensors (q/k/v/o) double-buffered
+    per_item = 4 * 2 * N * D * itemsize
+    gb = 1
+    for cand in (8, 6, 4, 3, 2):
+        if B % cand == 0 and cand * per_item <= budget // 2:
+            gb = cand
+            break
+    if per_item > budget:
+        return None  # geometry too large for full-N blocks; packed path tiles
+    # static unroll keeps n_pairs score buffers live; only when they fit
+    unroll = n_pairs * N * N * 4 <= 4 * 1024 * 1024
+
+    d = 64
+    if use_rope:
+        cos_q = rope_cos.astype(jnp.float32)
+        sin_q = rope_sin.astype(jnp.float32)
+    else:
+        cos_q = jnp.ones((N, d), jnp.float32)
+        sin_q = jnp.zeros((N, d), jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fat_kernel, scale=scale, n_valid=n_valid, gb=gb, n_pairs=n_pairs,
+            use_rope=use_rope, pvt=pvt, unroll=unroll,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), q.dtype),
+        grid=(B // gb, 1),
+        in_specs=[
+            pl.BlockSpec((gb, N, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, N, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, N, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, d), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, d), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, d), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, d), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, N, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * (D // 64) * N * N * 64,
+            bytes_accessed=4 * B * N * D * itemsize,
+            transcendentals=B * (D // 64) * N * N,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
+        interpret=interpret,
+    )(q, k, v, cos_q, sin_q, cos_q, sin_q)
+    return out
+
+
+def use_fat_attention() -> bool:
+    """Whether the flat-layout kernel is enabled (default yes; env A/B)."""
+    env = os.environ.get("CBAS_ATTN_FAT")
+    if env is not None:
+        return env.lower() not in ("", "0", "false", "no", "off")
+    return True
+
+
 def reference_attention(q, k, v, scale):
     """The unfused jnp path (fp32 softmax), for fallback and parity tests."""
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale

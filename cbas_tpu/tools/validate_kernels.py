@@ -116,6 +116,33 @@ def main(geometries=None) -> int:
                 f"{'ok' if ok else 'FAIL'}"
             )
 
+            # The FLAT row-major layout (r4 production default for d=64):
+            # (B, N, H*d), head pairs on 128-lane bands.
+            from cbas_tpu.ops.flash_attention import fused_attention_fat
+
+            flat = lambda t: np.ascontiguousarray(  # noqa: E731
+                t.transpose(0, 2, 1, 3)
+            ).reshape(B, N, H * d)
+            got_f = fused_attention_fat(
+                jnp.asarray(flat(q)), jnp.asarray(flat(k)), jnp.asarray(flat(v)),
+                scale,
+                rope_cos=jnp.asarray(cos) if rope else None,
+                rope_sin=jnp.asarray(sin) if rope else None,
+            )
+            if got_f is not None:
+                unflat = (
+                    np.asarray(got_f, np.float64)
+                    .reshape(B, N, H, d)
+                    .transpose(0, 2, 1, 3)
+                )
+                err_ff = np.abs(unflat - want).max()
+                ok = err_ff < tol_f32
+                failures += not ok
+                print(
+                    f"B{B} H{H} N{N} d{d} rope={rope}: fat vs fp64 {err_ff:.2e} "
+                    f"{'ok' if ok else 'FAIL'}"
+                )
+
     # Production bf16 path vs unfused bf16 (480p ViT-B shape, or the last
     # override geometry when the test suite passes tiny shapes).
     bB, bH, bN, bd = (2, 12, 1205, 64) if geometries is None else geometries[-1][:4]

@@ -173,3 +173,82 @@ def test_use_pvt_selection_rule(monkeypatch):
         assert not _use_pvt(True, 1216)
     monkeypatch.setenv("CBAS_ATTN_PVT", "1")
     assert _use_pvt(False, 80)
+
+
+def _flatten_heads(t):
+    """(B, H, N, d) -> flat row-major (B, N, H*d) (the r4 fat layout)."""
+    B, H, N, d = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(B, N, H * d)
+
+
+def _unflatten_heads(t, H):
+    B, N, D = t.shape
+    return t.reshape(B, N, H, D // H).transpose(0, 2, 1, 3)
+
+
+@pytest.mark.parametrize("pvt", [False, True])
+@pytest.mark.parametrize(
+    "B,H,N,n_valid",
+    [
+        (2, 2, 128, None),    # aligned, one pair, unrolled
+        (3, 4, 272, 261),     # the 256x256 production geometry (gb=3 path)
+        (1, 2, 1216, 1205),   # the 480p geometry: fori pair loop
+    ],
+)
+def test_fat_attention_matches_reference(B, H, N, n_valid, pvt):
+    """Flat row-major (B, N, H*64) kernel == reference on the (B,H,N,d)
+    layout, both orientations, with model-level padding masked as keys."""
+    from cbas_tpu.ops.flash_attention import fused_attention_fat
+
+    d = 64
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
+    scale = d ** -0.5
+    nv = n_valid or N
+    want = reference_attention(q[:, :, :nv], k[:, :, :nv], v[:, :, :nv], scale)
+    got_flat = fused_attention_fat(
+        _flatten_heads(q), _flatten_heads(k), _flatten_heads(v), scale,
+        n_valid=n_valid, pvt=pvt, interpret=True,
+    )
+    assert got_flat is not None
+    got = _unflatten_heads(got_flat, H)[:, :, :nv]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_fat_attention_rope_matches_explicit():
+    """In-kernel RoPE on the fat layout == explicit rope + reference."""
+    from cbas_tpu.ops.flash_attention import fused_attention_fat
+
+    B, H, N, d = 1, 2, 144, 64
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, N, d)).astype(np.float32))
+    ang = jnp.asarray(rng.normal(size=(N, d // 2)).astype(np.float32))
+    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=-1)
+    sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=-1)
+    scale = d ** -0.5
+
+    def rot(t):
+        return jnp.concatenate([-t[..., d // 2:], t[..., : d // 2]], axis=-1)
+
+    qr = q * cos[None, None] + rot(q) * sin[None, None]
+    kr = k * cos[None, None] + rot(k) * sin[None, None]
+    want = reference_attention(qr, kr, v, scale)
+    for pvt in (False, True):
+        got_flat = fused_attention_fat(
+            _flatten_heads(q), _flatten_heads(k), _flatten_heads(v), scale,
+            rope_cos=cos, rope_sin=sin, pvt=pvt, interpret=True,
+        )
+        got = _unflatten_heads(got_flat, H)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_fat_attention_rejects_unservable_geometry():
+    """Non-128-multiple hidden dim -> None (caller falls back to packed)."""
+    from cbas_tpu.ops.flash_attention import fused_attention_fat
+
+    q = jnp.zeros((1, 16, 192), jnp.float32)  # 3 heads of 64: odd pair count
+    assert fused_attention_fat(q, q, q, 0.125, interpret=True) is None
