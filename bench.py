@@ -361,7 +361,10 @@ def main() -> None:
         # Reuse-gated encode on a cage-like (mostly static) clip: both H2D
         # and device batches shrink by the reuse ratio, so this row shows
         # the workload-level multiplier the opt-in approximation buys
-        # (docs/TPU.md "Inter-frame embedding reuse").
+        # (docs/TPU.md "Inter-frame embedding reuse"). Threshold 3.0 is the
+        # measured recommended default: the fidelity table in docs/TPU.md
+        # (python -m cbas_tpu.tools.reuse_fidelity) anchors this row's
+        # throughput to embedding drift and downstream argmax agreement.
         from cbas_tpu.core.config import EncodeConfig
         from cbas_tpu.engine.encode import EncodeStats, encode_file
 
