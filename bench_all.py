@@ -159,6 +159,25 @@ def main() -> None:
     rows.append(_head_train_row())
     print(json.dumps(rows[-1]), file=sys.stderr)
 
+    # Sustained multi-camera soak (tools/soak.py) — measured separately (a
+    # 10-minute wall-clock run doesn't belong in this table's loop) and
+    # merged from its report artifact when present.
+    soak_path = os.path.join(os.path.dirname(OUT_PATH), "soak_report.json")
+    if os.path.exists(soak_path):
+        with open(soak_path) as f:
+            soak = json.load(f)
+        confirm = soak.get("confirm") or {}
+        rows.append({
+            "program": "sustained multi-camera soak (watcher->encode->live classify)",
+            "geometry": "10 FPS 256x256 segments, ViT-B, production worker stack",
+            "sustained_cameras_per_chip": soak.get("sustained_cameras_per_chip"),
+            "confirm_minutes": confirm.get("minutes"),
+            "confirm_encode_fps": confirm.get("encode_fps_avg"),
+            "note": "sandbox relay serializes H2D against compute: lower "
+                    "bound vs a real TPU VM (docs/TPU.md)",
+        })
+        print(json.dumps(rows[-1]), file=sys.stderr)
+
     artifact = {
         "device": str(jax.devices()[0]),
         "jax": jax.__version__,

@@ -140,6 +140,21 @@ def encode_file(
             print(f"Warning: video {path} contains no frames; skipping.")
             return None
 
+        if video_len < cfg.chunk_frames:
+            # Short files — live-recording HLS segments are segment_seconds x
+            # 10 fps frames (reference: backend/cbas.py:751-799) — would pay
+            # the full chunk_frames program on a mostly-padding batch (a
+            # 300-frame segment through a 384-frame program wastes 28% of
+            # the device work). Snap the compiled batch down to the video
+            # length rounded to 32: uniform segment sizes compile once and
+            # waste <= 31 rows. Measured in the multi-camera soak
+            # (tools/soak.py).
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, chunk_frames=max(32, -(-video_len // 32) * 32)
+            )
+
         out_path = h5_path_for_video(path)
         t0 = time.perf_counter()
 
