@@ -361,16 +361,17 @@ def main() -> None:
         # Reuse-gated encode on a cage-like (mostly static) clip: both H2D
         # and device batches shrink by the reuse ratio, so this row shows
         # the workload-level multiplier the opt-in approximation buys
-        # (docs/TPU.md "Inter-frame embedding reuse"). Threshold 3.0 is the
-        # measured recommended default: the fidelity table in docs/TPU.md
-        # (python -m cbas_tpu.tools.reuse_fidelity) anchors this row's
-        # throughput to embedding drift and downstream argmax agreement.
+        # (docs/TPU.md "Inter-frame embedding reuse"). Threshold 1.0 is the
+        # measured recommended default — the fidelity table in docs/TPU.md
+        # (python -m cbas_tpu.tools.reuse_fidelity) shows 99.55% downstream
+        # argmax agreement there, while larger thresholds blind the gate to
+        # small-animal motion (moving-class F1 collapses at T>=2).
         from cbas_tpu.core.config import EncodeConfig
         from cbas_tpu.engine.encode import EncodeStats, encode_file
 
         cage = ensure_cage_video()
         st = EncodeStats()
-        cfgr = EncodeConfig(chunk_frames=384, reuse_threshold=3.0)
+        cfgr = EncodeConfig(chunk_frames=384, reuse_threshold=1.0)
         outp = encode_file(enc, cage, config=cfgr, stats=st)  # warm compile
         if outp:
             os.remove(outp)

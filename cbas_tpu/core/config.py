@@ -198,11 +198,14 @@ class EncodeConfig:
     # whose green plane differs from the last ENCODED (key) frame by less
     # than this mean-absolute-difference (0-255 units) copies that key's
     # embedding instead of re-encoding. Home-cage video is mostly static, so
-    # modest thresholds (~2-4) cut device batches severalfold; an
-    # APPROXIMATION by construction — downstream heads see stepwise-constant
-    # embeddings through static spans. Keys are compared against the last
-    # key (not the previous frame), so drift cannot accumulate past the
-    # threshold.
+    # even 1.0 skips ~70% of frames; an APPROXIMATION by construction —
+    # downstream heads see stepwise-constant embeddings through static
+    # spans. Keys are compared against the last key (not the previous
+    # frame), so drift cannot accumulate past the threshold.
+    # MEASURED GUIDANCE (docs/TPU.md fidelity table): use 1.0. A mouse-sized
+    # moving region shifts whole-frame MAD by only ~1-2 units, so thresholds
+    # at or above the sensor-noise floor swallow real motion and collapse
+    # moving-class F1 even though embedding cosine stays ~1.
     reuse_threshold: float = 0.0
 
 

@@ -15,7 +15,10 @@ cv2 = pytest.importorskip("cv2")
 
 from cbas_tpu.tools.reuse_fidelity import run
 
-RECOMMENDED_THRESHOLD = 3.0  # docs/TPU.md "Inter-frame embedding reuse"
+# docs/TPU.md "Inter-frame embedding reuse": 1.0 is the measured default —
+# the full-size table showed thresholds >= 2 swallow small-animal motion
+# (whole-frame MAD barely moves), collapsing moving-class F1.
+RECOMMENDED_THRESHOLD = 1.0
 
 
 def test_reuse_default_threshold_agreement():
