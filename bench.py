@@ -202,20 +202,24 @@ def bench_end_to_end(
     bandwidth swings run to run; a single best-of hides that noise floor.
 
     When ``device_fps``/``frame_bytes`` are given, each rep is *bracketed*
-    by H2D probes (one immediately before, one immediately after; the max of
-    the pair is used) and the rep's *relay-expected* rate is the harmonic of
-    that probe rate and the device program (the relay serializes H2D against
-    compute — controlled experiment in the module docstring).
-    ``pipeline_efficiency_pct`` = measured/expected per rep; a value near
-    100 means the pipeline delivers everything the relay permits at that
-    instant, so relay weather cancels out of round-over-round comparisons.
-    Bracketing matters: r3 used a single before-probe, which under-measured
-    the bandwidth available *during* the rep on the time-varying relay and
-    pushed efficiency medians to a meaningless 113-122% (r3 verdict weak #2).
-    Using max(before, after) biases the expected rate *up*, so efficiency
-    can no longer sit persistently above 100 because of probe placement.
-    (Comparing one global e2e median against an H2D ceiling probed minutes
-    earlier is meaningless under this variance.)"""
+    by H2D probes (one immediately before, one immediately after; their
+    MEAN estimates the bandwidth during the rep) and the rep's
+    *relay-expected* rate is the harmonic of that probe rate and the device
+    program (the relay serializes H2D against compute — controlled
+    experiment in the module docstring). ``pipeline_efficiency_pct`` =
+    measured/expected per rep; a value near 100 means the pipeline delivers
+    everything the relay permits at that instant.
+
+    MEASURED LIMIT of this normalization (r4): with the SAME pipeline,
+    before-only probes read 113-122% (r3), max(before, after) read 77-84%,
+    and the bracketed mean read 114-133% — per-rep spreads span 72-155%.
+    The residual is not probe placement: an e2e rep averages the relay over
+    many seconds while any probe samples an instant, and the relay swings
+    severalfold within a rep. Treat single-round efficiency medians as
+    ±35% noise; the round-over-round comparable numbers are the device
+    program rate (relay-free), the *spread* across reps, and the
+    queue-bounded soak (tools/soak.py). The bracketed mean is kept as the
+    least-biased point estimate."""
     from cbas_tpu.core.config import EncodeConfig
     from cbas_tpu.engine.encode import EncodeStats, encode_file
 
@@ -234,7 +238,7 @@ def bench_end_to_end(
             rates.append(st.fps)
             if normalize:
                 h2d_after = bench_h2d(repeats=1)["median"] * 1e6 / frame_bytes
-                h2d_fps = max(h2d_before, h2d_after)
+                h2d_fps = (h2d_before + h2d_after) / 2.0
                 exp = 1.0 / (1.0 / h2d_fps + 1.0 / device_fps)
                 expected.append(exp)
                 effs.append(100.0 * st.fps / exp)

@@ -549,12 +549,22 @@ def _fat_kernel(
     n_pad = q_ref.shape[1]
     d = 64
 
-    def rot_half(t):
-        return jnp.concatenate([-t[:, d // 2:], t[:, : d // 2]], axis=1)
-
     if use_rope:
-        cq = cosq_ref[...] * scale  # scale folded into the q-side tables
-        sq = sinq_ref[...] * scale
+        # PAIR-WIDE rope: tables tiled to the 128-lane pair width and the
+        # rotate-half expressed as one 4-slice lane permute, so rope runs
+        # once per pair on full-width tiles instead of twice on 64-lane
+        # halves. Bit-exact vs the per-half form; whole-model -8% at ViT-B
+        # 256x256 (benchmarks/attn_probes/probe24). Scale folds into the
+        # q-side tables.
+        cq2 = jnp.concatenate([cosq_ref[...] * scale] * 2, axis=1)
+        sq2 = jnp.concatenate([sinq_ref[...] * scale] * 2, axis=1)
+        ck2 = jnp.concatenate([cosk_ref[...]] * 2, axis=1)
+        sk2 = jnp.concatenate([sink_ref[...]] * 2, axis=1)
+
+    def rot_half_packed(t):
+        h = d // 2
+        return jnp.concatenate(
+            [-t[:, h:d], t[:, :h], -t[:, d + h:], t[:, d:d + h]], axis=1)
 
     if n_valid < n_pad:
         row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
@@ -565,11 +575,6 @@ def _fat_kernel(
         live = live_col = None
 
     def one_head(qh, kh, vh):
-        if use_rope:
-            qh = qh * cq.astype(qh.dtype) + rot_half(qh) * sq.astype(qh.dtype)
-            kh = kh * cosk_ref[...].astype(kh.dtype) + rot_half(kh) * sink_ref[...].astype(kh.dtype)
-        else:
-            qh = qh * jnp.asarray(scale, qh.dtype)
         if live is not None:
             vh = jnp.where(live, vh, jnp.zeros((), vh.dtype))
         if pvt:
@@ -599,6 +604,11 @@ def _fat_kernel(
         q2 = q_ref[pl.ds(i, 1), :, pl.ds(off, 128)][0]
         k2 = k_ref[pl.ds(i, 1), :, pl.ds(off, 128)][0]
         v2 = v_ref[pl.ds(i, 1), :, pl.ds(off, 128)][0]
+        if use_rope:
+            q2 = q2 * cq2.astype(q2.dtype) + rot_half_packed(q2) * sq2.astype(q2.dtype)
+            k2 = k2 * ck2.astype(k2.dtype) + rot_half_packed(k2) * sk2.astype(k2.dtype)
+        else:
+            q2 = q2 * jnp.asarray(scale, q2.dtype)
         o_a = one_head(q2[:, :d], k2[:, :d], v2[:, :d])
         o_b = one_head(q2[:, d:], k2[:, d:], v2[:, d:])
         o_ref[pl.ds(i, 1), :, pl.ds(off, 128)] = jnp.concatenate(
