@@ -321,7 +321,17 @@ def use_fused_attention() -> bool:
 def _ln(params: Params, name: str, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     x32 = x.astype(jnp.float32)
     mean = x32.mean(-1, keepdims=True)
-    var = x32.var(-1, keepdims=True)
+    if x.dtype == jnp.bfloat16:
+        # Single-pass variance (E[x^2] - mean^2): XLA does not merge the
+        # two-pass form's mean and var reductions, so this removes one full
+        # read of the activations per LN — measured -4.7 ms/model-batch at
+        # ViT-B 256x256 (benchmarks/attn_probes/probe25; output deviation
+        # ~6e-2 over 12 bf16 layers, the same scale as other bf16
+        # reorderings). The clamp guards the fp32 cancellation residue when
+        # |mean| >> std; the fp32 parity path keeps the exact two-pass form.
+        var = jnp.maximum((x32 * x32).mean(-1, keepdims=True) - mean * mean, 0.0)
+    else:
+        var = x32.var(-1, keepdims=True)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     return (
         y * params[f"{name}.weight"].astype(jnp.float32)
