@@ -345,10 +345,10 @@ def main() -> None:
         # stale table) so the per-rep efficiency normalization is honest.
         video256 = ensure_bench_video(BENCH_VIDEO_256, 256, 256)
         extras["decode_fps_256"] = round(bench_decode(video256), 1)
-        fps256 = bench_device_program(enc, 384, 256, 256)
+        fps256 = bench_device_program(enc, 448, 256, 256)
         extras["device_fps_256"] = round(fps256, 1)
         e2e256 = bench_end_to_end(
-            enc, video256, 384, device_fps=fps256, frame_bytes=256 * 256
+            enc, video256, 448, device_fps=fps256, frame_bytes=256 * 256
         )
         extras["end_to_end_fps_256"] = e2e256["median"]
         extras["end_to_end_fps_256_spread"] = e2e256
@@ -375,7 +375,7 @@ def main() -> None:
 
         cage = ensure_cage_video()
         st = EncodeStats()
-        cfgr = EncodeConfig(chunk_frames=384, reuse_threshold=1.0)
+        cfgr = EncodeConfig(chunk_frames=448, reuse_threshold=1.0)
         outp = encode_file(enc, cage, config=cfgr, stats=st)  # warm compile
         if outp:
             os.remove(outp)

@@ -134,15 +134,16 @@ def main() -> None:
     rows = []
     encode_rows = [
         ("facebook/dinov3-vitb16", "dinov3-vitb16", 320, 480, 640),
-        ("facebook/dinov3-vitb16", "dinov3-vitb16", 384, 256, 256),
+        ("facebook/dinov3-vitb16", "dinov3-vitb16", 448, 256, 256),
     ]
     if not QUICK:
         encode_rows += [
-            ("facebook/dinov3-vits16", "dinov3-vits16", 1024, 256, 256),
-            ("facebook/dinov3-vitl16", "dinov3-vitl16", 256, 256, 256),
+            ("facebook/dinov3-vits16", "dinov3-vits16", 896, 256, 256),
+            ("facebook/dinov3-vitl16", "dinov3-vitl16", 224, 256, 256),
             # the project-default encoder family (patch 14 -> 329 tokens);
-            # batch re-tuned 480 -> 384 for the r4 flat-layout kernel
-            ("facebook/dinov2-with-registers-base", "dinov2-with-registers-base", 384, 256, 256),
+            # batch re-tuned 480 -> 320 for the r4 flat-layout kernel (B=384
+            # is ~10% slow across models at 256x256 - M=3x128 matmul tiling)
+            ("facebook/dinov2-with-registers-base", "dinov2-with-registers-base", 320, 256, 256),
             # 480p rows for the small/large backbones: BASELINE.json config 1
             # runs ViT-S on 640x480 video and config 4 batch-infers the L
             # backbone, so the table should bound both at that geometry too

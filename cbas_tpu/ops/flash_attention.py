@@ -676,10 +676,21 @@ def fused_attention_fat(
     # block VMEM: 4 tensors (q/k/v/o) double-buffered
     per_item = 4 * 2 * N * D * itemsize
     gb = 1
-    for cand in (8, 6, 4, 3, 2):
-        if B % cand == 0 and cand * per_item <= budget // 2:
-            gb = cand
-            break
+    # gb caps at 4: larger groups never measured faster (gb=6 at B=384 and
+    # gb=4 at B=384 both read 2.76k fps ViT-B 256x256 — the batch dimension
+    # itself, not gb, drives the 320/448-vs-384 differences) and smaller
+    # blocks leave more VMEM headroom. CBAS_ATTN_FAT_GB overrides for
+    # measurement.
+    env_gb = os.environ.get("CBAS_ATTN_FAT_GB")
+    if env_gb:
+        gb = int(env_gb)
+        if B % gb or gb * per_item > budget:
+            raise ValueError(f"CBAS_ATTN_FAT_GB={gb} invalid for B={B}, N={N}")
+    else:
+        for cand in (4, 3, 2):
+            if B % cand == 0 and cand * per_item <= budget // 2:
+                gb = cand
+                break
     if per_item > budget:
         return None  # geometry too large for full-N blocks; packed path tiles
     # static unroll keeps n_pairs score buffers live; only when they fit
