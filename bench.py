@@ -246,7 +246,16 @@ def bench_end_to_end(
     result = _spread(rates)
     if effs:
         result["relay_expected"] = _spread(expected)
-        result["pipeline_efficiency_pct"] = _spread(effs)
+        # DEMOTED (r4 verdict weak #6): the efficiency percentage cannot
+        # resolve anything below +-35% under the relay's within-rep drift
+        # (the controlled experiment above), so it ships under a diagnostic
+        # key with its noise bound attached rather than as a headline
+        # metric. Round-over-round signals: the device rate, the rep
+        # spread, relay_expected, and the soak.
+        result["diag_pipeline_efficiency_pct"] = {
+            **_spread(effs),
+            "_noise_pm_pct": 35,
+        }
         # per-rep interleaved probes: the only H2D number comparable to
         # these e2e reps under the relay's minutes-scale drift
         result["h2d_fps_probes"] = _spread(h2d_rates)
@@ -391,12 +400,6 @@ def main() -> None:
         extras["end_to_end_fps_256_reuse_spread"] = reuse_spread
         total = max(1, st.key_frames + st.reused_frames)
         extras["reuse_static_pct"] = round(100.0 * st.reused_frames / total, 1)
-        # Relay-normalized summary: median per-rep efficiency vs what the
-        # relay permitted at each rep's instant (see bench_end_to_end).
-        if "pipeline_efficiency_pct" in e2e256:
-            extras["e2e_256_pipeline_efficiency_pct"] = e2e256[
-                "pipeline_efficiency_pct"
-            ]["median"]
     except Exception as e:  # end-to-end extras must never sink the headline
         extras["end_to_end_error"] = f"{type(e).__name__}: {e}"
 

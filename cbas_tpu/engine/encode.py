@@ -39,6 +39,26 @@ from cbas_tpu.utils.naming import h5_path_for_video
 _SENTINEL = object()
 
 
+def _snap_chunk(cfg: EncodeConfig, video_len: int) -> EncodeConfig:
+    """Snap the compiled device batch down for short files.
+
+    Live-recording HLS segments are segment_seconds x 10 fps frames
+    (reference: backend/cbas.py:751-799) — far below the default
+    chunk_frames, so they would pay a mostly-padding batch (a 300-frame
+    segment through a 384-frame program wastes 28% of the device work).
+    Snap to the video length rounded up to 32: uniform segment sizes
+    compile once and waste <= 31 rows. Applied on BOTH the dense and
+    reuse-gated paths (the reuse path is the recommended production
+    config, and segment files are exactly its workload). Measured in the
+    multi-camera soak (tools/soak.py).
+    """
+    if video_len >= cfg.chunk_frames:
+        return cfg
+    import dataclasses
+
+    return dataclasses.replace(cfg, chunk_frames=max(32, -(-video_len // 32) * 32))
+
+
 class EncodeStats:
     def __init__(self) -> None:
         self.frames = 0
@@ -140,20 +160,7 @@ def encode_file(
             print(f"Warning: video {path} contains no frames; skipping.")
             return None
 
-        if video_len < cfg.chunk_frames:
-            # Short files — live-recording HLS segments are segment_seconds x
-            # 10 fps frames (reference: backend/cbas.py:751-799) — would pay
-            # the full chunk_frames program on a mostly-padding batch (a
-            # 300-frame segment through a 384-frame program wastes 28% of
-            # the device work). Snap the compiled batch down to the video
-            # length rounded to 32: uniform segment sizes compile once and
-            # waste <= 31 rows. Measured in the multi-camera soak
-            # (tools/soak.py).
-            import dataclasses
-
-            cfg = dataclasses.replace(
-                cfg, chunk_frames=max(32, -(-video_len // 32) * 32)
-            )
+        cfg = _snap_chunk(cfg, video_len)
 
         out_path = h5_path_for_video(path)
         t0 = time.perf_counter()
@@ -275,6 +282,7 @@ def _encode_file_reuse(
         if video_len == 0:
             print(f"Warning: video {path} contains no frames; skipping.")
             return None
+        cfg = _snap_chunk(cfg, video_len)
         out_path = h5_path_for_video(path)
         t0 = time.perf_counter()
 

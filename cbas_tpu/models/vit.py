@@ -319,18 +319,34 @@ def use_fused_attention() -> bool:
 
 
 def _ln(params: Params, name: str, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    import os
+
     x32 = x.astype(jnp.float32)
-    mean = x32.mean(-1, keepdims=True)
-    if x.dtype == jnp.bfloat16:
+    if x.dtype == jnp.bfloat16 and not os.environ.get("CBAS_LN_TWO_PASS"):
         # Single-pass variance (E[x^2] - mean^2): XLA does not merge the
-        # two-pass form's mean and var reductions, so this removes one full
-        # read of the activations per LN — measured -4.7 ms/model-batch at
-        # ViT-B 256x256 (benchmarks/attn_probes/probe25; output deviation
-        # ~6e-2 over 12 bf16 layers, the same scale as other bf16
-        # reorderings). The clamp guards the fp32 cancellation residue when
-        # |mean| >> std; the fp32 parity path keeps the exact two-pass form.
+        # two-pass form's mean and var reductions, so folding both into one
+        # read of the activations saves a full pass per LN — measured
+        # -4.7 ms/model-batch / +6% fps at ViT-B 256x256
+        # (benchmarks/attn_probes/probe25; re-confirmed r5: 3046 vs 2877
+        # fps interleaved vs two-pass).
+        # NUMERICS (r4 advisor concern, measured r5): the form cancels in
+        # fp32 only when |row mean| >> row std. Pretrained DINOv2/v3
+        # "massive activations" are SPARSE huge dims, which blow up the
+        # VARIANCE — the safe direction: on rows with dims at +-1000-5000
+        # amid unit noise this form matches a two-pass fp64 reference to
+        # <=5e-6 (tests/test_vit_parity.py
+        # test_layernorm_single_pass_outlier_parity). Degradation needs a
+        # near-constant row (uniform offset with |mean|/std >~ 100:
+        # 5e-3 at mu/sigma=100, diverging by 1000) — a regime transformer
+        # hidden states do not occupy. A shifted one-pass form (variance
+        # about x[...,:1]) fixes even that regime but costs the entire win
+        # (2873 fps: the lane broadcast forces a second materialization),
+        # so the fix for exotic inputs is the env gate below.
+        # CBAS_LN_TWO_PASS=1 forces the exact two-pass form (A/B switch).
+        mean = x32.mean(-1, keepdims=True)
         var = jnp.maximum((x32 * x32).mean(-1, keepdims=True) - mean * mean, 0.0)
     else:
+        mean = x32.mean(-1, keepdims=True)
         var = x32.var(-1, keepdims=True)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     return (

@@ -675,6 +675,18 @@ def fused_attention_fat(
     budget, limit = _vmem_caps()
     # block VMEM: 4 tensors (q/k/v/o) double-buffered
     per_item = 4 * 2 * N * D * itemsize
+    # static unroll keeps n_pairs score buffers live; only when they fit
+    unroll = n_pairs * N * N * 4 <= 4 * 1024 * 1024
+    # Scratch that the block-spec accounting above does NOT see (r4 advisor):
+    # the fp32 score + probability buffers ((N, N) each, live concurrently
+    # within one_head; the pair's two heads run sequentially so they share,
+    # but the static unroll keeps each pair's buffers live) and the four
+    # widened (N, 128) fp32 rope tables. Omitting them let unusual
+    # geometries pass this check and then fail Mosaic VMEM allocation at
+    # outer-jit compile time — an exception, not the documented
+    # None-fallback contract.
+    scratch = (n_pairs if unroll else 1) * 2 * N * N * 4
+    scratch += 4 * N * 128 * 4
     gb = 1
     # gb caps at 4: larger groups never measured faster (gb=6 at B=384 and
     # gb=4 at B=384 both read 2.76k fps ViT-B 256x256 — the batch dimension
@@ -684,17 +696,15 @@ def fused_attention_fat(
     env_gb = os.environ.get("CBAS_ATTN_FAT_GB")
     if env_gb:
         gb = int(env_gb)
-        if B % gb or gb * per_item > budget:
+        if B % gb or gb * per_item + scratch > budget:
             raise ValueError(f"CBAS_ATTN_FAT_GB={gb} invalid for B={B}, N={N}")
     else:
         for cand in (4, 3, 2):
-            if B % cand == 0 and cand * per_item <= budget // 2:
+            if B % cand == 0 and cand * per_item + scratch <= budget // 2:
                 gb = cand
                 break
-    if per_item > budget:
+    if per_item + scratch > budget:
         return None  # geometry too large for full-N blocks; packed path tiles
-    # static unroll keeps n_pairs score buffers live; only when they fit
-    unroll = n_pairs * N * N * 4 <= 4 * 1024 * 1024
 
     d = 64
     if use_rope:

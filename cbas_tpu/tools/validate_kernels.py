@@ -161,6 +161,42 @@ def main(geometries=None) -> int:
     ok = err < 3e-2
     failures += not ok
     print(f"bf16 production path vs unfused: {err:.2e} {'ok' if ok else 'FAIL'}")
+
+    # Single-pass bf16 LayerNorm vs the exact two-pass form on rows spanning
+    # the outlier-activation regimes pretrained DINOv2/v3 backbones produce:
+    # sparse massive dims (variance-dominant — the safe direction for
+    # E[x^2]-mean^2) and moderate uniform offsets (r4 advisor finding; full
+    # characterization in models/vit.py _ln and
+    # tests/test_vit_parity.py::test_layernorm_single_pass_outlier_parity).
+    from cbas_tpu.models.vit import _ln
+
+    D = 768
+    sparse = rng.standard_normal((16, D))
+    for i in range(16):
+        sparse[i, rng.integers(0, D, 4)] = 1000.0 * (1 - 2 * (i % 2))
+    rows = np.concatenate(
+        [
+            rng.standard_normal((16, D)),
+            sparse,
+            30.0 + rng.standard_normal((16, D)),
+            -100.0 + 2.0 * rng.standard_normal((16, D)),
+        ]
+    )
+    xb = jnp.asarray(rows.astype(np.float32), jnp.bfloat16)
+    p = {
+        "ln.weight": jnp.ones((D,), jnp.float32),
+        "ln.bias": jnp.zeros((D,), jnp.float32),
+    }
+    got = np.asarray(_ln(p, "ln", xb, 1e-6).astype(jnp.float32), np.float64)
+    xq = np.asarray(xb.astype(jnp.float32), np.float64)
+    ref = (xq - xq.mean(-1, keepdims=True)) / np.sqrt(xq.var(-1, keepdims=True) + 1e-6)
+    ref = np.asarray(
+        jnp.asarray(ref.astype(np.float32), jnp.bfloat16).astype(jnp.float32), np.float64
+    )
+    err_ln = np.abs(got - ref).max()
+    ok = err_ln < 6e-2  # ~2 bf16 output ulp at |y| <= 5
+    failures += not ok
+    print(f"single-pass bf16 LayerNorm (outlier rows) vs two-pass: {err_ln:.2e} {'ok' if ok else 'FAIL'}")
     return 1 if failures else 0
 
 

@@ -234,3 +234,55 @@ def test_dinov3_zero_registers_forward():
     x = jnp.zeros((1, 3, 32, 32), jnp.float32)
     out = vit_forward(params, x, cfg)
     assert out.shape == (1, 1 + (32 // 16) ** 2, 64)
+
+
+def test_layernorm_single_pass_outlier_parity():
+    """The single-pass bf16 LayerNorm must match the exact two-pass form on
+    outlier-activation rows (r4 advisor finding). Pretrained DINOv2/v3
+    "massive activations" are SPARSE huge dims — variance-dominant, the
+    safe direction for E[x^2]-mean^2 — so parity must be near-exact there;
+    moderate uniform offsets must stay under bf16 output quantization. (The
+    only failing regime, a near-constant row with |mean|/std >~ 100, is not
+    one hidden states occupy; CBAS_LN_TWO_PASS=1 covers exotic inputs.)
+    Shipped form: models/vit.py _ln."""
+    from cbas_tpu.models.vit import _ln
+
+    rng = np.random.default_rng(0)
+    D = 768
+
+    def sparse_outlier_rows(n, magnitude, k):
+        r = rng.standard_normal((n, D))
+        for i in range(n):
+            r[i, rng.integers(0, D, k)] = magnitude * (1 - 2 * (i % 2))
+        return r
+
+    rows = np.concatenate(
+        [
+            rng.standard_normal((8, D)),            # plain
+            sparse_outlier_rows(8, 1000.0, 4),       # DINO-style outliers
+            sparse_outlier_rows(8, 5000.0, 2),       # extreme outliers
+            30.0 + rng.standard_normal((8, D)),      # moderate offset
+            -100.0 + 2.0 * rng.standard_normal((8, D)),
+        ]
+    ).astype(np.float32)
+    x = jnp.asarray(rows, jnp.bfloat16)
+    params = {
+        "ln.weight": jnp.ones((D,), jnp.float32),
+        "ln.bias": jnp.zeros((D,), jnp.float32),
+    }
+    got = np.asarray(_ln(params, "ln", x, 1e-6).astype(jnp.float32), np.float64)
+    # exact reference on the SAME bf16-quantized inputs, fp64 two-pass
+    xq = np.asarray(x.astype(jnp.float32), np.float64)
+    ref = (xq - xq.mean(-1, keepdims=True)) / np.sqrt(
+        xq.var(-1, keepdims=True) + 1e-6
+    )
+    ref = np.asarray(
+        jnp.asarray(ref.astype(np.float32), jnp.bfloat16).astype(jnp.float32),
+        np.float64,
+    )
+    err = np.abs(got - ref)
+    # sparse-outlier rows: near-exact (measured <=5e-6 internal; allow a
+    # few output-rounding flips at bf16 granularity)
+    assert err[8:24].max() < 4e-2
+    # everything: under ~2 bf16 output ulp at |y| <= 5
+    assert err.max() < 6e-2
