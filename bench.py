@@ -374,17 +374,18 @@ def main() -> None:
         # Reuse-gated encode on a cage-like (mostly static) clip: both H2D
         # and device batches shrink by the reuse ratio, so this row shows
         # the workload-level multiplier the opt-in approximation buys
-        # (docs/TPU.md "Inter-frame embedding reuse"). Threshold 1.0 is the
-        # measured recommended default — the fidelity table in docs/TPU.md
-        # (python -m cbas_tpu.tools.reuse_fidelity) shows 99.55% downstream
-        # argmax agreement there, while larger thresholds blind the gate to
-        # small-animal motion (moving-class F1 collapses at T>=2).
+        # (docs/TPU.md "Inter-frame embedding reuse"). T=6 with the default
+        # 32px tile-max gate is the measured recommended setting — the r5
+        # fidelity table (python -m cbas_tpu.tools.reuse_fidelity) shows it
+        # reuses every static frame (the fixture ceiling) at 99.55%
+        # downstream argmax agreement, with a flat plateau over T in
+        # [4, 12]; the r4 whole-frame gate capped safe reuse at ~70%.
         from cbas_tpu.core.config import EncodeConfig
         from cbas_tpu.engine.encode import EncodeStats, encode_file
 
         cage = ensure_cage_video()
         st = EncodeStats()
-        cfgr = EncodeConfig(chunk_frames=448, reuse_threshold=1.0)
+        cfgr = EncodeConfig(chunk_frames=448, reuse_threshold=6.0)
         outp = encode_file(enc, cage, config=cfgr, stats=st)  # warm compile
         if outp:
             os.remove(outp)

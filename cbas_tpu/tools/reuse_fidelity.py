@@ -13,13 +13,16 @@ downstream predictions (r3 verdict weak #3). This tool:
    production deltas head on the dense embeddings (random-init backbone:
    a random projection preserves frame-to-frame distances, which is what
    both the gate and the drift metrics see);
-3. for each threshold in --thresholds: reuse-encodes, then reports
-   reuse %, embedding cosine/L2 drift vs dense, frame-level argmax
-   agreement of the trained head, and per-behavior F1 delta against the
-   ground truth.
+3. for each (tile, threshold) in --tiles x --thresholds: reuse-encodes,
+   then reports reuse %, embedding cosine/L2 drift vs dense, frame-level
+   argmax agreement of the trained head, and per-behavior F1 delta against
+   the ground truth. tile=0 is the legacy whole-frame MAD gate (r4); tiled
+   gates (EncodeConfig.reuse_tile) separate the sensor-noise floor from
+   mouse-scale motion, which is what lifts safe reuse past the r4 ~70% cap
+   (r4 verdict weak #3 / next #1).
 
 Run on the TPU host:  python -m cbas_tpu.tools.reuse_fidelity
-The r4 table lives in docs/TPU.md; tests/test_reuse_fidelity.py gates
+The r5 table lives in docs/TPU.md; tests/test_reuse_fidelity.py gates
 agreement at the recommended default on a reduced fixture.
 """
 
@@ -63,7 +66,7 @@ def make_cage_clip(path: str, n_frames: int = 2000, size: int = 256,
 
 
 def run(thresholds, n_frames=2000, size=256, seq_len=31, epochs=4,
-        tiny=False, out_json=None):
+        tiny=False, out_json=None, tiles=(32,)):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -145,10 +148,12 @@ def run(thresholds, n_frames=2000, size=256, seq_len=31, epochs=4,
         return 2 * p * r / max(1e-9, p + r)
 
     rows = []
-    for T in thresholds:
+    for tile in tiles:
+      for T in thresholds:
         st = EncodeStats()
         h5 = encode_file(enc, video,
-                         config=EncodeConfig(chunk_frames=chunk, reuse_threshold=T),
+                         config=EncodeConfig(chunk_frames=chunk, reuse_threshold=T,
+                                             reuse_tile=int(tile)),
                          stats=st)
         emb = read_all(h5).astype(np.float32)
         pred = predict(h5)
@@ -160,6 +165,7 @@ def run(thresholds, n_frames=2000, size=256, seq_len=31, epochs=4,
         l2_rel = np.linalg.norm(dense - emb, axis=1) / np.maximum(1e-9, dn)
         total = max(1, st.key_frames + st.reused_frames)
         rows.append({
+            "tile": int(tile),
             "threshold": T,
             "reuse_pct": round(100.0 * st.reused_frames / total, 1),
             "cosine_min": round(float(cosine.min()), 4),
@@ -192,14 +198,17 @@ def run(thresholds, n_frames=2000, size=256, seq_len=31, epochs=4,
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--thresholds", nargs="+", type=float, default=[1, 2, 3, 5])
+    ap.add_argument("--thresholds", nargs="+", type=float,
+                    default=[3, 4, 6, 8, 12, 20])
+    ap.add_argument("--tiles", nargs="+", type=int, default=[32],
+                    help="gate tile sizes to sweep; 0 = whole-frame MAD (r4)")
     ap.add_argument("--frames", type=int, default=2000)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
     run(args.thresholds, n_frames=args.frames, size=args.size, tiny=args.tiny,
-        out_json=args.out)
+        out_json=args.out, tiles=args.tiles)
     return 0
 
 

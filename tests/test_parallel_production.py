@@ -355,3 +355,21 @@ def test_vitl_preset_param_pspecs_shard_shapes():
     assert specs["patch_embed.weight"] == P()
     # 16 heads over model=2 -> 8 whole heads of 64 per shard: 512-row shards.
     assert (D // 2) % cfg.head_dim == 0
+
+
+def test_weak_scaling_shape_2dev():
+    """DP weak-scaling shape at 2 devices (r4 verdict weak #5): one
+    weak-scaled step on a 2-device mesh must cost ~2x a single-device step
+    on this shared-core host (embarrassingly parallel encode inserts no
+    cross-device work beyond the parameter broadcast). A pathological
+    collective or resharding in the DP program would blow the bound. The
+    full 1/2/4/8 sweep artifact is benchmarks/weak_scaling.json
+    (python -m cbas_tpu.tools.weak_scaling)."""
+    from cbas_tpu.tools.weak_scaling import _child
+
+    r1 = _child(1, per_device_batch=4, iters=3)
+    r2 = _child(2, per_device_batch=4, iters=3)
+    overhead = (r2["step_s"] - 2 * r1["step_s"]) / (2 * r1["step_s"])
+    # generous bound: CI hosts share cores and time noisily; the signal is
+    # "not super-linear", not a precise percentage
+    assert overhead < 0.5, f"2-device weak-scaled step {r2} vs 1-device {r1}"

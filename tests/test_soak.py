@@ -19,9 +19,10 @@ from cbas_tpu.tools.soak import run_soak
 def test_soak_tiny_sustained(tmp_path):
     r = run_soak(cameras=2, minutes=0.3, segment_seconds=5, size=32,
                  tiny=True, project_dir=str(tmp_path))
-    assert r.segments_dropped >= 4              # feeder paced correctly
+    assert r.segments_delivered >= 4            # feeder paced correctly
     assert r.segments_encoded >= 2              # H5s written via the workers
     assert r.segments_classified >= 1           # live chain produced CSVs
+    assert r.actograms_generated >= 1           # visualize path ran in-loop
     assert r.trace, "queue trace must be populated"
     # A 1-layer encoder on 32x32 5-second segments must keep up; if this
     # flakes the harness's sustained judgement itself is broken.
