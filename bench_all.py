@@ -169,15 +169,33 @@ def main() -> None:
             soak = json.load(f)
         confirm = soak.get("confirm") or {}
         rows.append({
-            "program": "sustained multi-camera soak (watcher->encode->live classify)",
+            "program": "sustained multi-camera soak (watcher->encode->live "
+                       "classify [champion head]->actogram)",
             "geometry": "10 FPS 256x256 segments, ViT-B, production worker stack",
             "sustained_cameras_per_chip": soak.get("sustained_cameras_per_chip"),
             "confirm_minutes": confirm.get("minutes"),
             "confirm_encode_fps": confirm.get("encode_fps_avg"),
+            "confirm_actograms": confirm.get("actograms_generated"),
             "note": "sandbox relay serializes H2D against compute: lower "
                     "bound vs a real TPU VM (docs/TPU.md)",
         })
         print(json.dumps(rows[-1]), file=sys.stderr)
+        # reuse-enabled soak row (r4 verdict next #4), merged when present
+        reuse_path = os.path.join(os.path.dirname(OUT_PATH), "soak_report_reuse.json")
+        if os.path.exists(reuse_path):
+            with open(reuse_path) as f:
+                rs = json.load(f)
+            rows.append({
+                "program": "sustained multi-camera soak (reuse-gated encode, "
+                           "threshold 6/tile 32)",
+                "geometry": "10 FPS 256x256 segments, ViT-B, production worker stack",
+                "sustained_cameras_per_chip": rs.get("cameras") if rs.get("sustained") else None,
+                "confirm_minutes": rs.get("minutes"),
+                "confirm_encode_fps": rs.get("encode_fps_avg"),
+                "confirm_actograms": rs.get("actograms_generated"),
+                "note": "opt-in approximation (docs/TPU.md fidelity table)",
+            })
+            print(json.dumps(rows[-1]), file=sys.stderr)
 
     artifact = {
         "device": str(jax.devices()[0]),
