@@ -138,7 +138,11 @@ def main() -> None:
     ]
     if not QUICK:
         encode_rows += [
-            ("facebook/dinov3-vits16", "dinov3-vits16", 896, 256, 256),
+            # r5 ViT-S campaign (probe27): batch 896 sits in a 7x128 HBM
+            # stride pathology (7013 fps; 1792=14x128 and 2048 also dip);
+            # 1120-1600 plateau at ~8150, std attention orientation at
+            # 3 pairs/short N adds +3.8% (see ops/flash_attention._use_pvt)
+            ("facebook/dinov3-vits16", "dinov3-vits16", 1600, 256, 256),
             ("facebook/dinov3-vitl16", "dinov3-vitl16", 224, 256, 256),
             # the project-default encoder family (patch 14 -> 329 tokens);
             # batch re-tuned 480 -> 320 for the r4 flat-layout kernel (B=384
@@ -147,7 +151,8 @@ def main() -> None:
             # 480p rows for the small/large backbones: BASELINE.json config 1
             # runs ViT-S on 640x480 video and config 4 batch-infers the L
             # backbone, so the table should bound both at that geometry too
-            ("facebook/dinov3-vits16", "dinov3-vits16", 640, 480, 640),
+            # r5: 832 beats 640 (+7%) and 960 at this geometry
+            ("facebook/dinov3-vits16", "dinov3-vits16", 832, 480, 640),
             # batch re-tuned 96 -> 160 for the r4 flat-layout kernel
             ("facebook/dinov3-vitl16", "dinov3-vitl16", 160, 480, 640),
         ]

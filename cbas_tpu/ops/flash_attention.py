@@ -420,7 +420,7 @@ def fused_attention(
     return out.reshape(B, H, N, d)
 
 
-def _use_pvt(use_rope: bool, n_pad: int) -> bool:
+def _use_pvt(use_rope: bool, n_pad: int, n_pairs: int = 6) -> bool:
     """Whether the transposed-PV orientation wins at this geometry.
 
     Measured on TPU v5e, ViT-B-shaped whole-kernel medians (interleaved A/B,
@@ -432,15 +432,26 @@ def _use_pvt(use_rope: bool, n_pad: int) -> bool:
     pvt's extra relayouts and sublane reduces — so pvt only wins once the
     MXU passes are deep enough to dominate: N=272 -> 1.034, N=336 -> 1.089
     (the dinov2-base 256x256 geometry, where pvt cost -1.8% whole-model),
-    N=1216 -> 0.876. Rule: rope always, else n_pad >= 512 (break-even is
-    between 336 and 1216). ``CBAS_ATTN_PVT`` (0/1) forces either
-    orientation for measurement.
+    N=1216 -> 0.876.
+
+    r5 ViT-S finding (probe27 campaign): at 3 head pairs (d_model 384) and
+    short N the ratio flips EVEN WITH rope — whole-model 8448 vs 8142 fps
+    at 256x256 batch 1600 with the standard orientation (pvt's per-head
+    relayout overhead amortizes over fewer MXU passes); at N=1216 pvt
+    still wins (1426 vs 1383), and ViT-B/L short-N stay neutral-to-pvt
+    (3010/3014, 917/910).
+
+    Rule: with rope, pvt unless (n_pairs <= 3 and n_pad < 512); without,
+    n_pad >= 512. ``CBAS_ATTN_PVT`` (0/1) forces either orientation for
+    measurement.
     """
     env = os.environ.get("CBAS_ATTN_PVT")
     if env is not None:
         # same falsy spellings as CBAS_TPU_FUSED_ATTENTION (models/vit.py)
         return env.lower() not in ("", "0", "false", "no", "off")
-    return use_rope or n_pad >= 512
+    if use_rope:
+        return not (n_pairs <= 3 and n_pad < 512)
+    return n_pad >= 512
 
 
 def fused_attention_packed(
@@ -506,7 +517,7 @@ def fused_attention_packed(
         sin_k = jnp.zeros((n_pad, d), jnp.float32)
 
     if pvt is None:
-        pvt = _use_pvt(use_rope, n_pad)
+        pvt = _use_pvt(use_rope, n_pad, G)
     grid = (B * G // gp, q_pad // block_q)
     out = pl.pallas_call(
         functools.partial(
@@ -670,7 +681,7 @@ def fused_attention_fat(
     n_pairs = D // 128
     use_rope = rope_cos is not None
     if pvt is None:
-        pvt = _use_pvt(use_rope, N)
+        pvt = _use_pvt(use_rope, N, n_pairs)
 
     budget, limit = _vmem_caps()
     # block VMEM: 4 tensors (q/k/v/o) double-buffered

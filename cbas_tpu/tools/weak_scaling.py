@@ -33,6 +33,13 @@ def _child(n: int, per_device_batch: int, iters: int) -> dict:
     import time
 
     import jax
+
+    # The axon sitecustomize forces jax_platforms="axon,cpu" at interpreter
+    # start, overriding the parent's JAX_PLATFORMS=cpu env: without this
+    # in-process flip the "CPU" children compile through the remote TPU
+    # backend (minutes per child) — and at n=1 the un-meshed encoder would
+    # silently run on the TPU chip, voiding the comparison.
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
