@@ -190,14 +190,18 @@ def main() -> None:
         if os.path.exists(reuse_path):
             with open(reuse_path) as f:
                 rs = json.load(f)
+            # accept either a single-run dict or a --search report
+            rc = rs.get("confirm") or rs
+            cams = rs.get("sustained_cameras_per_chip",
+                          rc.get("cameras") if rc.get("sustained") else None)
             rows.append({
                 "program": "sustained multi-camera soak (reuse-gated encode, "
                            "threshold 6/tile 32)",
                 "geometry": "10 FPS 256x256 segments, ViT-B, production worker stack",
-                "sustained_cameras_per_chip": rs.get("cameras") if rs.get("sustained") else None,
-                "confirm_minutes": rs.get("minutes"),
-                "confirm_encode_fps": rs.get("encode_fps_avg"),
-                "confirm_actograms": rs.get("actograms_generated"),
+                "sustained_cameras_per_chip": cams,
+                "confirm_minutes": rc.get("minutes"),
+                "confirm_encode_fps": rc.get("encode_fps_avg"),
+                "confirm_actograms": rc.get("actograms_generated"),
                 "note": "opt-in approximation (docs/TPU.md fidelity table)",
             })
             print(json.dumps(rows[-1]), file=sys.stderr)
