@@ -38,9 +38,11 @@ pays off there; through the relay, the expected e2e rate is the harmonic
 of the H2D frame rate and the device program. The relay's bandwidth is
 also strongly TIME-VARYING (20 MB/s to >1 GB/s within minutes, measured
 r3), so every e2e rep is normalized against an H2D probe taken
-immediately before it: ``pipeline_efficiency_pct`` ≈ 100 means the
-pipeline delivers everything the relay permits at that instant, which is
-the round-over-round comparable number.
+immediately before it; ``diag_pipeline_efficiency_pct`` ≈ 100 would mean
+the pipeline delivers everything the relay permits at that instant — but
+the metric cannot resolve below ±35% under within-rep drift (measured
+r4), so it ships as a diagnostic, not a headline; the comparable numbers
+are the device rate, the rep spread, and the soak.
 """
 
 import json
@@ -206,9 +208,9 @@ def bench_end_to_end(
     MEAN estimates the bandwidth during the rep) and the rep's
     *relay-expected* rate is the harmonic of that probe rate and the device
     program (the relay serializes H2D against compute — controlled
-    experiment in the module docstring). ``pipeline_efficiency_pct`` =
-    measured/expected per rep; a value near 100 means the pipeline delivers
-    everything the relay permits at that instant.
+    experiment in the module docstring). ``diag_pipeline_efficiency_pct``
+    = measured/expected per rep; a value near 100 means the pipeline
+    delivers everything the relay permits at that instant.
 
     MEASURED LIMIT of this normalization (r4): with the SAME pipeline,
     before-only probes read 113-122% (r3), max(before, after) read 77-84%,
