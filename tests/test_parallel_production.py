@@ -376,3 +376,30 @@ def test_weak_scaling_shape_2dev():
     # +16% measured + generous CI-noise headroom; super-linear growth (a
     # collective scaling with work) would land far above this
     assert overhead < 0.6, f"2-device weak-scaled step {r2} vs 1-device {r1}"
+
+
+def test_encode_file_reuse_gated_dp_matches_single_device(video_path, mesh):
+    """The reuse-gated path (tile-max gate, r5 production recommendation)
+    through a DP mesh: compacted key batches dispatch through the sharded
+    program and the reordered H5 must match the single-device reuse encode
+    row for row."""
+    params = jax.device_get(init_vit_params(jax.random.key(0), SMALL_CFG))
+    enc_1 = FrameEncoder("e", params=params, cfg=SMALL_CFG, compute_dtype=jnp.float32)
+    enc_dp = FrameEncoder(
+        "e", params=params, cfg=SMALL_CFG, compute_dtype=jnp.float32, mesh=mesh
+    )
+
+    cfg = EncodeConfig(chunk_frames=40, reuse_threshold=6.0, reuse_tile=32)
+    out = encode_file(enc_1, video_path, config=cfg)
+    single = hdf5_store.read_all(out)
+    os.remove(out)
+    out = encode_file(enc_dp, video_path, config=cfg)
+    dp = hdf5_store.read_all(out)
+    os.remove(out)
+
+    assert dp.shape == single.shape == (90, 64)
+    # the gate is host-side and deterministic, so keys are identical and
+    # rows must agree to sharded-reduction tolerance
+    np.testing.assert_allclose(
+        dp.astype(np.float32), single.astype(np.float32), rtol=1e-5, atol=1e-5
+    )
